@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local imitation of the driver's correctness gate.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over views of the
+sfDir parquet tables, sorts columns by name + rows, and diffs values.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import glob
+    import os
+    names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
+                   if os.path.isdir(p))
+    failures = 0
+    for name in names:
+        spark_df = con.execute(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        if name not in oracle:
+            print(f"  {name}: NO-ORACLE rows={len(spark_df)}")
+            continue
+        try:
+            ora_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"✗ {name}: oracle SQL failed: {e}")
+            failures += 1
+            continue
+        s, o = canon(spark_df), canon(ora_df)
+        if list(s.columns) != list(o.columns):
+            print(f"✗ {name}: columns {list(s.columns)} != {list(o.columns)}")
+            failures += 1
+            continue
+        if len(s) != len(o):
+            print(f"✗ {name}: rows {len(s)} != {len(o)}")
+            failures += 1
+            continue
+        if not s.equals(o):
+            neq = (s != o) & ~(s.isna() & o.isna())
+            bad_cols = [c for c in s.columns if neq[c].any()]
+            print(f"✗ {name}: value mismatch in {bad_cols}")
+            for c in bad_cols[:3]:
+                i = neq[c].idxmax()
+                print(f"    row {i} col {c}: spark={s[c][i]!r} "
+                      f"oracle={o[c][i]!r}")
+            failures += 1
+            continue
+        print(f"✓ {name}: rows={len(s)} cols={len(s.columns)}")
+    print(f"{'FAIL' if failures else 'PASS'}: "
+          f"{len(names) - failures}/{len(names)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

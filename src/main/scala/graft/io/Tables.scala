@@ -1,0 +1,71 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Source/sink surface of the engine (SURVEY.md §2.1).
+  *
+  * The reference bootstraps by executing DDL+INSERT SQL files
+  * (reference src/job.py:46-98) and probes table existence with
+  * `to_regclass` (src/job.py:105,120-121). Spark-first equivalents: parquet
+  * reads with footer schemas, a path-existence probe, a timestamped backup
+  * writer (src/job.py:236-240), and a psql-style console reporter
+  * (src/job.py:272-279 ≡ df.show).
+  */
+object Tables {
+
+  /** Load one driver-testdata table from `sfDir` (S1/S2).
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
+    * type for — it is read via the nanosAsLong escape hatch and normalized
+    * to a microsecond TimestampType here (integer `div`, not FP division:
+    * epoch-nanos exceed double's 2^53 exact range). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType)
+      .fold(df)(_ => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+  }
+
+  /** Existence probe (S3 tolerance): the reference reports "No existe" for
+    * missing tables instead of failing (src/job.py:125). */
+  def exists(spark: SparkSession, sfDir: String, name: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path)
+  }
+
+  /** First existing table from a candidate list — the reference probes
+    * combined_sellout / sales / sellout in order (src/job.py:100-112,164). */
+  def firstExisting(spark: SparkSession, sfDir: String,
+      candidates: Seq[String]): Option[String] =
+    candidates.find(exists(spark, sfDir, _))
+
+  /** Row count per table, "-1" marking missing tables (S3,
+    * reference src/job.py:114-129). Counts are distributed aggregates; only
+    * the tiny (table → count) map lands on the driver. */
+  def countTables(spark: SparkSession, sfDir: String,
+      names: Seq[String]): Map[String, Long] =
+    names.map { n =>
+      n -> (if (exists(spark, sfDir, n)) load(spark, sfDir, n).count() else -1L)
+    }.toMap
+
+  /** Timestamped backup sink before destructive edits (S4/D3,
+    * reference src/job.py:236-240). Path-partitioned parquet — at cluster
+    * scale this is a parallel columnar snapshot, not a CTAS copy. */
+  def backup(df: DataFrame, baseDir: String, table: String,
+      clock: java.time.Clock = java.time.Clock.systemUTC()): String = {
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now(clock))
+    val path = s"$baseDir/${table}_backup_$stamp"
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Console sink (S6): first 10 rows, boxed — reference tabulate psql
+    * format (src/job.py:272-279). */
+  def report(df: DataFrame, rows: Int = 10): Unit =
+    df.show(rows, truncate = false)
+}
