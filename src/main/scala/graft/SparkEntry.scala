@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Q, RefQueries}
+import graft.queries.{Q, RefQueries, RelOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module registers its operators as [[graft.queries.Q]] values
@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** Every registered operator, in registration order. */
   def registry: Seq[Q] =
-    RefQueries.all
+    RefQueries.all ++ RelOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q2-shaped: scan → broadcast join → agg → top-k (SURVEY.md §7.2). */

@@ -1,0 +1,377 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Relational operator surface beyond the reference's four queries: the
+  * join/set/window/grouping machinery a user of the reference would need as
+  * the pipeline grows (SURVEY.md §2.3-§2.8 mark these absent in the
+  * reference; they are first-class here).
+  *
+  * Money columns travel as integer cents (`round(x*100)::bigint`): exact,
+  * order-independent, engine-agnostic — a double SUM's value depends on
+  * reduction order, so two correct engines would disagree in the last bits.
+  *
+  * Scale notes are per-operator; the common posture: fact tables only ever
+  * shuffle on their aggregation/join keys, dims broadcast, windows
+  * partition by high-cardinality keys (never a global window over raw
+  * rows).
+  */
+object RelOps {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  /** Semi join: orders having at least one near-capacity line. Left-semi
+    * avoids materializing the join product — at 100 TB this is a broadcast
+    * or shuffled-hash existence probe, never a fan-out. */
+  val qSemiJoin: Q = Q("q_semi_join",
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents
+      |FROM orders WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "orders")
+      .join(Tables.load(s, d, "lineitem").filter(col("l_quantity") >= 48),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("total_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Anti join: parts that never sold (NOT EXISTS). */
+  val qAntiJoin: Q = Q("q_anti_join",
+    """SELECT p_partkey, p_name FROM part WHERE NOT EXISTS (
+      |  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "part")
+      .join(Tables.load(s, d, "lineitem"),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+  }
+
+  /** Outer join + aggregate: units per part including never-sold parts.
+    * Dim side broadcast; the left join preserves unmatched part rows whose
+    * SUM is null → coalesced to 0 in both engines. */
+  val qOuterJoinAgg: Q = Q("q_outer_join_agg",
+    """SELECT p.p_partkey, p.p_name,
+      |       COALESCE(CAST(SUM(l.l_quantity) AS BIGINT), 0) AS units
+      |FROM part p LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |GROUP BY 1, 2 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    broadcast(Tables.load(s, d, "part"))
+      .join(Tables.load(s, d, "lineitem"),
+        col("p_partkey") === col("l_partkey"), "left")
+      .groupBy("p_partkey", "p_name")
+      .agg(coalesce(sum("l_quantity").cast("long"), lit(0L)).as("units"))
+      .orderBy("p_partkey")
+  }
+
+  /** UNION ALL with provenance tag (the reference's fact table arrives
+    * pre-combined from per-chain feeds — SURVEY.md §2.6; this is that
+    * upstream combine step as an operator). */
+  val qUnionAllNames: Q = Q("q_union_all_names",
+    """SELECT name, src FROM (
+      |  SELECT c_name AS name, 'customer' AS src FROM customer
+      |  UNION ALL
+      |  SELECT s_name AS name, 'supplier' AS src FROM supplier)
+      |ORDER BY name, src""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "customer")
+      .select(col("c_name").as("name"), lit("customer").as("src"))
+      .unionAll(Tables.load(s, d, "supplier")
+        .select(col("s_name").as("name"), lit("supplier").as("src")))
+      .orderBy("name", "src")
+  }
+
+  /** INTERSECT / EXCEPT (distinct set semantics in both engines). */
+  val qSetIntersectExcept: Q = Q("q_set_intersect_except",
+    """SELECT 'both' AS op, nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'customer_only' AS op, nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT SELECT s_nationkey FROM supplier)
+      |ORDER BY op, nationkey""".stripMargin) { (s, d) =>
+    val c = Tables.load(s, d, "customer")
+      .select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.load(s, d, "supplier")
+      .select(col("s_nationkey").as("nationkey"))
+    c.intersect(sup).select(lit("both").as("op"), col("nationkey"))
+      .unionAll(c.except(sup)
+        .select(lit("customer_only").as("op"), col("nationkey")))
+      .orderBy("op", "nationkey")
+  }
+
+  /** Ranking window: top-3 suppliers per nation by units. The window
+    * partitions by nation — parallel across partitions, no global sort.
+    * (The reference's "mejor/peor día" is a plain sort, SURVEY.md §2.8;
+    * this is the window upgrade.) */
+  val qWindowRank: Q = Q("q_window_rank",
+    """SELECT nation_name, supplier_name, units, rnk FROM (
+      |  SELECT n.n_name AS nation_name, s.s_name AS supplier_name,
+      |         CAST(SUM(l.l_quantity) AS BIGINT) AS units,
+      |         CAST(ROW_NUMBER() OVER (
+      |           PARTITION BY n.n_name
+      |           ORDER BY CAST(SUM(l.l_quantity) AS BIGINT) DESC, s.s_name)
+      |           AS BIGINT) AS rnk
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2) t
+      |WHERE rnk <= 3 ORDER BY nation_name, rnk""".stripMargin) { (s, d) =>
+    val agg = Tables.load(s, d, "lineitem")
+      .join(broadcast(Tables.load(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(s, d, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation_name"),
+        col("s_name").as("supplier_name"))
+      .agg(sum("l_quantity").cast("long").as("units"))
+    val w = Window.partitionBy("nation_name")
+      .orderBy(desc("units"), asc("supplier_name"))
+    agg.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("nation_name", "rnk")
+  }
+
+  /** Running-total window: cumulative spend per customer in order-date
+    * order. Partitioned by customer — distributes on the natural key. */
+  val qWindowRunning: Q = Q("q_window_running",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+      |       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+      |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS running_cents
+      |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""
+      .stripMargin) { (s, d) =>
+    val pc = cents(col("o_totalprice"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        pc.as("price_cents"))
+      .withColumn("running_cents", sum("price_cents").over(w))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Lag window: day-over-day delta of shipped units. The window is global
+    * but over the *daily aggregate* (cardinality = distinct days), never
+    * the raw fact — bounded single-partition work at any scale. */
+  val qWindowLagDelta: Q = Q("q_window_lag_delta",
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d,
+      |         CAST(SUM(l_quantity) AS BIGINT) AS units
+      |  FROM lineitem GROUP BY 1)
+      |SELECT d, units, units - LAG(units) OVER (ORDER BY d) AS delta
+      |FROM daily ORDER BY d""".stripMargin) { (s, d) =>
+    val daily = Tables.load(s, d, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(sum("l_quantity").cast("long").as("units"))
+    daily.withColumn("delta",
+      col("units") - lag("units", 1).over(Window.orderBy("d")))
+      .orderBy("d")
+  }
+
+  /** ROLLUP: units by returnflag ⊃ linestatus ⊃ grand total, with a
+    * grouping id. Partial aggregation happens once; rollup levels are
+    * derived without rescanning. */
+  val qRollup: Q = Q("q_rollup",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+      |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+      |       CAST(SUM(l_quantity) AS BIGINT) AS units,
+      |       CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS INT)
+      |         AS gid
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY gid, rflag, lstatus""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").cast("long").as("units"),
+        (grouping(col("l_returnflag")) * 2 +
+          grouping(col("l_linestatus"))).cast("int").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("units"), col("gid"))
+      .orderBy("gid", "rflag", "lstatus")
+  }
+
+  /** CUBE: order counts + revenue cents across all subsets of
+    * (orderstatus, orderpriority). */
+  val qCube: Q = Q("q_cube",
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "orders")
+      .withColumn("price_cents", cents(col("o_totalprice")))
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum("price_cents").as("revenue_cents"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue_cents"))
+      .orderBy("status", "priority")
+  }
+
+  /** DISTINCT aggregation: part breadth + units per supplier. */
+  val qDistinctAgg: Q = Q("q_distinct_agg",
+    """SELECT l_suppkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |       CAST(SUM(l_quantity) AS BIGINT) AS units
+      |FROM lineitem GROUP BY 1 ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(countDistinct("l_partkey").as("n_parts"),
+        sum("l_quantity").cast("long").as("units"))
+      .orderBy("l_suppkey")
+  }
+
+  /** Top-k without global sort: Catalyst's TakeOrderedAndProject keeps a
+    * per-partition heap of k rows, then merges — O(n) scan, O(k) state. */
+  val qTopkOrders: Q = Q("q_topk_orders",
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+      |FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10"""
+      .stripMargin) { (s, d) =>
+    Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .orderBy(desc("price_cents"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  /** JSON extraction (events.props is a JSON string): per-type sum of the
+    * extracted "k" field. */
+  val qJsonExtract: Q = Q("q_json_extract",
+    """SELECT event_type,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |            AS BIGINT) AS sum_k,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "events")
+      .groupBy("event_type")
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long"))
+        .as("sum_k"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** Batch sessionization: 30-minute inactivity gap splits a user's events
+    * into sessions (lag → gap flag → running sum = session seq). All
+    * windows partition by user_id — shuffles once on the session key. */
+  val qSessionize: Q = Q("q_sessionize",
+    """WITH gaps AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_session) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_seq
+      |  FROM gaps)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |       MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_seq"""
+      .stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = unix_micros(col("ts")) -
+      lag(unix_micros(col("ts")), 1).over(byUser)
+    Tables.load(s, d, "events")
+      .withColumn("new_session",
+        when(gapUs > 1800000000L || gapUs.isNull, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Tumbling time window (batch twin of the streaming hourly aggregate —
+    * graft.streaming uses the same `window()` expression on readStream). */
+  val qTumblingHour: Q = Q("q_tumbling_hour",
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+      |         AS value_cents
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
+      .stripMargin) { (s, d) =>
+    Tables.load(s, d, "events")
+      .withColumn("value_cents_row", cents(col("value")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value_cents_row").as("value_cents"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("value_cents"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  /** As-of join (time-series point-in-time lookup, absent from both the
+    * reference and Spark's built-ins): for each purchase, the latest prior
+    * click of the same user — expressed as an IGNORE NULLS last-value
+    * window, which shuffles once on user_id instead of a range join. */
+  val qAsofPriorClick: Q = Q("q_asof_prior_click",
+    """SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts,
+      |       prior_click_ts
+      |FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prior_click_ts
+      |  FROM events) t
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, purchase_event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(s, d, "events")
+      .withColumn("prior_click_ts",
+        last(when(col("event_type") === "click", col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("ts").as("purchase_ts"), col("prior_click_ts"))
+      .orderBy("user_id", "purchase_event_id")
+  }
+
+  /** Manual pivot via conditional aggregation (one pass, no shuffle per
+    * pivot column). */
+  val qPivotConditional: Q = Q("q_pivot_conditional",
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS views,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signups,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS errors,
+      |  COUNT(*) AS total
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    def n(t: String) = count(when(col("event_type") === t, 1))
+    Tables.load(s, d, "events")
+      .groupBy("user_id")
+      .agg(n("click").as("clicks"), n("view").as("views"),
+        n("purchase").as("purchases"), n("signup").as("signups"),
+        n("error").as("errors"), count(lit(1)).as("total"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    qSemiJoin, qAntiJoin, qOuterJoinAgg, qUnionAllNames,
+    qSetIntersectExcept, qWindowRank, qWindowRunning, qWindowLagDelta,
+    qRollup, qCube, qDistinctAgg, qTopkOrders, qJsonExtract, qSessionize,
+    qTumblingHour, qAsofPriorClick, qPivotConditional)
+}
