@@ -1,0 +1,250 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash._
+import graft.io.Tables
+import graft.queries.Q
+
+/** Deduplication suite over the `documents` table — the core of a
+  * training-data pipeline. Four signals, cheapest→richest:
+  *
+  *   1. exact (content hash group-by),
+  *   2. n-gram Jaccard via an inverted shingle index (exact resemblance,
+  *      candidate generation by shared shingle — linear in index size, not
+  *      O(docs²)),
+  *   3. MinHash + banded LSH (sub-linear candidate generation: only docs
+  *      sharing a band key are compared; the scale path for 100 TB),
+  *   4. SimHash (Charikar 2002) bit-signature with Hamming-distance pairs.
+  *
+  * Every hash is md5-derived integer arithmetic (see
+  * [[graft.functions.TextHash]]) so the DuckDB oracles compute
+  * bit-identical signatures — the oracle runs the *same algorithm*, not a
+  * reference answer.
+  *
+  * Scale posture: all candidate generation is equi-join shaped (shuffle on
+  * shingle hash / band key / bucket), never a cross join; the quadratic
+  * SimHash pair scan is the one exception, flagged on the operator.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String) =
+    Tables.load(s, d, "documents")
+
+  /** Distinct-shingle-hash sets per doc: (doc_id, hs). */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+
+  /** Shared oracle CTE producing the same (doc_id, hs). */
+  private val shingleCte: String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, ${shingleHashesSql("w")} AS hs FROM words)"""
+      .stripMargin
+
+  /** Exact duplicate stats by content hash (md5 of the raw text). */
+  val qDedupExact: Q = Q("q_dedup_exact",
+    """SELECT COUNT(*) AS n_docs,
+      |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+      |       COUNT(*) - CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dups
+      |FROM documents""".stripMargin) { (s, d) =>
+    docs(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_unique"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard near-dup pairs ≥ 0.6, candidates via
+    * the inverted shingle index: explode → equi-join on shingle hash →
+    * count shared. No quadratic scan; a shingle shared by few docs costs
+    * little, and stop-shingle skew would be handled by dropping
+    * ultra-frequent shingles (not needed at this corpus). */
+  val qNgramJaccardPairs: Q = Q("q_ngram_jaccard_pairs",
+    s"""WITH $shingleCte,
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM sh)
+       |SELECT p.doc_a, p.doc_b, p.inter,
+       |       sa.n + sb.n - p.inter AS un,
+       |       CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+       |FROM pairs p
+       |JOIN sizes sa ON sa.doc_id = p.doc_a
+       |JOIN sizes sb ON sb.doc_id = p.doc_b
+       |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val sh = shingleSets(s, d)
+    val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    val jac = col("inter").cast("double") / col("un")
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("un", col("sa.n") + col("sb.n") - col("inter"))
+      .filter(jac >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("un"),
+        jac.as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + banded LSH near-dup detection (threshold 0.8): K=16
+    * signatures in BANDS=4 bands of R=4; only docs sharing a band key
+    * become candidates (equi-join on the key — the sub-linear scale path),
+    * then candidates are verified with exact shingle Jaccard. Recall below
+    * the S-curve is expected and identical in the oracle, which runs the
+    * same bands. */
+  val qMinhashLsh: Q = {
+    val sigSqlCols = (0 until K)
+      .map(k => s"${minhashSql("hs", k)} AS m$k").mkString(",\n       ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until R).map(r => s"m${b * R + r}::VARCHAR")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    Q("q_minhash_lsh_pairs",
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, hs,
+         |       $sigSqlCols
+         |FROM sh),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
+         |         AS BIGINT) AS inter,
+         |    CAST(len(sa.hs) AS BIGINT) + CAST(len(sb.hs) AS BIGINT)
+         |      - CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
+         |             AS BIGINT) AS un
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, inter, un,
+         |       CAST(inter AS DOUBLE) / un AS jaccard
+         |FROM verified
+         |WHERE CAST(inter AS DOUBLE) / un >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sh = shingleSets(s, d)
+      val sig = sh.withColumn("sig",
+        array((0 until K).map(k => minhash(col("hs"), k)): _*))
+      val bandStructs = array((0 until Bands).map { b =>
+        val key = concat_ws("_",
+          (0 until R).map(r =>
+            col("sig").getItem(b * R + r).cast("string")): _*)
+        struct(lit(b).as("band"), key.as("key"))
+      }: _*)
+      val bands = sig
+        .select(col("doc_id"), explode(bandStructs).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.key").as("key"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val jac = col("inter").cast("double") / col("un")
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")),
+          "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")),
+          "doc_b")
+        .withColumn("inter",
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+        .withColumn("un",
+          size(col("hs_a")).cast("long") + size(col("hs_b")).cast("long")
+            - col("inter"))
+        .filter(jac >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("un"),
+          jac.as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
+  /** Greedy near-dup resolution: from the exact-Jaccard pairs ≥ 0.8, drop
+    * the higher doc_id of each pair (keep-first policy). */
+  val qDedupNearRemoved: Q = Q("q_dedup_near_removed",
+    s"""WITH $shingleCte,
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM sh)
+       |SELECT DISTINCT p.doc_b AS removed_doc
+       |FROM pairs p
+       |JOIN sizes sa ON sa.doc_id = p.doc_a
+       |JOIN sizes sb ON sb.doc_id = p.doc_b
+       |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
+       |ORDER BY removed_doc""".stripMargin) { (s, d) =>
+    qNgramJaccardPairs.fn(s, d)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_b").as("removed_doc"))
+      .distinct()
+      .orderBy("removed_doc")
+  }
+
+  /** 32-bit SimHash over the distinct shingle-hash set: bit j is the sign
+    * of Σ ±1 votes from each shingle's j-th hash bit (Charikar 2002). */
+  def simhash32(hs: Column): Column =
+    (0 until 32).map { j =>
+      val votes = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def simhashSql(hs: String): String =
+    (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_transform($hs, h -> ((h >> $j) & 1)*2 - 1))" +
+        s" > 0 THEN ${1L << j}::BIGINT ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Per-doc SimHash signatures. */
+  val qSimhashDocs: Q = Q("q_simhash_docs",
+    s"""WITH $shingleCte
+       |SELECT doc_id, CAST(${simhashSql("hs")} AS BIGINT) AS simhash
+       |FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
+    shingleSets(s, d)
+      .select(col("doc_id"), simhash32(col("hs")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ 5 of the 32-bit
+    * signatures. The all-pairs scan is quadratic — honest only at modest
+    * corpus sizes; the scale path is banding signature chunks exactly like
+    * [[qMinhashLsh]] (pigeonhole: distance ≤ 5 over 4 chunks ⇒ one exact
+    * chunk match would need distance ≤ 3·chunks). */
+  val qSimhashPairs: Q = Q("q_simhash_pairs",
+    s"""WITH $shingleCte,
+       |sims AS (
+       |  SELECT doc_id, CAST(${simhashSql("hs")} AS BIGINT) AS simhash
+       |  FROM sh)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+       |         AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val sims = shingleSets(s, d)
+      .select(col("doc_id"), simhash32(col("hs")).as("simhash"))
+    val ham =
+      bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+    sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(ham <= 5)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ham.as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[Q] = Seq(
+    qDedupExact, qNgramJaccardPairs, qMinhashLsh, qDedupNearRemoved,
+    qSimhashDocs, qSimhashPairs)
+}

@@ -1,0 +1,201 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+import graft.io.Tables
+import graft.queries.Q
+
+/** Text-analysis operators over `documents`: corpus statistics, token
+  * counting, quality scoring, language-ID heuristics, and content
+  * fingerprinting — the per-document featurization stage of a training-data
+  * pipeline. Everything is a single narrow projection over the corpus
+  * (embarrassingly parallel, no shuffle except final aggregates), built
+  * from codegen'd built-ins — no UDFs.
+  *
+  * Ratios are a single double division over integer counts, so Spark and
+  * the DuckDB oracle agree bit-for-bit.
+  */
+object TextOps {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "documents")
+
+  /** English-ish stopword list (the corpus vocabulary is tech word salad;
+    * 'a'/'the' are its only function words). */
+  private val stopEn = Seq("a", "the", "of", "and", "to", "in", "is", "it")
+  private val stopSqlList = stopEn.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Per-document statistics: lengths, token counts, mean token length. */
+  val qTextStats: Q = Q("q_text_stats",
+    s"""SELECT doc_id, lang, source, n_chars,
+       |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |    AS n_distinct_tokens,
+       |  CAST(list_sum(list_transform(string_split(text, ' '),
+       |         t -> length(t))) AS BIGINT) AS token_chars,
+       |  CAST(list_sum(list_transform(string_split(text, ' '),
+       |         t -> length(t))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS mean_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = TextHash.tokens(col("text"))
+    val tokenChars =
+      aggregate(w, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    docs(s, d).select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      size(w).cast("long").as("n_tokens"),
+      size(array_distinct(w)).cast("long").as("n_distinct_tokens"),
+      tokenChars.as("token_chars"),
+      (tokenChars.cast("double") / size(w)).as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus rollup: docs/tokens/chars per (lang, source). */
+  val qTokenCounts: Q = Q("q_token_counts",
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+      |    AS total_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin) {
+    (s, d) =>
+      docs(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextHash.tokens(col("text"))).cast("long"))
+            .as("total_tokens"),
+          sum("n_chars").cast("long").as("total_chars"))
+        .orderBy("lang", "source")
+  }
+
+  /** Heuristic quality score: four binary signals (length band, mean token
+    * length band, stopword presence, punctuation scarcity), averaged.
+    * The shape of C4/Gopher-style rule filters, minus the corpus-specific
+    * thresholds. */
+  val qQualityScore: Q = Q("q_quality_score",
+    s"""WITH feats AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(string_split(text, ' '),
+       |           t -> length(t))) AS BIGINT) AS token_chars,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |           t -> t IN $stopSqlList)) AS BIGINT) AS stop_hits,
+       |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT)
+       |      AS punct_chars
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, n_tokens, stop_hits, punct_chars,
+       |    CASE WHEN n_chars_calc BETWEEN 100 AND 1000 THEN 1 ELSE 0 END
+       |      AS len_ok,
+       |    CASE WHEN CAST(token_chars AS DOUBLE) / n_tokens
+       |              BETWEEN 3.0 AND 8.0 THEN 1 ELSE 0 END AS token_len_ok,
+       |    CASE WHEN CAST(stop_hits AS DOUBLE) / n_tokens > 0.02
+       |         THEN 1 ELSE 0 END AS stopword_ok,
+       |    CASE WHEN CAST(punct_chars AS DOUBLE) / n_chars_calc < 0.05
+       |         THEN 1 ELSE 0 END AS punct_ok
+       |  FROM feats)
+       |SELECT doc_id, CAST(len_ok AS INT) AS len_ok,
+       |       CAST(token_len_ok AS INT) AS token_len_ok,
+       |       CAST(stopword_ok AS INT) AS stopword_ok,
+       |       CAST(punct_ok AS INT) AS punct_ok,
+       |       (len_ok + token_len_ok + stopword_ok + punct_ok) / 4.0
+       |         AS quality
+       |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = TextHash.tokens(col("text"))
+    val nChars = length(col("text")).cast("long")
+    val nTokens = size(w).cast("long")
+    val tokenChars =
+      aggregate(w, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val stopHits =
+      size(filter(w, t => t.isin(stopEn: _*))).cast("long")
+    val punct = size(regexp_extract_all(col("text"),
+      lit("[^a-z0-9 ]"), lit(0))).cast("long")
+    val lenOk = when(nChars.between(100, 1000), 1).otherwise(0)
+    val tokOk = when((tokenChars.cast("double") / nTokens).between(3.0, 8.0),
+      1).otherwise(0)
+    val stopOk = when(stopHits.cast("double") / nTokens > 0.02, 1)
+      .otherwise(0)
+    val punctOk = when(punct.cast("double") / nChars < 0.05, 1).otherwise(0)
+    docs(s, d).select(
+      col("doc_id"),
+      lenOk.as("len_ok"), tokOk.as("token_len_ok"),
+      stopOk.as("stopword_ok"), punctOk.as("punct_ok"),
+      ((lenOk + tokOk + stopOk + punctOk) / 4.0).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram/stopword language-ID heuristic: score per language = stopword
+    * dictionary hits (CJK-codepoint count for zh), argmax with a fixed
+    * tie order. The corpus text is language-independent word salad, so
+    * this measures the operator's determinism, not linguistic accuracy. */
+  val qLangId: Q = {
+    val dicts = Seq(
+      "en" -> Seq("the", "a", "of", "is", "and"),
+      "es" -> Seq("el", "la", "de", "es", "y"),
+      "fr" -> Seq("le", "la", "de", "est", "et"),
+      "de" -> Seq("der", "die", "das", "und", "ist"))
+    val dictSql = dicts.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN $lst)) " +
+        s"AS BIGINT) AS s_$l"
+    }.mkString(",\n    ")
+    // literal CJK-range chars: RE2 (DuckDB) has no \uXXXX escape
+    val cjk = "[一-鿿]"
+    val langs = dicts.map(_._1) :+ "zh"
+    val caseSql = langs.init.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
+        .mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("\n    CASE ", "\n    ", "\n    ELSE 'zh' END")
+    Q("q_lang_id",
+      s"""WITH scores AS (
+         |  SELECT doc_id, lang,
+         |    $dictSql,
+         |    CAST(len(regexp_extract_all(text, '$cjk'))
+         |      AS BIGINT) AS s_zh
+         |  FROM documents)
+         |SELECT doc_id, lang, s_en, s_es, s_fr, s_de, s_zh,
+         |  $caseSql AS predicted
+         |FROM scores ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = TextHash.tokens(col("text"))
+      val scoreCols = dicts.map { case (l, ws) =>
+        l -> size(filter(w, t => t.isin(ws: _*))).cast("long")
+      } :+ ("zh" -> size(regexp_extract_all(col("text"),
+        lit(cjk), lit(0))).cast("long"))
+      val withScores = docs(s, d).select(
+        Seq(col("doc_id"), col("lang")) ++
+          scoreCols.map { case (l, c) => c.as(s"s_$l") }: _*)
+      val langs = scoreCols.map(_._1)
+      val predicted = langs.init.foldRight(lit(langs.last)) { (l, els) =>
+        val geAll = langs.filter(_ != l)
+          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+        when(geAll, lit(l)).otherwise(els)
+      }
+      withScores.withColumn("predicted", predicted).orderBy("doc_id")
+    }
+  }
+
+  /** Content fingerprints: full-content md5, a 60-bit integer fingerprint,
+    * and the bottom-1 shingle sketch (min shingle hash — the cheapest
+    * resemblance proxy; two docs sharing it are near-dup candidates). */
+  val qFingerprint: Q = Q("q_fingerprint",
+    s"""WITH words AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+       |SELECT doc_id, md5(text) AS content_md5,
+       |  ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp60,
+       |  list_min(${TextHash.shingleHashesSql("w")}) AS min_shingle_hash
+       |FROM words ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d).select(
+      col("doc_id"), md5(col("text")).as("content_md5"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+        .as("fp60"),
+      array_min(TextHash.shingleHashes(col("text")))
+        .as("min_shingle_hash"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    qTextStats, qTokenCounts, qQualityScore, qLangId, qFingerprint)
+}
