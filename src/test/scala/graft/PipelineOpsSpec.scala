@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextOps
+
+/** LLM-pipeline operators over the sf0.001 fixtures. The DuckDB oracle is
+  * the value-exact gate; these specs assert semantic invariants. */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("ngram jaccard: pairs are symmetric-free, jaccard in (0,1]") {
+    val rows = Dedup.qNgramJaccardPairs.fn(spark, sf001).collect()
+    assert(rows.nonEmpty) // generator plants near-dups
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall { r =>
+      val j = r.getDouble(4); j >= 0.6 && j <= 1.0
+    })
+    // inter <= union
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(3)))
+  }
+
+  test("minhash LSH candidates are a subset of exact-jaccard >= 0.8 pairs") {
+    val exact = Dedup.qNgramJaccardPairs.fn(spark, sf001)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.qMinhashLsh.fn(spark, sf001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty)
+    // banding recall at jaccard >= 0.8 should be high
+    assert(lsh.size >= (exact.size * 0.8).toInt)
+  }
+
+  test("simhash: near-dup pairs have much smaller hamming than random") {
+    val sims = Dedup.qSimhashDocs.fn(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = Dedup.qNgramJaccardPairs.fn(spark, sf001)
+      .filter(col("jaccard") >= 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.nonEmpty)
+    def ham(p: (Long, Long)) =
+      java.lang.Long.bitCount(sims(p._1) ^ sims(p._2))
+    val nearHam = near.toSeq.map(ham)
+    val ids = sims.keys.toSeq.sorted.take(60)
+    val randHam = (for {
+      i <- ids; j <- ids if i < j && !near((i, j))
+    } yield ham((i, j)))
+    // separation: worst near-dup pair below the random-pair median
+    assert(nearHam.max <= 10)
+    assert(nearHam.max < randHam.sorted.apply(randHam.size / 2))
+  }
+
+  test("cosine top-k: ranks are 1..5 per query, cos within [-1,1]") {
+    val rows = Similarity.qCosineTopk.fn(spark, sf001).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.sameElements(1L to 5L))
+      assert(rs.forall(r => math.abs(r.getDouble(3)) <= 1.000001))
+    }
+  }
+
+  test("LSH ANN results appear in the brute-force ranking of same query") {
+    val brute = Similarity.qCosineTopk.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.qAnnLsh.fn(spark, sf001).collect()
+    // every ANN rank-1 hit with cos close to 1 should be brute-force top-5
+    val top1 = ann.filter(r => r.getLong(2) == 1 && r.getDouble(3) > 0.99)
+    top1.foreach { r =>
+      assert(brute.contains((r.getLong(0), r.getLong(1))))
+    }
+  }
+
+  test("text stats: n_chars column matches recomputation") {
+    val bad = TextOps.qTextStats.fn(spark, sf001)
+      .filter(col("n_chars") =!= col("n_chars_calc"))
+    assert(bad.count() == 0)
+  }
+
+  test("quality score is the mean of its four components") {
+    val rows = TextOps.qQualityScore.fn(spark, sf001).collect()
+    rows.foreach { r =>
+      val parts = (1 to 4).map(r.getInt).sum
+      assert(math.abs(r.getDouble(5) - parts / 4.0) < 1e-12)
+    }
+  }
+
+  test("multimodal: stub features via mapPartitions are deterministic") {
+    val a = Multimodal.qMultimodalFeatures.fn(spark, sf001).collect()
+    val b = Multimodal.qMultimodalFeatures.fn(spark, sf001).collect()
+    assert(a.sameElements(b))
+    assert(a.forall(_.getAs[Long]("checksum") < 997))
+    // frame sampling slices cover the payload head
+    val frames = Multimodal.StubDecoder.sampleFrames(
+      Array.tabulate[Byte](100)(_.toByte), frameSize = 10, stride = 2)
+    assert(frames.length == 5 && frames.head.length == 10)
+  }
+}

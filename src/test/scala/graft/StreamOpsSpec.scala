@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.queries.RelOps
+import graft.streaming.StreamOps
+
+/** Streaming surface: the streaming transforms must agree with their
+  * oracle-checked batch twins, and run as real streams on MemoryStream. */
+class StreamOpsSpec extends SparkSpec {
+
+  test("batch sessionize (flatMapGroupsWithState) matches SQL-window twin") {
+    import spark.implicits._
+    val evs = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[StreamOps.Ev]
+    val stateful = StreamOps.sessionize(evs).toDF()
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events").cast("long").as("n_events"))
+    val sqlTwin = RelOps.qSessionize.fn(spark, sf001)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    assert(stateful.count() == sqlTwin.count())
+    assert(stateful.except(sqlTwin).count() == 0)
+    assert(sqlTwin.except(stateful).count() == 0)
+  }
+
+  test("hourlyCounts runs as a real stream over MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val query = StreamOps.hourlyCounts(df).writeStream
+      .format("memory").queryName("hourly_test").outputMode("complete")
+      .start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(
+        (t("2024-01-01 10:05:00"), "click", 1.0),
+        (t("2024-01-01 10:55:00"), "click", 2.5),
+        (t("2024-01-01 11:05:00"), "view", 4.0))
+      query.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .orderBy("hour_start", "event_type").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n") == 2)
+      assert(rows(0).getAs[Long]("value_cents") == 350)
+      assert(rows(1).getAs[String]("event_type") == "view")
+    } finally query.stop()
+  }
+}
