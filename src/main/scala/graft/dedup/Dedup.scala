@@ -34,13 +34,10 @@ object Dedup {
 
   /** Distinct-shingle-hash sets per doc: (doc_id, hs). */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+    addShingleHashes(docs(s, d), col("text")).select("doc_id", "hs")
 
   /** Shared oracle CTE producing the same (doc_id, hs). */
-  private val shingleCte: String =
-    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |sh AS (SELECT doc_id, ${shingleHashesSql("w")} AS hs FROM words)"""
-      .stripMargin
+  private val shingleCte: String = shingleCteSql
 
   /** Exact duplicate stats by content hash (md5 of the raw text). */
   val qDedupExact: Q = Q("q_dedup_exact",
@@ -75,19 +72,32 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = p.doc_b
        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    jaccardPairs(s, d, 0.6)
+  }
+
+  /** Shared exact-Jaccard pair pipeline. Set sizes ride through the
+    * explode as a grouping key, so the shingle pipeline is computed once
+    * per join side (2 scans, no size-lookup joins — the naive
+    * pairs⋈sizes⋈sizes shape recomputes the hashing 4×). */
+  private def jaccardPairs(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
     val sh = shingleSets(s, d)
-    val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sh.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    // explode_outer, NOT explode: InferFiltersFromGenerate would turn
+    // plain explode's implicit `size(hs) > 0` into a pre-projection filter
+    // with the whole hash pipeline inlined several times over (measured
+    // 7× slowdown); the outer variant infers nothing, and the cheap
+    // attribute filter below drops the null rows after generation.
+    val ex = sh.select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+      explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
     val jac = col("inter").cast("double") / col("un")
-    pairs
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("un", col("sa.n") + col("sb.n") - col("inter"))
-      .filter(jac >= 0.6)
+    ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("un"),
         jac.as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -185,8 +195,7 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = p.doc_b
        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
        |ORDER BY removed_doc""".stripMargin) { (s, d) =>
-    qNgramJaccardPairs.fn(s, d)
-      .filter(col("jaccard") >= 0.8)
+    jaccardPairs(s, d, 0.8)
       .select(col("doc_b").as("removed_doc"))
       .distinct()
       .orderBy("removed_doc")

@@ -38,34 +38,71 @@ object TextHash {
   def tokens(text: Column): Column = split(text, " ")
 
   /** 32-bit string hash portable to any engine with md5: first 8 hex chars
-    * as an integer, reduced mod P. */
-  def hash32(s: Column): Column =
+    * as an integer, reduced mod P. Composed-builtins form — the reference
+    * semantics and what the DuckDB oracle mirrors. */
+  def hash32Composed(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long") % P
+
+  /** Same hash via the native codegen expression [[Md5Mod31]]
+    * (value-identical, allocation-light). Requires
+    * [[Md5Mod31.ensureRegistered]] on the session — [[graft.io.Tables.load]]
+    * does this, so every registered query is covered. */
+  def hash32(s: Column): Column = call_function(Md5Mod31.FunctionName, s)
 
   /** The same hash in DuckDB SQL, for oracle generation. */
   def hash32Sql(expr: String): String =
     s"('0x' || substring(md5($expr), 1, 8))::BIGINT % $P"
 
-  /** Word n-gram shingles (default 3) of a token array; empty below n
-    * tokens (sequence(1, k) with k < 1 would count *down* in Spark). */
-  def shingles(words: Column, n: Int = 3): Column =
-    when(size(words) >= n,
-      transform(sequence(lit(1), size(words) - (n - 1)),
-        i => concat_ws(" ", slice(words, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  /** Rolling-combine base for 3-gram shingle fingerprints. */
+  val B = 131L
 
-  /** Distinct hashed shingle set of a text column — the unit of Jaccard
-    * resemblance for all near-dup operators. */
-  def shingleHashes(text: Column, n: Int = 3): Column =
-    array_distinct(transform(shingles(tokens(text), n), s => hash32(s)))
-
-  /** DuckDB twin of [[shingleHashes]] given a text expression; `w` must be
-    * bound as string_split(text, ' ') by the caller's CTE. */
-  def shingleHashesSql(w: String, n: Int = 3): String = {
-    val shingle = (0 until n).map(k => s"$w[i+$k]").mkString(" || ' ' || ")
-    s"list_distinct(list_transform(range(1, len($w) - ${n - 2}), " +
-      s"i -> ${hash32Sql(shingle)}))"
+  /** Distinct 3-gram shingle fingerprints of `textCol`, added as column
+    * `out` via a staged projection pipeline:
+    *
+    *   words = split(text) → th = per-token hash32 → shingle k =
+    *   ((th(k)·B + th(k+1)) mod P · B + th(k+2)) mod P → distinct.
+    *
+    * Per-token md5 runs once (th is its own projection — inlining it into
+    * the 3 lambda references would recompute it; Catalyst's
+    * CollapseProject keeps multiply-referenced non-trivial aliases
+    * staged), and per-shingle work is 4 integer ops — no string concat,
+    * no re-split. All intermediate values < B·P < 2^39: overflow-safe and
+    * reproducible in any 64-bit-integer engine. */
+  def addShingleHashes(df: org.apache.spark.sql.DataFrame, textCol: Column,
+      out: String = "hs"): org.apache.spark.sql.DataFrame = {
+    val th = col("__graft_th")
+    // zip_with over shifted slices, NOT element_at(th, i) indexing: an
+    // optimizer rule that inlines this expression (pushed-down inferred
+    // filters do) would turn per-element indexing into a quadratic
+    // re-evaluation of the token transform; slices keep any inlined copy
+    // a linear pass.
+    val k = size(th) - 2
+    val combined = zip_with(
+      zip_with(slice(th, lit(1), k), slice(th, lit(2), k),
+        (a, b) => (a * B + b) % P),
+      slice(th, lit(3), k), (ab, c) => (ab * B + c) % P)
+    df.withColumn("__graft_th", transform(tokens(textCol), t => hash32(t)))
+      .withColumn(out, array_distinct(
+        when(size(th) >= 3, combined).otherwise(array().cast("array<long>"))))
+      .drop("__graft_th")
   }
+
+  /** DuckDB twin of [[addShingleHashes]]; `w` must be bound as
+    * string_split(text, ' ') by the caller's CTE, and the result expects
+    * an intermediate `th` alias in scope (see [[shingleCteSql]]). */
+  def shingleHashesSql(th: String): String =
+    s"list_distinct(list_transform(range(1, len($th) - 1), " +
+      s"i -> (($th[i]*$B + $th[i+1]) % $P * $B + $th[i+2]) % $P))"
+
+  /** Oracle CTE chain binding tokens → token hashes → shingle set `hs`
+    * for `documents`. */
+  def shingleCteSql: String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w
+       |           FROM documents),
+       |th AS (SELECT doc_id,
+       |        list_transform(w, t -> ${hash32Sql("t")}) AS t FROM words),
+       |sh AS (SELECT doc_id, ${shingleHashesSql("t")} AS hs FROM th)"""
+      .stripMargin
 
   /** MinHash value k (0-based) over a hashed-shingle array column. */
   def minhash(hs: Column, k: Int): Column =

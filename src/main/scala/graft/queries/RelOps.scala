@@ -56,18 +56,23 @@ object RelOps {
   }
 
   /** Outer join + aggregate: units per part including never-sold parts.
-    * Dim side broadcast; the left join preserves unmatched part rows whose
-    * SUM is null → coalesced to 0 in both engines. */
+    * Aggregate-before-join: the fact table collapses to ≤|part| rows
+    * *before* the outer join, so the join moves aggregates, not raw fact
+    * rows — the shape that survives a 100× fact scale-up (joining first
+    * would fan the fact table through the join and cannot broadcast: build
+    *-left on a left-outer join is unsupported). */
   val qOuterJoinAgg: Q = Q("q_outer_join_agg",
     """SELECT p.p_partkey, p.p_name,
       |       COALESCE(CAST(SUM(l.l_quantity) AS BIGINT), 0) AS units
       |FROM part p LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
       |GROUP BY 1, 2 ORDER BY p_partkey""".stripMargin) { (s, d) =>
-    broadcast(Tables.load(s, d, "part"))
-      .join(Tables.load(s, d, "lineitem"),
-        col("p_partkey") === col("l_partkey"), "left")
-      .groupBy("p_partkey", "p_name")
-      .agg(coalesce(sum("l_quantity").cast("long"), lit(0L)).as("units"))
+    val perPart = Tables.load(s, d, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum("l_quantity").cast("long").as("units_raw"))
+    Tables.load(s, d, "part")
+      .join(perPart, col("p_partkey") === col("l_partkey"), "left")
+      .select(col("p_partkey"), col("p_name"),
+        coalesce(col("units_raw"), lit(0L)).as("units"))
       .orderBy("p_partkey")
   }
 

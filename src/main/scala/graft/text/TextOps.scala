@@ -181,18 +181,17 @@ object TextOps {
     * and the bottom-1 shingle sketch (min shingle hash — the cheapest
     * resemblance proxy; two docs sharing it are near-dup candidates). */
   val qFingerprint: Q = Q("q_fingerprint",
-    s"""WITH words AS (
-       |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
-       |SELECT doc_id, md5(text) AS content_md5,
-       |  ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp60,
-       |  list_min(${TextHash.shingleHashesSql("w")}) AS min_shingle_hash
-       |FROM words ORDER BY doc_id""".stripMargin) { (s, d) =>
-    docs(s, d).select(
+    s"""WITH ${TextHash.shingleCteSql}
+       |SELECT d.doc_id, md5(d.text) AS content_md5,
+       |  ('0x' || substring(md5(d.text), 1, 15))::BIGINT AS fp60,
+       |  list_min(sh.hs) AS min_shingle_hash
+       |FROM documents d JOIN sh ON sh.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    TextHash.addShingleHashes(docs(s, d), col("text")).select(
       col("doc_id"), md5(col("text")).as("content_md5"),
       conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
         .as("fp60"),
-      array_min(TextHash.shingleHashes(col("text")))
-        .as("min_shingle_hash"))
+      array_min(col("hs")).as("min_shingle_hash"))
       .orderBy("doc_id")
   }
 
