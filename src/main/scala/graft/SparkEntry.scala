@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Q, RefQueries, RelOps}
+import graft.queries.{FuncOps, Q, RefQueries, RelOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module registers its operators as [[graft.queries.Q]] values
@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** Every registered operator, in registration order. */
   def registry: Seq[Q] =
-    RefQueries.all ++ RelOps.all ++ graft.text.TextOps.all ++
+    RefQueries.all ++ RelOps.all ++ FuncOps.all ++ graft.text.TextOps.all ++
       graft.dedup.Dedup.all ++ graft.similarity.Similarity.all ++
       graft.multimodal.Multimodal.all
 

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Scalar-function surface (SURVEY.md §2.7 — the reference uses only
+  * DATE_TRUNC/TO_CHAR/casts; a real pipeline needs the full kit). Each
+  * query exercises a function family end-to-end against the oracle.
+  * Functions with engine-specific numbering (dayofweek origin, week-of-year
+  * convention) or non-IEEE-pinned math (ln/exp differ in the last ulp
+  * across libm builds) are deliberately excluded from oracle-checked
+  * outputs. */
+object FuncOps {
+
+  /** Date/time functions over order dates. */
+  val qDateFunctions: Q = Q("q_date_functions",
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(day(o_orderdate) AS INT) AS d,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val od = col("o_orderdate")
+    Tables.load(s, d, "orders").select(
+      col("o_orderkey"),
+      year(od).as("y"), month(od).as("m"), dayofmonth(od).as("d"),
+      quarter(od).as("q"),
+      date_add(to_date(od), 30).as("plus30"),
+      last_day(to_date(od)).as("month_end"),
+      to_date(date_trunc("month", od)).as("month_start"))
+      .orderBy("o_orderkey")
+  }
+
+  /** String functions over part names. */
+  val qStringFunctions: Q = Q("q_string_functions",
+    """SELECT p_partkey,
+      |  upper(p_name) AS up, lower(p_brand) AS lo,
+      |  CAST(length(p_name) AS INT) AS len,
+      |  substring(p_name, 1, 5) AS pre5,
+      |  replace(p_type, ' ', '_') AS type_snake,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+      |  reverse(p_brand) AS brand_rev,
+      |  CAST(strpos(p_name, 'a') AS INT) AS first_a,
+      |  p_brand || ':' || p_type AS brand_type
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
+      length(col("p_name")).as("len"),
+      substring(col("p_name"), 1, 5).as("pre5"),
+      regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+      reverse(col("p_brand")).as("brand_rev"),
+      instr(col("p_name"), "a").as("first_a"),
+      concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+  }
+
+  /** Array / higher-order functions over document token arrays. Array
+    * outputs are projected to scalars (sorted-first, join-prefix) so the
+    * parquet/duckdb result comparison stays representation-independent. */
+  val qArrayFunctions: Q = Q("q_array_functions",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(w) AS INT) AS n_tokens,
+      |  list_sort(w)[1] AS first_sorted,
+      |  list_contains(w, 'the') AS has_the,
+      |  COALESCE(CAST(list_position(w, 'the') AS INT), 0) AS pos_the,
+      |  array_to_string(w[1:5], '-') AS head_joined,
+      |  CAST(len(list_filter(w, t -> length(t) > 5)) AS INT) AS n_long,
+      |  CAST(list_sort(list_transform(w, t -> length(t)))[1] AS INT)
+      |    AS min_len
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = split(col("text"), " ")
+    Tables.load(s, d, "documents")
+      .withColumn("w", w)
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        sort_array(col("w")).getItem(0).as("first_sorted"),
+        array_contains(col("w"), "the").as("has_the"),
+        array_position(col("w"), "the").cast("int").as("pos_the"),
+        array_join(slice(col("w"), 1, 5), "-").as("head_joined"),
+        size(filter(col("w"), t => length(t) > 5)).as("n_long"),
+        array_min(transform(col("w"), t => length(t))).as("min_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Conditional / null-handling functions over integer cents. */
+  val qConditionalFunctions: Q = Q("q_conditional_functions",
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_returnflag = 'R' THEN 'returned'
+      |       WHEN l_linestatus = 'O' THEN 'open' ELSE 'done' END AS status,
+      |  COALESCE(NULLIF(l_returnflag, 'N'), '-') AS flag_or_dash,
+      |  GREATEST(CAST(ROUND(l_discount*100) AS BIGINT),
+      |           CAST(ROUND(l_tax*100) AS BIGINT)) AS max_rate_pct,
+      |  LEAST(CAST(l_quantity AS BIGINT), 10) AS qty_capped,
+      |  CAST(ROUND(l_extendedprice*100) AS BIGINT) % 100 AS cents_part
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+    (s, d) =>
+      def cents(c: org.apache.spark.sql.Column) =
+        round(c * 100, 0).cast("long")
+      Tables.load(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") === "R", "returned")
+          .when(col("l_linestatus") === "O", "open")
+          .otherwise("done").as("status"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("-"))
+          .as("flag_or_dash"),
+        greatest(cents(col("l_discount")), cents(col("l_tax")))
+          .as("max_rate_pct"),
+        least(col("l_quantity").cast("long"), lit(10L)).as("qty_capped"),
+        (cents(col("l_extendedprice")) % 100).as("cents_part"))
+        .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Math functions with IEEE-pinned results (sqrt is correctly rounded;
+    * abs/ceil/floor/sign are exact). */
+  val qMathFunctions: Q = Q("q_math_functions",
+    """SELECT o_orderkey,
+      |  abs(o_totalprice - 100000.0) AS dist,
+      |  CAST(ceil(o_totalprice) AS BIGINT) AS up,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS down,
+      |  sqrt(o_totalprice) AS root,
+      |  CAST(sign(o_totalprice - 100000.0) AS INT) AS side
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val p = col("o_totalprice")
+    Tables.load(s, d, "orders").select(
+      col("o_orderkey"),
+      abs(p - 100000.0).as("dist"),
+      ceil(p).as("up"), floor(p).as("down"),
+      sqrt(p).as("root"),
+      signum(p - 100000.0).cast("int").as("side"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Approximate distinct (HLL++). Engines implement different sketches,
+    * so there is no value oracle — the driver records a rows-only check;
+    * the spec asserts the estimate is within HLL error of exact. */
+  val qApproxDistinct: Q = Q.noOracle("q_approx_distinct") { (s, d) =>
+    Tables.load(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(
+    qDateFunctions, qStringFunctions, qArrayFunctions,
+    qConditionalFunctions, qMathFunctions, qApproxDistinct)
+}
