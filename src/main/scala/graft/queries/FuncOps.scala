@@ -150,7 +150,32 @@ object FuncOps {
       .orderBy("l_returnflag")
   }
 
+  /** Exact interpolated percentiles over integer cents at quarter points:
+    * every intermediate ((n−1)·p, a·(1−f)+b·f) is exactly representable in
+    * binary for integer inputs and p ∈ {.25, .5, .75}, so Spark's
+    * `percentile` and DuckDB's `quantile_cont` agree bit-for-bit — no
+    * approximation sketch involved. */
+  val qPercentiles: Q = Q("q_percentiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.25)
+      |    AS p25,
+      |  quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.50)
+      |    AS p50,
+      |  quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.75)
+      |    AS p75
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      Tables.load(s, d, "lineitem")
+        .withColumn("cents", cents)
+        .groupBy("l_returnflag")
+        .agg(percentile(col("cents"), lit(0.25)).as("p25"),
+          percentile(col("cents"), lit(0.50)).as("p50"),
+          percentile(col("cents"), lit(0.75)).as("p75"))
+        .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     qDateFunctions, qStringFunctions, qArrayFunctions,
-    qConditionalFunctions, qMathFunctions, qApproxDistinct)
+    qConditionalFunctions, qMathFunctions, qApproxDistinct, qPercentiles)
 }

@@ -134,16 +134,18 @@ object RefQueries {
   }
 
   /** S3 — COUNT(*) per expected table (reference src/job.py:114-129).
-    * Counts run distributed; only the 10-row summary is assembled on the
-    * driver. */
+    * One unioned job (count stages run concurrently across tables), not a
+    * driver loop of sequential count() actions. */
   val qTableCounts: Q = Q("q_table_counts",
     Schemas.testTables.sorted
       .map(t => s"SELECT '$t' AS table_name, COUNT(*) AS n_rows FROM $t")
       .mkString("", " UNION ALL ", " ORDER BY table_name")) { (s, d) =>
-    import s.implicits._
-    val counts = Schemas.testTables.sorted
-      .map(t => t -> Tables.load(s, d, t).count())
-    counts.toDF("table_name", "n_rows").orderBy("table_name")
+    Schemas.testTables.sorted
+      .map(t => Tables.load(s, d, t)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows")))
+      .reduce(_ unionAll _)
+      .orderBy("table_name")
   }
 
   /** F3/D2 — permissive 'yyyy/MM/dd' string→date cast round-trip

@@ -27,6 +27,14 @@ object StreamOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("value_cents"))
 
+  /** Streaming exact dedup: drop replayed event ids, with state bounded
+    * by the watermark (an at-least-once source made exactly-once). The
+    * batch twin is a plain dropDuplicates. */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
 
   final case class SessionState(
