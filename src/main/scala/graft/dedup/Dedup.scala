@@ -226,31 +226,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SimHash chunk layout for banded candidate generation: 6 chunks
+    * (6+6+6+6+4+4 bits = 32). By pigeonhole, any pair at Hamming distance
+    * ≤ 5 leaves at least one chunk untouched, so the chunk equi-join has
+    * FULL recall at the ≤5 threshold — identical output to the quadratic
+    * all-pairs scan, but linear-shaped (shuffle on chunk value). */
+  private val simhashChunks: Seq[(Int, Int)] = // (offset, bits)
+    Seq((0, 6), (6, 6), (12, 6), (18, 6), (24, 4), (28, 4))
+
   /** SimHash near-dup pairs: Hamming distance ≤ 5 of the 32-bit
-    * signatures. The all-pairs scan is quadratic — honest only at modest
-    * corpus sizes; the scale path is banding signature chunks exactly like
-    * [[qMinhashLsh]] (pigeonhole: distance ≤ 5 over 4 chunks ⇒ one exact
-    * chunk match would need distance ≤ 3·chunks). */
-  val qSimhashPairs: Q = Q("q_simhash_pairs",
-    s"""WITH $shingleCte,
-       |sims AS (
-       |  SELECT doc_id, CAST(${simhashSql("hs")} AS BIGINT) AS simhash
-       |  FROM sh)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
-       |         AS hamming
-       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
-       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val sims = shingleSets(s, d)
-      .select(col("doc_id"), simhash32(col("hs")).as("simhash"))
-    val ham =
-      bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
-    sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .filter(ham <= 5)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        ham.as("hamming"))
-      .orderBy("doc_a", "doc_b")
+    * signatures. Candidates come from the chunk-band equi-join (exact
+    * recall per [[simhashChunks]]); no cross join at any corpus size. */
+  val qSimhashPairs: Q = {
+    val chunkSelects = simhashChunks.zipWithIndex.map {
+      case ((off, bits), i) =>
+        s"SELECT doc_id, simhash, $i AS chunk, " +
+          s"(simhash >> $off) & ${(1 << bits) - 1} AS ckey FROM sims"
+    }.mkString("\n  UNION ALL ")
+    Q("q_simhash_pairs",
+      s"""WITH $shingleCte,
+         |sims AS (
+         |  SELECT doc_id, CAST(${simhashSql("hs")} AS BIGINT) AS simhash
+         |  FROM sh),
+         |chunks AS (
+         |  $chunkSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+         |         b.doc_id AS doc_b, b.simhash AS sim_b
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.ckey = b.ckey
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sim_a, sim_b)) <= 5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sims = shingleSets(s, d)
+        .select(col("doc_id"), simhash32(col("hs")).as("simhash"))
+      val chunkStructs = array(simhashChunks.zipWithIndex.map {
+        case ((off, bits), i) =>
+          struct(lit(i).as("chunk"),
+            shiftright(col("simhash"), off).bitwiseAND(lit((1L << bits) - 1))
+              .as("ckey"))
+      }: _*)
+      val chunks = sims
+        .select(col("doc_id"), col("simhash"), explode(chunkStructs).as("c"))
+        .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"),
+          col("c.ckey").as("ckey"))
+      val cand = chunks.as("a").join(chunks.as("b"),
+          col("a.chunk") === col("b.chunk") &&
+            col("a.ckey") === col("b.ckey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
+          col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
+        .distinct()
+      val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+      cand.filter(ham <= 5)
+        .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }
   }
 
   val all: Seq[Q] = Seq(

@@ -69,4 +69,23 @@ object Tables {
     * format (src/job.py:272-279). */
   def report(df: DataFrame, rows: Int = 10): Unit =
     df.show(rows, truncate = false)
+
+  /** CSV source/sink pair with explicit schema on read — schema inference
+    * is a full extra pass at 100 TB, so it is opt-in never default. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def loadCsv(spark: SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** JSON-lines source/sink pair (same explicit-schema posture). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def loadJson(spark: SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    spark.read.schema(schema).json(path)
 }
