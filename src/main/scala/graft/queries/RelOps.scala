@@ -374,9 +374,40 @@ object RelOps {
       .orderBy("user_id")
   }
 
+  /** The custom heap-based TopKPerKey operator (graft.plans) under the
+    * driver's oracle gate: same result as the window spelling, different
+    * physical plan (no per-partition sort). */
+  val qTopkPerKeyCustom: Q = Q("q_topk_per_key_custom",
+    """SELECT nation_name, supplier_name, units FROM (
+      |  SELECT n.n_name AS nation_name, s.s_name AS supplier_name,
+      |         CAST(SUM(l.l_quantity) AS BIGINT) AS units,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY n.n_name
+      |           ORDER BY CAST(SUM(l.l_quantity) AS BIGINT) DESC, s.s_name)
+      |           AS rnk
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2) t
+      |WHERE rnk <= 3
+      |ORDER BY nation_name, units DESC, supplier_name""".stripMargin) {
+    (s, d) =>
+      val agg = Tables.load(s, d, "lineitem")
+        .join(broadcast(Tables.load(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.load(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation_name"),
+          col("s_name").as("supplier_name"))
+        .agg(sum("l_quantity").cast("long").as("units"))
+      graft.plans.TopKPerKey.topKPerKey(agg, Seq("nation_name"),
+        Seq("units" -> false, "supplier_name" -> true), 3)
+        .orderBy(asc("nation_name"), desc("units"), asc("supplier_name"))
+  }
+
   val all: Seq[Q] = Seq(
     qSemiJoin, qAntiJoin, qOuterJoinAgg, qUnionAllNames,
     qSetIntersectExcept, qWindowRank, qWindowRunning, qWindowLagDelta,
     qRollup, qCube, qDistinctAgg, qTopkOrders, qJsonExtract, qSessionize,
-    qTumblingHour, qAsofPriorClick, qPivotConditional)
+    qTumblingHour, qAsofPriorClick, qPivotConditional, qTopkPerKeyCustom)
 }
