@@ -27,10 +27,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = names.map { n =>
-      val t0 = System.nanoTime()
-      try fns(n)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      n -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try fns(n)(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      n -> times(1) // median of 3 — stable against scheduler noise
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
