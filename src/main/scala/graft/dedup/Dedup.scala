@@ -287,7 +287,74 @@ object Dedup {
     }
   }
 
+  /** Near-dup clusters via connected components over the ≥0.8-Jaccard
+    * pair graph: smallest-reachable-doc_id labeling by iterative label
+    * propagation (each round is one join + min-aggregate; rounds ≈ graph
+    * diameter, driver only checks a convergence count — the standard
+    * large-scale CC shape). Oracle: transitive closure by recursive CTE.
+    * Output: (doc_id, component, is_kept) for every doc in some pair. */
+  val qDedupComponents: Q = Q("q_dedup_components",
+    s"""WITH RECURSIVE $shingleCte,
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+       |         CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb
+       |  FROM (SELECT e.doc_id, e.h, len(s.hs) AS n
+       |        FROM ex e JOIN sh s ON s.doc_id = e.doc_id) a
+       |  JOIN (SELECT e.doc_id, e.h, len(s.hs) AS n
+       |        FROM ex e JOIN sh s ON s.doc_id = e.doc_id) b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 4, 5),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM p
+       |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(node, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.reach FROM walk w JOIN edges e ON e.src = w.node)
+       |SELECT node AS doc_id, MIN(reach) AS component,
+       |       node = MIN(reach) AS is_kept
+       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = jaccardPairs(s, d, 0.8).select("doc_a", "doc_b")
+    // materialize the (small) edge list once — every propagation round
+    // joins against it, and unchecked lineage would re-run the whole
+    // Jaccard pipeline per round
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node"), col("src").as("label"))
+      .distinct()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val neighborMin = edges
+        .join(labels, col("src") === col("node"))
+        .groupBy(col("dst").as("n2"))
+        .agg(min("label").as("nlabel"))
+      val next = labels.join(neighborMin, col("node") === col("n2"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+      val changed = next.as("a")
+        .join(labels.as("b"), col("a.node") === col("b.node"))
+        .filter(col("a.label") =!= col("b.label")).count()
+      // materialize the new labels to keep the loop's lineage flat
+      labels = next.localCheckpoint(true)
+      converged = changed == 0
+      rounds += 1
+    }
+    labels
+      .select(col("node").as("doc_id"), col("label").as("component"),
+        (col("node") === col("label")).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccardPairs, qMinhashLsh, qDedupNearRemoved,
-    qSimhashDocs, qSimhashPairs)
+    qSimhashDocs, qSimhashPairs, qDedupComponents)
 }

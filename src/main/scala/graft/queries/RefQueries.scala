@@ -133,6 +133,26 @@ object RefQueries {
       count(when(!bad, 1)).as("rows_out"))
   }
 
+  /** Curation D3/D4 — the quarantined side with machine-readable reasons
+    * (what the reference backs up then DELETEs; empty on this data, which
+    * is itself verified). */
+  val qCurateQuarantine: Q = Q("q_curate_quarantine",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  CASE WHEN l_quantity IS NULL THEN 'null'
+      |       WHEN l_quantity <= 0 THEN 'nonpositive'
+      |       ELSE 'overflow' END AS reason
+      |FROM lineitem
+      |WHERE l_quantity IS NULL OR l_quantity <= 0 OR l_quantity > 1000000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Curation.curate(li(s, d), measureColumn = Some("l_quantity"))
+      .quarantined
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        when(col("l_quantity").isNull, "null")
+          .when(col("l_quantity") <= 0, "nonpositive")
+          .otherwise("overflow").as("reason"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** S3 — COUNT(*) per expected table (reference src/job.py:114-129).
     * One unioned job (count stages run concurrently across tables), not a
     * driver loop of sequential count() actions. */
@@ -195,6 +215,6 @@ object RefQueries {
 
   val all: Seq[Q] = Seq(
     q1WeeklyUnits, q2TopProducts, q3TopSuppliers, q4WeekdaySeasonality,
-    qCurateClean, qCurateStats, qTableCounts, qDateCastRoundtrip,
-    qNumericColumns)
+    qCurateClean, qCurateStats, qCurateQuarantine, qTableCounts,
+    qDateCastRoundtrip, qNumericColumns)
 }

@@ -195,6 +195,63 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The full corpus-cleaning pipeline composed end-to-end: quality
+    * filter (score ≥ 0.75) ∖ near-dup removals (Jaccard ≥ 0.8 keep-first)
+    * → per-lang survivor stats. The shape of a production training-data
+    * prep job: each stage is the oracle-checked operator above, chained.
+    */
+  val qCorpusClean: Q = Q("q_corpus_clean",
+    s"""WITH ${graft.functions.TextHash.shingleCteSql},
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+       |         CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb
+       |  FROM (SELECT e.doc_id, e.h, len(s.hs) AS n
+       |        FROM ex e JOIN sh s ON s.doc_id = e.doc_id) a
+       |  JOIN (SELECT e.doc_id, e.h, len(s.hs) AS n
+       |        FROM ex e JOIN sh s ON s.doc_id = e.doc_id) b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 4, 5),
+       |removed AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM p
+       |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+       |quality AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN length(text) BETWEEN 100 AND 1000 THEN 1 ELSE 0 END
+       |     + CASE WHEN CAST(list_sum(list_transform(string_split(text,' '),
+       |              t -> length(t))) AS DOUBLE)
+       |              / len(string_split(text, ' '))
+       |            BETWEEN 3.0 AND 8.0 THEN 1 ELSE 0 END
+       |     + CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+       |              t -> t IN $stopSqlList)) AS DOUBLE)
+       |              / len(string_split(text, ' ')) > 0.02
+       |            THEN 1 ELSE 0 END
+       |     + CASE WHEN CAST(len(regexp_extract_all(text, '[^a-z0-9 ]'))
+       |              AS DOUBLE) / length(text) < 0.05
+       |            THEN 1 ELSE 0 END) / 4.0 AS quality
+       |  FROM documents)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(len(string_split(d.text, ' ')) AS BIGINT))
+       |       AS BIGINT) AS total_tokens
+       |FROM documents d
+       |JOIN quality q ON q.doc_id = d.doc_id
+       |WHERE q.quality >= 0.75
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM removed)
+       |GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
+    val scored = qQualityScore.fn(s, d).select("doc_id", "quality")
+    val removed = graft.dedup.Dedup.qDedupNearRemoved.fn(s, d)
+      .select(col("removed_doc").as("doc_id"))
+    docs(s, d)
+      .join(scored.filter(col("quality") >= 0.75), "doc_id")
+      .join(removed, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextHash.tokens(col("text"))).cast("long"))
+          .as("total_tokens"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(
-    qTextStats, qTokenCounts, qQualityScore, qLangId, qFingerprint)
+    qTextStats, qTokenCounts, qQualityScore, qLangId, qFingerprint,
+    qCorpusClean)
 }
