@@ -70,6 +70,33 @@ object Tables {
   def report(df: DataFrame, rows: Int = 10): Unit =
     df.show(rows, truncate = false)
 
+  /** SQL-script runner (S1, reference src/job.py:46-98): split on ';',
+    * drop blank statements (the reference's data ends in a stray ';;'
+    * this tolerates), run each against the session with per-statement
+    * failure isolation — a failed statement is recorded, later ones still
+    * run. Comments ride along inside statements, as in the reference. */
+  def runSqlScript(spark: SparkSession,
+      script: String): Seq[(String, scala.util.Try[DataFrame])] =
+    script.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map { stmt =>
+      stmt -> scala.util.Try(spark.sql(stmt))
+    }
+
+  /** Whole-dataset dump (S5, reference sql/backup.sh): every table as
+    * parquet under one timestamped directory — the pg_dump|gzip|s3 cp
+    * equivalent, but parallel and columnar per table. */
+  def backupAll(spark: SparkSession, sfDir: String, names: Seq[String],
+      baseDir: String,
+      clock: java.time.Clock = java.time.Clock.systemUTC()): String = {
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now(clock))
+    val root = s"$baseDir/dump_$stamp"
+    names.foreach { n =>
+      load(spark, sfDir, n).write.mode("overwrite").parquet(s"$root/$n")
+    }
+    root
+  }
+
   /** CSV source/sink pair with explicit schema on read — schema inference
     * is a full extra pass at 100 TB, so it is opt-in never default. */
   def writeCsv(df: DataFrame, path: String): Unit =
