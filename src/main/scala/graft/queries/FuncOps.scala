@@ -175,7 +175,61 @@ object FuncOps {
         .orderBy("l_returnflag")
   }
 
+  /** Regex predicate on the hot path (P3 family): RE2 (DuckDB) and Java
+    * regex agree on this restricted syntax — anchored alternation + char
+    * classes, no lookaround. */
+  val qRegexFilter: Q = Q("q_regex_filter",
+    """SELECT event_id, user_id, event_type,
+      |       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+      |FROM events
+      |WHERE regexp_matches(event_type, '^(purchase|signup)$')
+      |  AND value > 100
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "events")
+      .filter(col("event_type").rlike("^(purchase|signup)$") &&
+        col("value") > 100)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("value_cents"))
+      .orderBy("event_id")
+  }
+
+  /** Aggregate statistics kit: min/max exact; avg as an explicit
+    * sum-cents/count division (single double op — deterministic; a double
+    * AVG's accumulation order is not). Stddev is excluded by design. */
+  val qAggStats: Q = Q("q_agg_stats",
+    """SELECT event_type,
+      |  CAST(MIN(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(MAX(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS max_cents,
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE) / COUNT(*)
+      |    AS avg_cents,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    val cents = round(col("value") * 100, 0).cast("long")
+    Tables.load(s, d, "events")
+      .withColumn("cents", cents)
+      .groupBy("event_type")
+      .agg(min("cents").as("min_cents"), max("cents").as("max_cents"),
+        (sum("cents").cast("double") / count(lit(1))).as("avg_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** Fixed-width histogram via integer bucket arithmetic (the
+    * deterministic analog of width_bucket). */
+  val qHistogram: Q = Q("q_histogram",
+    """SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+      |       CAST(FLOOR(value / 50.0) AS BIGINT) * 50 AS bucket_low,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY bucket""".stripMargin) { (s, d) =>
+    val bucket = floor(col("value") / 50.0).cast("long")
+    Tables.load(s, d, "events")
+      .groupBy(bucket.as("bucket"), (bucket * 50).as("bucket_low"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(
     qDateFunctions, qStringFunctions, qArrayFunctions,
-    qConditionalFunctions, qMathFunctions, qApproxDistinct, qPercentiles)
+    qConditionalFunctions, qMathFunctions, qApproxDistinct, qPercentiles,
+    qRegexFilter, qAggStats, qHistogram)
 }
