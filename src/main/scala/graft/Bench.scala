@@ -20,7 +20,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.registry.map(_.name)
+    val names =
+      if (args.nonEmpty) SparkEntry.registry.map(_.name).filter(args.contains)
+      else SparkEntry.registry.map(_.name)
     val fns = SparkEntry.queries
     names.foreach { n => // warmup
       try fns(n)(spark, sfDir).count()

@@ -91,7 +91,10 @@ object Dedup {
       explode_outer(col("hs")).as("h"))
       .filter(col("h").isNotNull)
     val jac = col("inter").cast("double") / col("un")
-    ex.as("a").join(ex.as("b"),
+    // shuffle-hash, not broadcast: the two sides are the same subtree, so
+    // shuffling both on h lets AQE reuse one exchange — the shingle
+    // pipeline runs once; a broadcast join would compute it per side
+    ex.as("a").hint("shuffle_hash").join(ex.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
@@ -156,7 +159,8 @@ object Dedup {
         .select(col("doc_id"), explode(bandStructs).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"),
           col("bk.key").as("key"))
-      val cand = bands.as("a").join(bands.as("b"),
+      val cand = bands.as("a").hint("shuffle_hash")
+        .join(bands.as("b").hint("shuffle_hash"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -273,7 +277,8 @@ object Dedup {
         .select(col("doc_id"), col("simhash"), explode(chunkStructs).as("c"))
         .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"),
           col("c.ckey").as("ckey"))
-      val cand = chunks.as("a").join(chunks.as("b"),
+      val cand = chunks.as("a").hint("shuffle_hash")
+        .join(chunks.as("b").hint("shuffle_hash"),
           col("a.chunk") === col("b.chunk") &&
             col("a.ckey") === col("b.ckey") &&
             col("a.doc_id") < col("b.doc_id"))
