@@ -354,6 +354,36 @@ object RelOps {
       .orderBy("user_id", "purchase_event_id")
   }
 
+  /** As-of join with a tolerance bound: like [[qAsofPriorClick]] but the
+    * match expires after 60 minutes — the point-in-time lookup shape of
+    * feature stores ("latest signal no older than X"). */
+  val qAsofTolerance: Q = Q("q_asof_tolerance",
+    """SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts,
+      |  CASE WHEN epoch_us(ts) - epoch_us(prior_click_ts) <= 3600000000
+      |       THEN prior_click_ts END AS click_within_1h
+      |FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prior_click_ts
+      |  FROM events) t
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, purchase_event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = last(when(col("event_type") === "click", col("ts")),
+      ignoreNulls = true).over(w)
+    Tables.load(s, d, "events")
+      .withColumn("prior_click_ts", prior)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("ts").as("purchase_ts"),
+        when(unix_micros(col("ts")) - unix_micros(col("prior_click_ts"))
+          <= 3600000000L, col("prior_click_ts")).as("click_within_1h"))
+      .orderBy("user_id", "purchase_event_id")
+  }
+
   /** Manual pivot via conditional aggregation (one pass, no shuffle per
     * pivot column). */
   val qPivotConditional: Q = Q("q_pivot_conditional",
@@ -409,5 +439,6 @@ object RelOps {
     qSemiJoin, qAntiJoin, qOuterJoinAgg, qUnionAllNames,
     qSetIntersectExcept, qWindowRank, qWindowRunning, qWindowLagDelta,
     qRollup, qCube, qDistinctAgg, qTopkOrders, qJsonExtract, qSessionize,
-    qTumblingHour, qAsofPriorClick, qPivotConditional, qTopkPerKeyCustom)
+    qTumblingHour, qAsofPriorClick, qAsofTolerance, qPivotConditional,
+    qTopkPerKeyCustom)
 }

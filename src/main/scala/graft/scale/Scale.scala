@@ -36,6 +36,17 @@ object Scale {
       .drop("__salt")
   }
 
+  /** Bucketed table layout: pre-shuffle the data once at write time so
+    * every later equi-join/aggregation on the bucket key is co-located —
+    * repeated joins pay zero exchanges (the dominant cost at 100 TB).
+    * Bucket counts must match across tables meant to join. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Date-partitioned parquet layout: the 100 TB posture for fact tables —
     * writes land under `path/<partitionCol>=.../part-*.parquet` so date
     * filters prune whole directories (dynamic partition pruning applies to

@@ -63,6 +63,23 @@ class ScaleSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketed tables co-locate the join: no exchange in the plan") {
+    val orders = Tables.load(spark, sf001, "orders")
+    val customer = Tables.load(spark, sf001, "customer")
+    Scale.writeBucketed(orders, "b_orders", "o_custkey", buckets = 8)
+    Scale.writeBucketed(customer.withColumnRenamed("c_custkey", "custkey"),
+      "b_customer", "custkey", buckets = 8)
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer"),
+        col("o_custkey") === col("custkey"))
+      .groupBy("custkey").agg(sum("o_totalprice").as("s"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+  }
+
   test("GraftExtensions injects the native hash function") {
     // a brand-new session classloader isn't practical here; verify the
     // injector wiring by applying it to the active session's extensions
