@@ -146,6 +146,60 @@ object Similarity {
         .orderBy("query_id", "rnk")
   }
 
+  /** Multi-probe LSH ANN: each query also probes the J buckets at
+    * Hamming distance 1 from its own (flip one sign bit) — the standard
+    * recall fix for hyperplane LSH (Lv et al., VLDB'07 multi-probe):
+    * near-neighbors that land just across one hyperplane are recovered
+    * for J extra equi-join lookups instead of a wider scan. Candidates
+    * stay an equi-join on bucket id. */
+  val qAnnMultiprobe: Q = {
+    val probesSql = (Seq("bucket") ++
+      (0 until Planes).map(j => s"xor(bucket, ${1L << j})"))
+      .mkString("[", ", ", "]")
+    Q("q_ann_multiprobe",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |             CAST(${lshBucketSql("v")} AS BIGINT) AS bucket
+         |      FROM e),
+         |q AS (SELECT vec_id, v, nrm, unnest($probesSql) AS probe
+         |      FROM b WHERE $QuerySet),
+         |scored AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM q JOIN b c ON c.bucket = q.probe AND c.vec_id != q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim
+         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) {
+      (s, d) =>
+        val b = withNorm(emb(s, d)).withColumn("bucket", lshBucket(col("v")))
+        val probes = array((Seq(col("bucket")) ++
+          (0 until Planes).map(j =>
+            col("bucket").bitwiseXOR(lit(1L << j)))): _*)
+        val q = b.filter(expr(QuerySet))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"), explode(probes).as("probe"))
+        val scored = q.join(b,
+            col("bucket") === col("probe") &&
+              col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+              .as("cos"))
+          .distinct()
+        val w = Window.partitionBy("query_id")
+          .orderBy(desc("cos"), asc("neighbor_id"))
+        scored.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            round(col("cos"), 6).as("cos_sim"))
+          .orderBy("query_id", "rnk")
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs (the embedding analog of
     * MinHash dedup): pairs bucketed by LSH, kept when cosine ≥ 0.95.
     * Candidate generation is the bucket equi-join — sub-linear, same
@@ -173,5 +227,5 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  val all: Seq[Q] = Seq(qCosineTopk, qAnnLsh, qEmbedNearDup)
+  val all: Seq[Q] = Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qEmbedNearDup)
 }
