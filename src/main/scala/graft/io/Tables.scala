@@ -23,6 +23,7 @@ object Tables {
     * epoch-nanos exceed double's 2^53 exact range). */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.functions.Md5Mod31.ensureRegistered(spark)
+    graft.functions.GraftDot.ensureRegistered(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftDot
 import graft.io.Tables
 import graft.queries.Q
 
@@ -14,27 +15,43 @@ import graft.queries.Q
   *   - brute-force cosine top-k — the exact baseline; O(queries × corpus)
   *     but embarrassingly parallel (each partition scores its slice, then
   *     a per-query top-k heap merges — TakeOrderedAndProject shape);
-  *   - random-hyperplane LSH (Charikar 2002 SimHash for angles): J=8 fixed
-  *     ±1 hyperplanes bucket vectors by sign pattern; queries only score
-  *     their own bucket — the sub-linear scale path (equi-join on bucket,
-  *     never a cross join).
+  *   - BANDED random-hyperplane LSH (Charikar 2002 sign hashing, banded
+  *     OR-construction per Leskovec/Rajaraman/Ullman MMDS ch.3): B bands
+  *     of R ±1 hyperplanes each; a vector gets B band keys (one R-bit sign
+  *     pattern per band) and two vectors are candidates when ANY band key
+  *     matches — an equi-join on (band, key), never a cross join.
+  *
+  * Why banded (round-2 change): a single R-bit table is both a recall
+  * ceiling (near-neighbors split by one plane are lost — p^R at angle
+  * θ, p = 1−θ/π) and a scale ceiling (2^R buckets total → in-bucket work
+  * grows O(N²/2^R)). The OR-construction lifts recall to 1−(1−p^R)^B
+  * (≈0.89 vs ≈0.43 at cos 0.95 with R=8, B=4) and, because R is the knob
+  * that sizes the per-band bucket space, scaling to a larger corpus is
+  * R ≈ log2(N / target-bucket-size) — more planes, not more in-bucket
+  * work. Band 0's planes are identical to the round-1 single table, so
+  * banded candidates are a strict superset of the old ones.
   *
   * Determinism: all dot products are sequential left-folds over dim order
-  * in double precision, which both Spark (`aggregate`) and DuckDB
-  * (`list_dot_product`, verified sequential) compute bit-identically. The
-  * hyperplanes are fixed integer-derived ±1 patterns, embedded as literals
-  * in both engines.
+  * in double precision — [[GraftDot]] (codegen), the HOF composed form,
+  * and DuckDB's `list_dot_product` all accumulate in that order, so the
+  * engines agree bit-for-bit. The hyperplanes are fixed integer-derived
+  * ±1 patterns, embedded as literals in both engines.
   */
 object Similarity {
 
-  /** Number of hyperplanes (bucket bits) for the LSH path. */
-  val Planes = 8
+  /** LSH banding shape: Bands × PlanesPerBand total hyperplanes.
+    * PlanesPerBand is the scale knob (per-band bucket space = 2^R);
+    * Bands is the recall knob (OR-construction). */
+  val Bands = 4
+  val PlanesPerBand = 8
   val Dim = 64
 
   /** Deterministic ±1 hyperplane weights: sign from an LCG over the flat
-    * plane×dim index (no RNG state — same literals in both engines). */
+    * plane×dim index (no RNG state — same literals in both engines).
+    * Plane j of band b is flat index b*PlanesPerBand + r; flat indices
+    * 0..7 are exactly the round-1 single-table planes. */
   val planeWeights: Seq[Seq[Double]] =
-    (0 until Planes).map { j =>
+    (0 until Bands * PlanesPerBand).map { j =>
       (0 until Dim).map { i =>
         val x = (1103515245L * (j * Dim + i) + 12345L) / 65536L
         if (x % 2 == 0) 1.0 else -1.0
@@ -46,8 +63,14 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
-  /** Sequential dot product of two double-array columns. */
+  /** Sequential dot product of two double-array columns — the native
+    * codegen expression ([[GraftDot]]); value-identical to [[dotHof]]. */
   def dot(a: Column, b: Column): Column =
+    call_function(GraftDot.FunctionName, a, b)
+
+  /** The composed higher-order-function form (interpreted lambda per
+    * element — kept as the reference semantics for the property spec). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   private def withNorm(df: DataFrame): DataFrame =
@@ -90,35 +113,63 @@ object Similarity {
         .orderBy("query_id", "rnk")
   }
 
-  /** Sign-bucket of a vector under the fixed hyperplanes. */
-  def lshBucket(v: Column): Column =
-    (0 until Planes).map { j =>
-      val w = array(planeWeights(j).map(lit): _*)
-      when(dot(v, w) > 0, lit(1L << j)).otherwise(lit(0L))
+  /** R-bit sign key of a vector under band `b`'s hyperplanes. */
+  def bandKey(v: Column, b: Int): Column =
+    (0 until PlanesPerBand).map { r =>
+      val w = array(planeWeights(b * PlanesPerBand + r).map(lit): _*)
+      when(dot(v, w) > 0, lit(1L << r)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def lshBucketSql(v: String): String =
-    (0 until Planes).map { j =>
-      val lits = planeWeights(j).mkString("[", ", ", "]")
+  private def bandKeySql(v: String, b: Int): String =
+    (0 until PlanesPerBand).map { r =>
+      val lits = planeWeights(b * PlanesPerBand + r).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($v, $lits::DOUBLE[]) > 0 " +
-        s"THEN ${1L << j}::BIGINT ELSE 0 END)"
+        s"THEN ${1L << r}::BIGINT ELSE 0 END)"
     }.mkString(" + ")
 
-  /** LSH-bucketed ANN: candidates share the query's sign bucket; cosine
-    * top-3 within the bucket. Lower recall than brute force by design —
-    * the oracle runs the identical bucketing, so results still match
-    * exactly. */
-  val qAnnLsh: Q = Q("q_ann_lsh",
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+  /** One row per (vector, band): vec_id, v, nrm, band, key.
+    * explode_outer + null-filter, not plain explode — the band array is a
+    * non-trivial projection and InferFiltersFromGenerate would inline the
+    * whole bucketing pipeline into an inferred `size(...) > 0` filter
+    * (see NOTES.md round-1 measurement). */
+  private def banded(s: SparkSession, d: String): DataFrame = {
+    val bandStructs = array((0 until Bands).map { b =>
+      struct(lit(b).as("band"), bandKey(col("v"), b).as("key"))
+    }: _*)
+    withNorm(emb(s, d))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode_outer(bandStructs).as("bk"))
+      .filter(col("bk").isNotNull)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Shared oracle CTE: `bd` = the banded rows (UNION ALL over bands). */
+  private val bandedCteSql: String = {
+    val bandSelects = (0 until Bands).map { b =>
+      s"SELECT vec_id, v, nrm, $b AS band,\n" +
+        s"       CAST(${bandKeySql("v", b)} AS BIGINT) AS key FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v
        |           FROM embeddings),
-       |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-       |             CAST(${lshBucketSql("v")} AS BIGINT) AS bucket
-       |      FROM e),
-       |q AS (SELECT * FROM b WHERE $QuerySet),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |bd AS (
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** Banded-LSH ANN: candidates share ANY band key with the query
+    * (OR-construction equi-join on (band, key)); cosine top-3 over the
+    * deduplicated candidate set. The oracle runs the identical banding,
+    * so results match exactly. The tiny query side (|probes| = queries ×
+    * Bands) is broadcast — the corpus side never shuffles. */
+  val qAnnLsh: Q = Q("q_ann_lsh",
+    s"""WITH $bandedCteSql,
+       |q AS (SELECT * FROM bd WHERE $QuerySet),
        |scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
-       |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id),
+       |  FROM q JOIN bd c ON c.band = q.band AND c.key = q.key
+       |                  AND c.vec_id != q.vec_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -127,16 +178,17 @@ object Similarity {
        |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim
        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) {
     (s, d) =>
-      val b = withNorm(emb(s, d))
-        .withColumn("bucket", lshBucket(col("v")))
-      val q = b.filter(expr(QuerySet))
+      val bd = banded(s, d)
+      val q = bd.filter(expr(QuerySet))
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qnrm"), col("bucket").as("qbucket"))
-      val scored = q.join(b,
-          col("bucket") === col("qbucket") &&
+          col("nrm").as("qnrm"), col("band").as("qband"),
+          col("key").as("qkey"))
+      val scored = broadcast(q).join(bd,
+          col("band") === col("qband") && col("key") === col("qkey") &&
             col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+        .distinct()
       val w = Window.partitionBy("query_id")
         .orderBy(desc("cos"), asc("neighbor_id"))
       scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -146,28 +198,24 @@ object Similarity {
         .orderBy("query_id", "rnk")
   }
 
-  /** Multi-probe LSH ANN: each query also probes the J buckets at
-    * Hamming distance 1 from its own (flip one sign bit) — the standard
-    * recall fix for hyperplane LSH (Lv et al., VLDB'07 multi-probe):
-    * near-neighbors that land just across one hyperplane are recovered
-    * for J extra equi-join lookups instead of a wider scan. Candidates
-    * stay an equi-join on bucket id. */
+  /** Multi-probe banded ANN: within each band, each query also probes the
+    * R keys at Hamming distance 1 from its own (flip one sign bit) — the
+    * standard recall fix for hyperplane LSH (Lv et al., VLDB'07), here
+    * stacked on the OR-construction: B×(R+1) equi-join lookups per query,
+    * still never a scan. */
   val qAnnMultiprobe: Q = {
-    val probesSql = (Seq("bucket") ++
-      (0 until Planes).map(j => s"xor(bucket, ${1L << j})"))
+    val probesSql = (Seq("key") ++
+      (0 until PlanesPerBand).map(r => s"xor(key, ${1L << r})"))
       .mkString("[", ", ", "]")
     Q("q_ann_multiprobe",
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-         |           FROM embeddings),
-         |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-         |             CAST(${lshBucketSql("v")} AS BIGINT) AS bucket
-         |      FROM e),
-         |q AS (SELECT vec_id, v, nrm, unnest($probesSql) AS probe
-         |      FROM b WHERE $QuerySet),
+      s"""WITH $bandedCteSql,
+         |q AS (SELECT vec_id, v, nrm, band, unnest($probesSql) AS probe
+         |      FROM bd WHERE $QuerySet),
          |scored AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
-         |  FROM q JOIN b c ON c.bucket = q.probe AND c.vec_id != q.vec_id),
+         |  FROM q JOIN bd c ON c.band = q.band AND c.key = q.probe
+         |                  AND c.vec_id != q.vec_id),
          |ranked AS (
          |  SELECT query_id, neighbor_id, cos,
          |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -176,15 +224,16 @@ object Similarity {
          |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) {
       (s, d) =>
-        val b = withNorm(emb(s, d)).withColumn("bucket", lshBucket(col("v")))
-        val probes = array((Seq(col("bucket")) ++
-          (0 until Planes).map(j =>
-            col("bucket").bitwiseXOR(lit(1L << j)))): _*)
-        val q = b.filter(expr(QuerySet))
+        val bd = banded(s, d)
+        val probes = array((Seq(col("key")) ++
+          (0 until PlanesPerBand).map(r =>
+            col("key").bitwiseXOR(lit(1L << r)))): _*)
+        val q = bd.filter(expr(QuerySet))
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("nrm").as("qnrm"), explode(probes).as("probe"))
-        val scored = q.join(b,
-            col("bucket") === col("probe") &&
+            col("nrm").as("qnrm"), col("band").as("qband"),
+            explode(probes).as("probe"))
+        val scored = broadcast(q).join(bd,
+            col("band") === col("qband") && col("key") === col("probe") &&
               col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
@@ -201,29 +250,32 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (the embedding analog of
-    * MinHash dedup): pairs bucketed by LSH, kept when cosine ≥ 0.95.
-    * Candidate generation is the bucket equi-join — sub-linear, same
-    * bucketing in the oracle. */
+    * MinHash dedup): pairs sharing ANY band key, kept when cosine ≥ 0.95.
+    * Candidate generation is the banded equi-join — sub-linear, same
+    * banding in the oracle. Both join sides are the same banded subtree,
+    * so both get `shuffle_hash` hints: AQE reuses one exchange and the
+    * bucketing pipeline runs once (a broadcast would compute it twice —
+    * VERDICT r1 "What's wrong" #1). */
   val qEmbedNearDup: Q = Q("q_embed_near_dup",
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-       |           FROM embeddings),
-       |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-       |             CAST(${lshBucketSql("v")} AS BIGINT) AS bucket
-       |      FROM e)
-       |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+    s"""WITH $bandedCteSql
+       |SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
        |       round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6)
        |         AS cos_sim
-       |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |FROM bd a JOIN bd c ON a.band = c.band AND a.key = c.key
+       |                   AND a.vec_id < c.vec_id
        |WHERE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) >= 0.95
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    val b = withNorm(emb(s, d)).withColumn("bucket", lshBucket(col("v")))
-    val a = b.select(col("vec_id").as("vec_a"), col("v").as("va"),
-      col("nrm").as("na"), col("bucket").as("ba"))
+    val bd = banded(s, d)
+    val a = bd.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("band").as("banda"), col("key").as("keya"))
     val cos = dot(col("va"), col("v")) / (col("na") * col("nrm"))
-    a.join(b, col("ba") === col("bucket") && col("vec_a") < col("vec_id"))
+    a.hint("shuffle_hash").join(bd.hint("shuffle_hash"),
+        col("banda") === col("band") && col("keya") === col("key") &&
+          col("vec_a") < col("vec_id"))
       .filter(cos >= 0.95)
       .select(col("vec_a"), col("vec_id").as("vec_b"),
         round(cos, 6).as("cos_sim"))
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 
