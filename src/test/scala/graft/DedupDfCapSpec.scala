@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.TextHash
+
+/** The shingle document-frequency cap must restore linear candidate volume
+  * when a boilerplate shingle appears in every document (the quadratic hot
+  * key at web scale), without changing the score of any emitted pair. */
+class DedupDfCapSpec extends SparkSpec {
+
+  // 120 docs, each: 8 unique body tokens + a universal boilerplate phrase.
+  // Docs 0 and 1 share the body except the final token — the one true
+  // near-dup pair. Every other pair overlaps ONLY via boilerplate.
+  private lazy val sh = {
+    import spark.implicits._
+    val boiler = "all rights reserved by the example corporation"
+    def body(i: Int) =
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+    val docs = (0 until 120).map { i =>
+      val b = if (i == 1) body(0).replace("theta0", "theta1x") else body(i)
+      (i.toLong, s"$b $boiler")
+    }
+    TextHash.addShingleHashes(docs.toDF("doc_id", "text"), col("text"))
+      .select("doc_id", "hs")
+  }
+
+  test("df-cap keeps candidate volume linear under a universal shingle") {
+    val uncapped = Dedup.jaccardCandidates(sh, None).count()
+    val capped = Dedup.jaccardCandidates(sh, Some(50L)).count()
+    // boilerplate shingles (df=120) make every pair a candidate
+    assert(uncapped >= 120L * 119 / 2, s"uncapped=$uncapped")
+    // with df>50 shingles dropped, only genuinely-overlapping pairs remain
+    assert(capped <= 10, s"capped=$capped")
+  }
+
+  test("capped pairs verify against FULL sets: scores match uncapped") {
+    val capped = Dedup.jaccardPairsFrom(sh, 0.5, Some(50L)).collect()
+    assert(capped.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+    val uncapped = Dedup.jaccardPairsFrom(sh, 0.5, None).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // the cap lost no above-threshold pair here (overlap beyond
+    // boilerplate survives), and every emitted score is bit-identical
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet
+      == uncapped.keySet)
+    capped.foreach { r =>
+      assert(uncapped((r.getLong(0), r.getLong(1))) == r.getDouble(4))
+    }
+  }
+}
