@@ -1,0 +1,407 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TextHash
+import graft.io.Tables
+import graft.model.Schemas
+
+/** SQL-string surface for the full operator registry.
+  *
+  * The reference is driven entirely by SQL text (reference
+  * sql/queries.sql:1-33 executed statement-by-statement by
+  * src/job.py:263-271); a user migrating from it has SQL, not Scala. This
+  * object gives every registered operator a Spark-SQL "twin": the same
+  * result as the DataFrame program, runnable via `spark.sql` against temp
+  * views of the same tables. `SqlTwinsSpec` asserts row-for-row parity for
+  * the whole registry.
+  *
+  * Twin sources, in order:
+  *   - most oracle SQL is ANSI enough to run on Spark after a mechanical
+  *     dialect mapping ([[dialect]]: DuckDB list functions → Spark
+  *     higher-order functions, `::` casts → CAST, `epoch_us` →
+  *     `unix_micros`, …);
+  *   - the text/hash-pipeline queries get hand-written Spark SQL built from
+  *     the same Scala snippet builders as the engine (the session-registered
+  *     native functions `graft_md5_mod31` / `graft_dot` are callable from
+  *     SQL, so the twins share the engine's exact hash/dot semantics);
+  *   - one documented skip ([[skips]]).
+  */
+object SqlTwins {
+
+  /** Register every driver table as a temp view (and, via
+    * [[Tables.load]], the graft native functions on the session). */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    Schemas.testTables.foreach { t =>
+      if (Tables.exists(spark, sfDir, t))
+        Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+
+  /** Queries with no single-statement SQL twin, with the reason. */
+  val skips: Map[String, String] = Map(
+    "q_dedup_components" ->
+      ("iterative label propagation (driver-side loop over checkpoints); " +
+        "the recursive-CTE spelling needs UNION-distinct recursion to " +
+        "terminate on cyclic edge sets, which Spark's recursive CTEs " +
+        "(UNION ALL) do not support"))
+
+  /** Mechanical DuckDB→Spark dialect mapping for the near-ANSI oracles.
+    * Harmless on already-ANSI text; the hash/text queries that need more
+    * than token-level mapping live in [[overrides]] instead. */
+  private def dialect(sql: String): String = {
+    var s = sql
+    s = s.replace("END IGNORE NULLS)", "END) IGNORE NULLS")
+    s = s.replace("epoch_us(", "unix_micros(")
+    s = s.replace("json_extract_string(", "get_json_object(")
+    s = s.replace("quantile_cont(", "percentile(")
+    s = s.replace("regexp_matches(", "regexp_like(")
+    s = s.replace("list_dot_product(", "graft_dot(")
+    s = s.replace("unnest(", "explode(")
+    s = s.replace("embedding::DOUBLE[]", "CAST(embedding AS ARRAY<DOUBLE>)")
+    s = s.replaceAll("""\[([^\[\]]+)\]::DOUBLE\[\]""", "array($1)")
+    s = s.replaceAll("""explode\(\[([^\[\]]+)\]\)""", "explode(array($1))")
+    s = s.replaceAll("""(\w+)::BIGINT""", "CAST($1 AS BIGINT)")
+    s = s.replaceAll("""xor\(([^(),]+),\s*([^()]+)\)""", "($1 ^ $2)")
+    s = s.replaceAll("""dayname\(([^()]+)\)""", "date_format($1, 'EEEE')")
+    s
+  }
+
+  // ---- Spark-dialect snippet builders (twins of graft.functions.TextHash
+  // builders; the hash itself is the session-registered native function, so
+  // twin and engine share one implementation) ----
+
+  private val P = TextHash.P
+  private val B = TextHash.B
+
+  /** tokens → token hashes → distinct 3-shingle hashes, as Spark SQL CTEs
+    * binding `sh(doc_id, hs)`. Mirrors [[TextHash.shingleCteSql]] with
+    * 0-based array indexing. */
+  private val shingleCte: String =
+    s"""words AS (SELECT doc_id, text, split(text, ' ') AS w FROM documents),
+       |th AS (SELECT doc_id, transform(w, t -> graft_md5_mod31(t)) AS t
+       |       FROM words),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN size(t) >= 3 THEN array_distinct(transform(
+       |    sequence(0, size(t) - 3),
+       |    i -> ((t[i]*$B + t[i+1]) % $P * $B + t[i+2]) % $P))
+       |  ELSE CAST(array() AS ARRAY<BIGINT>) END AS hs FROM th)"""
+      .stripMargin
+
+  private def minhashSql(hs: String, k: Int): String =
+    s"array_min(transform($hs, h -> (CAST(${TextHash.As(k)} AS BIGINT) * h" +
+      s" + ${TextHash.Bs(k)}) % $P))"
+
+  private def simhashSql(hs: String): String =
+    (0 until 32).map { j =>
+      s"(CASE WHEN aggregate($hs, CAST(0 AS BIGINT), " +
+        s"(acc, h) -> acc + ((shiftright(h, $j) & 1)*2 - 1)) > 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val tokenChars =
+    "aggregate(split(text, ' '), CAST(0 AS BIGINT), " +
+      "(acc, t) -> acc + CAST(length(t) AS BIGINT))"
+
+  private val stopList = "('a', 'the', 'of', 'and', 'to', 'in', 'is', 'it')"
+
+  /** Shared exact-Jaccard pair pipeline (inverted shingle index); callers
+    * apply their threshold over `pairs`. */
+  private def jaccardPairsSql: String =
+    s"""WITH $shingleCte,
+       |ex AS (SELECT doc_id, CAST(size(hs) AS BIGINT) AS n,
+       |              explode(hs) AS h FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+       |         COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private val qualityCase: String =
+    s"""(CASE WHEN length(text) BETWEEN 100 AND 1000 THEN 1 ELSE 0 END
+       | + CASE WHEN CAST($tokenChars AS DOUBLE) / size(split(text, ' '))
+       |        BETWEEN 3.0 AND 8.0 THEN 1 ELSE 0 END
+       | + CASE WHEN CAST(size(filter(split(text, ' '),
+       |          t -> t IN $stopList)) AS DOUBLE)
+       |        / size(split(text, ' ')) > 0.02 THEN 1 ELSE 0 END
+       | + CASE WHEN CAST(size(regexp_extract_all(text, '[^a-z0-9 ]', 0))
+       |          AS DOUBLE) / length(text) < 0.05 THEN 1 ELSE 0 END) / 4.0"""
+      .stripMargin
+
+  // ---- hand-written twins ----
+
+  private val overrides: Map[String, String] = Map(
+    "q_date_functions" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  date_add(CAST(o_orderdate AS DATE), 30) AS plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_functions" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_brand) AS lo,
+        |  CAST(length(p_name) AS INT) AS len,
+        |  substring(p_name, 1, 5) AS pre5,
+        |  replace(p_type, ' ', '_') AS type_snake,
+        |  lpad(CAST(p_size AS STRING), 4, '0') AS size_padded,
+        |  reverse(p_brand) AS brand_rev,
+        |  CAST(instr(p_name, 'a') AS INT) AS first_a,
+        |  p_brand || ':' || p_type AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_array_functions" ->
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(size(w) AS INT) AS n_tokens,
+        |  sort_array(w)[0] AS first_sorted,
+        |  array_contains(w, 'the') AS has_the,
+        |  COALESCE(CAST(array_position(w, 'the') AS INT), 0) AS pos_the,
+        |  array_join(slice(w, 1, 5), '-') AS head_joined,
+        |  CAST(size(filter(w, x -> length(x) > 5)) AS INT) AS n_long,
+        |  CAST(array_min(transform(w, x -> length(x))) AS INT) AS min_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_date_cast_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  date_format(l_shipdate, 'yyyy/MM/dd') AS daily_raw,
+        |  to_date(date_format(l_shipdate, 'yyyy/MM/dd'), 'yyyy/MM/dd')
+        |    AS daily,
+        |  CAST(NULL AS DATE) AS daily_fallback
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_numeric_columns" ->
+      """SELECT * FROM VALUES
+        |  ('l_orderkey', 1, FALSE), ('l_partkey', 2, FALSE),
+        |  ('l_suppkey', 3, FALSE), ('l_linenumber', 4, FALSE),
+        |  ('l_quantity', 5, TRUE), ('l_extendedprice', 6, FALSE),
+        |  ('l_discount', 7, FALSE), ('l_tax', 8, FALSE)
+        |  AS t(column_name, ordinal, is_measure)
+        |ORDER BY ordinal""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  approx_count_distinct(l_partkey) AS approx_parts,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_text_stats" ->
+      s"""SELECT doc_id, lang, source, n_chars,
+         |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(size(array_distinct(split(text, ' '))) AS BIGINT)
+         |    AS n_distinct_tokens,
+         |  $tokenChars AS token_chars,
+         |  CAST($tokenChars AS DOUBLE) / size(split(text, ' '))
+         |    AS mean_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_counts" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(size(split(text, ' ')) AS BIGINT)) AS BIGINT)
+        |    AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH feats AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |    CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $tokenChars AS token_chars,
+         |    CAST(size(filter(split(text, ' '), t -> t IN $stopList))
+         |      AS BIGINT) AS stop_hits,
+         |    CAST(size(regexp_extract_all(text, '[^a-z0-9 ]', 0)) AS BIGINT)
+         |      AS punct_chars
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, n_tokens, stop_hits, punct_chars,
+         |    CASE WHEN n_chars_calc BETWEEN 100 AND 1000 THEN 1 ELSE 0 END
+         |      AS len_ok,
+         |    CASE WHEN CAST(token_chars AS DOUBLE) / n_tokens
+         |              BETWEEN 3.0 AND 8.0 THEN 1 ELSE 0 END AS token_len_ok,
+         |    CASE WHEN CAST(stop_hits AS DOUBLE) / n_tokens > 0.02
+         |         THEN 1 ELSE 0 END AS stopword_ok,
+         |    CASE WHEN CAST(punct_chars AS DOUBLE) / n_chars_calc < 0.05
+         |         THEN 1 ELSE 0 END AS punct_ok
+         |  FROM feats)
+         |SELECT doc_id, CAST(len_ok AS INT) AS len_ok,
+         |       CAST(token_len_ok AS INT) AS token_len_ok,
+         |       CAST(stopword_ok AS INT) AS stopword_ok,
+         |       CAST(punct_ok AS INT) AS punct_ok,
+         |       (len_ok + token_len_ok + stopword_ok + punct_ok) / 4.0D
+         |         AS quality
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> langIdTwin,
+
+    "q_fingerprint" ->
+      s"""WITH $shingleCte
+         |SELECT d.doc_id, md5(d.text) AS content_md5,
+         |  CAST(conv(substring(md5(d.text), 1, 15), 16, 10) AS BIGINT)
+         |    AS fp60,
+         |  array_min(sh.hs) AS min_shingle_hash
+         |FROM documents d JOIN sh ON sh.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_ngram_jaccard_pairs" ->
+      s"""$jaccardPairsSql
+         |SELECT doc_a, doc_b, inter, na + nb - inter AS un,
+         |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+         |FROM pairs
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_near_removed" ->
+      s"""$jaccardPairsSql
+         |SELECT DISTINCT doc_b AS removed_doc
+         |FROM pairs
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+         |ORDER BY removed_doc""".stripMargin,
+
+    "q_minhash_lsh_pairs" -> minhashLshTwin,
+
+    "q_simhash_docs" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id, CAST(${simhashSql("hs")} AS BIGINT) AS simhash
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_pairs" -> simhashPairsTwin,
+
+    "q_corpus_clean" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id, explode(hs) AS h FROM sh),
+         |exn AS (SELECT e.doc_id, e.h, size(s.hs) AS n
+         |        FROM ex e JOIN sh s ON s.doc_id = e.doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+         |         CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb
+         |  FROM exn a JOIN exn b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 4, 5),
+         |removed AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM p
+         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+         |quality AS (
+         |  SELECT doc_id, $qualityCase AS quality FROM documents)
+         |SELECT d.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CAST(size(split(d.text, ' ')) AS BIGINT)) AS BIGINT)
+         |    AS total_tokens
+         |FROM documents d
+         |JOIN quality q ON q.doc_id = d.doc_id
+         |WHERE q.quality >= 0.75
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM removed)
+         |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  ascii(substring(text, 1, 1)) AS header_byte,
+        |  CAST(aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
+        |         (acc, i) -> acc + ascii(substring(text, i, 1))) % 997
+        |       AS BIGINT) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin)
+
+  private lazy val langIdTwin: String = {
+    // same dictionaries as TextOps.qLangId (parity is spec-enforced)
+    val dicts = Seq(
+      "en" -> Seq("the", "a", "of", "is", "and"),
+      "es" -> Seq("el", "la", "de", "es", "y"),
+      "fr" -> Seq("le", "la", "de", "est", "et"),
+      "de" -> Seq("der", "die", "das", "und", "ist"))
+    val dictSql = dicts.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"CAST(size(filter(split(text, ' '), t -> t IN $lst)) AS BIGINT)" +
+        s" AS s_$l"
+    }.mkString(",\n    ")
+    val cjk = "[一-鿿]"
+    val langs = dicts.map(_._1) :+ "zh"
+    val caseSql = langs.init.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
+        .mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("\n    CASE ", "\n    ", "\n    ELSE 'zh' END")
+    s"""WITH scores AS (
+       |  SELECT doc_id, lang,
+       |    $dictSql,
+       |    CAST(size(regexp_extract_all(text, '$cjk', 0)) AS BIGINT) AS s_zh
+       |  FROM documents)
+       |SELECT doc_id, lang, s_en, s_es, s_fr, s_de, s_zh,
+       |  $caseSql AS predicted
+       |FROM scores ORDER BY doc_id""".stripMargin
+  }
+
+  private lazy val minhashLshTwin: String = {
+    import TextHash.{Bands, K, R}
+    val sigCols = (0 until K)
+      .map(k => s"${minhashSql("hs", k)} AS m$k").mkString(",\n       ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until R).map(r => s"CAST(m${b * R + r} AS STRING)")
+        .mkString("concat_ws('_', ", ", ", ")")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, hs,
+       |       $sigCols
+       |FROM sh),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(size(array_intersect(sa.hs, sb.hs)) AS BIGINT) AS inter,
+       |    CAST(size(sa.hs) AS BIGINT) + CAST(size(sb.hs) AS BIGINT)
+       |      - CAST(size(array_intersect(sa.hs, sb.hs)) AS BIGINT) AS un
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, inter, un,
+       |       CAST(inter AS DOUBLE) / un AS jaccard
+       |FROM verified
+       |WHERE CAST(inter AS DOUBLE) / un >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private lazy val simhashPairsTwin: String = {
+    val chunks = Seq((0, 6), (6, 6), (12, 6), (18, 6), (24, 4), (28, 4))
+    val chunkSelects = chunks.zipWithIndex.map { case ((off, bits), i) =>
+      s"SELECT doc_id, simhash, $i AS chunk, " +
+        s"shiftright(simhash, $off) & ${(1 << bits) - 1} AS ckey FROM sims"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCte,
+       |sims AS (
+       |  SELECT doc_id, CAST(${simhashSql("hs")} AS BIGINT) AS simhash
+       |  FROM sh),
+       |chunks AS (
+       |  $chunkSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+       |         b.doc_id AS doc_b, b.simhash AS sim_b
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk = b.chunk AND a.ckey = b.ckey
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(bit_count(sim_a ^ sim_b) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(sim_a ^ sim_b) <= 5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** The Spark-SQL twin for a registered query, if one exists. */
+  def twin(name: String): Option[String] =
+    if (skips.contains(name)) None
+    else overrides.get(name)
+      .orElse(graft.SparkEntry.oracleSql.get(name).map(dialect(_)))
+
+  /** Run a query through its SQL twin (views + functions registered). */
+  def run(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(twin(name).getOrElse(
+      sys.error(s"no SQL twin for $name: ${skips.getOrElse(name, "?")}")))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.queries.SqlTwins
+
+/** Every registered operator must be reachable through the SQL-string
+  * surface: a Spark-SQL twin producing row-for-row the same result as the
+  * DataFrame program (or a documented skip). */
+class SqlTwinsSpec extends SparkSpec {
+
+  test("every registered query has a SQL twin or a documented skip") {
+    SparkEntry.registry.foreach { q =>
+      assert(SqlTwins.twin(q.name).isDefined || SqlTwins.skips.contains(q.name),
+        s"${q.name} has neither a twin nor a skip reason")
+    }
+    // skips must reference real queries, with a non-empty reason
+    val names = SparkEntry.registry.map(_.name).toSet
+    SqlTwins.skips.foreach { case (n, reason) =>
+      assert(names.contains(n) && reason.nonEmpty, n)
+    }
+  }
+
+  test("SQL twins match the DataFrame programs row-for-row") {
+    SqlTwins.registerViews(spark, sf001)
+    val failures = SparkEntry.registry.flatMap { q =>
+      SqlTwins.twin(q.name).flatMap { sql =>
+        try {
+          val df = q.fn(spark, sf001)
+          val tw = spark.sql(sql)
+          val sameCols = df.columns.toSeq == tw.columns.toSeq
+          val a = df.collect().map(_.toString).sorted.toSeq
+          val b = tw.collect().map(_.toString).sorted.toSeq
+          if (sameCols && a == b) None
+          else Some(q.name -> (s"cols $sameCols rows ${a.size}/${b.size} " +
+            s"firstDiff=${a.zip(b).find(p => p._1 != p._2)}"))
+        } catch {
+          case e: Exception =>
+            Some(q.name -> e.toString.linesIterator.take(3).mkString(" "))
+        }
+      }
+    }
+    assert(failures.isEmpty,
+      failures.map { case (n, m) => s"$n: $m" }.mkString("\n"))
+  }
+}
