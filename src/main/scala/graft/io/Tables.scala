@@ -108,6 +108,53 @@ object Tables {
       : DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
+  /** JDBC read-partitioning spec: one cursor per stride of `column`. */
+  final case class JdbcPartition(
+      column: String, lower: Long, upper: Long, num: Int)
+
+  /** JDBC connection URL from the reference's env-var names
+    * (DB_HOST/DB_PORT/DB_NAME — reference src/job.py:29-44,
+    * .env.example:1-3). */
+  def jdbcUrlFromEnv(env: Map[String, String]): String = {
+    val host = env.getOrElse("DB_HOST", "localhost")
+    val port = env.getOrElse("DB_PORT", "5432")
+    val db = env.getOrElse("DB_NAME", "postgres")
+    s"jdbc:postgresql://$host:$port/$db"
+  }
+
+  /** JDBC source (SURVEY.md §2.1: the reference's only connector is
+    * Postgres via psycopg2 + env-var config). `partition` is the 100 TB
+    * posture: partitionColumn/numPartitions fan the read out to one cursor
+    * per executor stride instead of a single-connection scan. No database
+    * driver ships in this sandbox, so the surface is exercised to the JDBC
+    * layer boundary by spec (option wiring), not against a live server. */
+  def loadJdbc(spark: SparkSession, env: Map[String, String], table: String,
+      partition: Option[JdbcPartition] = None): DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", jdbcUrlFromEnv(env))
+      .option("dbtable", table)
+      .option("user", env.getOrElse("DB_USER", "postgres"))
+      .option("password", env.getOrElse("DB_PASSWORD", ""))
+    partition.fold(reader) { p =>
+      reader.option("partitionColumn", p.column)
+        .option("lowerBound", p.lower.toString)
+        .option("upperBound", p.upper.toString)
+        .option("numPartitions", p.num.toString)
+    }.load()
+  }
+
+  /** JDBC sink (reference writes back via psycopg2 INSERTs; here a
+    * parallel partitioned write). */
+  def writeJdbc(df: DataFrame, env: Map[String, String], table: String,
+      mode: String = "append"): Unit =
+    df.write.format("jdbc")
+      .option("url", jdbcUrlFromEnv(env))
+      .option("dbtable", table)
+      .option("user", env.getOrElse("DB_USER", "postgres"))
+      .option("password", env.getOrElse("DB_PASSWORD", ""))
+      .mode(mode)
+      .save()
+
   /** JSON-lines source/sink pair (same explicit-schema posture). */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

@@ -45,12 +45,22 @@ object StreamOps {
       n_events: Int)
 
   /** Gap-based sessionization via flatMapGroupsWithState: per-user state
-    * holds the open session; a gap > `gapMinutes` (or state timeout in
-    * streaming mode) closes it. In batch mode Spark feeds each group once
-    * with no prior state — same semantics as the windowed SQL twin
-    * (q_sessionize), which the spec asserts. */
-  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30)
-      : Dataset[SessionOut] = {
+    * holds the open session; a gap > `gapMinutes` closes it.
+    *
+    * Streaming mode is driven by EVENT-TIME TIMEOUTS: the open session's
+    * timeout is set to `last + gap`, a watermark (`watermarkDelay`) is
+    * applied to the input, and when the watermark passes the timeout the
+    * group fires with an empty iterator and the session is emitted — no
+    * new event for that user is needed. State per user is one open
+    * session, removed on timeout: bounded by active users, the scale-safe
+    * shape.
+    *
+    * In batch mode Spark feeds each group once with no prior state and no
+    * timeouts; the trailing session flushes at end-of-group — same
+    * semantics as the windowed SQL twin (q_sessionize), which the spec
+    * asserts. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     val streaming = events.isStreaming // don't capture the Dataset itself
@@ -59,34 +69,48 @@ object StreamOps {
     def us(t: Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
-    events
+    val input = if (streaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    input
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
-          // sort the group's batch; carry any open session from state
-          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
-          var open: Option[SessionState] =
-            state.getOption.flatMap(_.headOption)
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            open = open match {
-              case Some(s) if us(e.ts) - us(s.last) <= gapUs =>
-                Some(s.copy(last = e.ts, n = s.n + 1))
-              case Some(s) =>
-                closed += SessionOut(user, s.start, s.last, s.n)
-                Some(SessionState(e.ts, e.ts, 1))
-              case None => Some(SessionState(e.ts, e.ts, 1))
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: close it
+            val outs = state.getOption.toList.flatten
+              .map(s => SessionOut(user, s.start, s.last, s.n))
+            state.remove()
+            outs.iterator
+          } else {
+            // sort the group's batch; carry any open session from state
+            val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var open: Option[SessionState] =
+              state.getOption.flatMap(_.headOption)
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              open = open match {
+                case Some(s) if us(e.ts) - us(s.last) <= gapUs =>
+                  Some(s.copy(last = e.ts, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, s.start, s.last, s.n)
+                  Some(SessionState(e.ts, e.ts, 1))
+                case None => Some(SessionState(e.ts, e.ts, 1))
+              }
             }
+            open.foreach { s =>
+              if (!streaming) closed += SessionOut(user, s.start, s.last, s.n)
+              else {
+                state.update(List(s))
+                // fire when the event-time watermark passes last + gap
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(us(s.last), 1000L) + gapMinutes * 60L * 1000L)
+              }
+            }
+            closed.result().iterator
           }
-          // batch mode: groups arrive once, flush the trailing session;
-          // a streaming deployment would keep it in state + use timeouts
-          open.foreach { s =>
-            if (state.hasTimedOut || !streaming)
-              closed += SessionOut(user, s.start, s.last, s.n)
-            else state.update(List(s))
-          }
-          closed.result().iterator
       }
   }
 }

@@ -27,6 +27,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(sqlTwin.except(stateful).count() == 0)
   }
 
+  test("streaming sessionize emits a session by EVENT-TIME TIMEOUT") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[StreamOps.Ev]
+    val query = StreamOps.sessionize(mem.toDS()).toDF().writeStream
+      .format("memory").queryName("sess_test").outputMode("append")
+      .start()
+    try {
+      // batch 1: user 1's session (two events, 5 min apart)
+      mem.addData(StreamOps.Ev(1L, 10L, t("2024-01-01 10:00:00")),
+        StreamOps.Ev(1L, 11L, t("2024-01-01 10:05:00")))
+      query.processAllAvailable()
+      // open session, watermark 10:05 < timeout 10:35: nothing emitted yet
+      assert(spark.table("sess_test").isEmpty)
+      // a different user's event advances the watermark to 11:00; the
+      // follow-up watermark batch fires user 1's timeout (10:35 < 11:00) —
+      // the session is emitted WITHOUT any further user-1 event
+      mem.addData(StreamOps.Ev(2L, 20L, t("2024-01-01 11:00:00")))
+      query.processAllAvailable()
+      val afterTimeout = spark.table("sess_test").collect()
+      assert(afterTimeout.map(_.getAs[Long]("user_id")).toSeq == Seq(1L),
+        afterTimeout.mkString(";"))
+      val r = afterTimeout.head
+      assert(r.getAs[java.sql.Timestamp]("session_start")
+        == t("2024-01-01 10:00:00"))
+      assert(r.getAs[java.sql.Timestamp]("session_end")
+        == t("2024-01-01 10:05:00"))
+      assert(r.getAs[Int]("n_events") == 2)
+      // user 2's session is still open (timeout 11:30 > watermark 11:00):
+      // no end-of-input flush happens in streaming mode
+      mem.addData(StreamOps.Ev(3L, 30L, t("2024-01-01 11:10:00")))
+      query.processAllAvailable()
+      val users = spark.table("sess_test").collect()
+        .map(_.getAs[Long]("user_id")).toSet
+      assert(users == Set(1L), users)
+    } finally query.stop()
+  }
+
   test("hourlyCounts runs as a real stream over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -34,4 +34,20 @@ class TablesIoSpec extends SparkSpec {
     assert(Tables.countTables(spark, sf001,
       Seq("nation", "no_such_table"))("no_such_table") == -1L)
   }
+
+  test("jdbc surface: env-var config wires through to the JDBC source") {
+    // URL assembly follows the reference's DB_* env names
+    assert(Tables.jdbcUrlFromEnv(Map(
+      "DB_HOST" -> "h", "DB_PORT" -> "5433", "DB_NAME" -> "d"))
+      == "jdbc:postgresql://h:5433/d")
+    assert(Tables.jdbcUrlFromEnv(Map.empty)
+      == "jdbc:postgresql://localhost:5432/postgres")
+    // no postgres driver ships in this sandbox: the read must fail AT THE
+    // JDBC LAYER (driver resolution), proving the options reach it
+    val e = intercept[Exception] {
+      Tables.loadJdbc(spark, Map.empty, "lineitem",
+        Some(Tables.JdbcPartition("l_orderkey", 0L, 1000L, 4))).count()
+    }
+    assert(e.toString.toLowerCase.contains("driver"), e.toString)
+  }
 }
