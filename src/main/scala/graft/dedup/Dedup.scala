@@ -359,6 +359,31 @@ object Dedup {
     }
   }
 
+  /** MinHash signatures computed INCREMENTALLY over row-per-shingle input
+    * via the typed [[graft.functions.MinHashAgg]] aggregator — the form a
+    * streaming or row-oriented source needs, where no per-doc array exists
+    * to scan. Partial aggregation ships K longs per (partition, doc), not
+    * rows. Value-identical to the array-expression signatures; the oracle
+    * computes the array form over the same shingle sets. */
+  val qMinhashIncremental: Q = {
+    val sigSqlCols = (0 until K)
+      .map(k => s"${minhashSql("hs", k)} AS m$k").mkString(",\n       ")
+    Q("q_minhash_incremental",
+      s"""WITH $shingleCte
+         |SELECT doc_id,
+         |       $sigSqlCols
+         |FROM sh WHERE len(hs) > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ex = shingleSets(s, d)
+        .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+        .filter(col("h").isNotNull)
+      val sig = ex.groupBy("doc_id")
+        .agg(graft.functions.MinHashAgg.minhashSig(col("h")).as("sig"))
+      sig.select(col("doc_id") +:
+          (0 until K).map(k => col("sig").getItem(k).as(s"m$k")): _*)
+        .orderBy("doc_id")
+    }
+  }
+
   /** Near-dup clusters via connected components over the ≥0.8-Jaccard
     * pair graph: smallest-reachable-doc_id labeling by iterative label
     * propagation (each round is one join + min-aggregate; rounds ≈ graph
@@ -432,6 +457,6 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qNgramJaccardPairs, qMinhashLsh, qDedupNearRemoved,
-    qSimhashDocs, qSimhashPairs, qDedupComponents)
+    qDedupExact, qNgramJaccardPairs, qMinhashLsh, qMinhashIncremental,
+    qDedupNearRemoved, qSimhashDocs, qSimhashPairs, qDedupComponents)
 }

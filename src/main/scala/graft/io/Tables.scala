@@ -24,6 +24,11 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.functions.Md5Mod31.ensureRegistered(spark)
     graft.functions.GraftDot.ensureRegistered(spark)
+    // SQL-callable form of the incremental MinHash aggregator, so the
+    // SqlTwins surface can group with it too
+    if (!spark.catalog.functionExists("minhash_sig"))
+      spark.udf.register("minhash_sig",
+        org.apache.spark.sql.functions.udaf(new graft.functions.MinHashAgg))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType)

@@ -308,6 +308,41 @@ object RelOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Session windows via the built-in `session_window` expression (the
+    * declarative spelling of [[qSessionize]]'s lag/running-sum pipeline;
+    * also the expression the streaming path would use). Semantics: events
+    * merge while the gap is STRICTLY under 30 minutes (session windows
+    * are end-exclusive); the emitted end is last event + gap. The oracle
+    * derives the same sessions with a >= gap split and MAX(ts) + 30 min. */
+  val qSessionWindow: Q = Q("q_session_window",
+    """WITH gaps AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+      |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_session) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_seq
+      |  FROM gaps)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       COUNT(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Tumbling time window (batch twin of the streaming hourly aggregate —
     * graft.streaming uses the same `window()` expression on readStream). */
   val qTumblingHour: Q = Q("q_tumbling_hour",
@@ -439,6 +474,6 @@ object RelOps {
     qSemiJoin, qAntiJoin, qOuterJoinAgg, qUnionAllNames,
     qSetIntersectExcept, qWindowRank, qWindowRunning, qWindowLagDelta,
     qRollup, qCube, qDistinctAgg, qTopkOrders, qJsonExtract, qSessionize,
-    qTumblingHour, qAsofPriorClick, qAsofTolerance, qPivotConditional,
-    qTopkPerKeyCustom)
+    qSessionWindow, qTumblingHour, qAsofPriorClick, qAsofTolerance,
+    qPivotConditional, qTopkPerKeyCustom)
 }

@@ -264,6 +264,30 @@ object SqlTwins {
 
     "q_minhash_lsh_pairs" -> minhashLshTwin,
 
+    // groups with the registered incremental aggregator (minhash_sig) —
+    // the SQL surface exercises the same typed Aggregator as the
+    // DataFrame program
+    "q_minhash_incremental" -> {
+      val ms = (0 until TextHash.K)
+        .map(k => s"sig[$k] AS m$k").mkString(",\n       ")
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id, explode(hs) AS h FROM sh),
+         |g AS (SELECT doc_id, minhash_sig(h) AS sig FROM ex
+         |      GROUP BY doc_id)
+         |SELECT doc_id,
+         |       $ms
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "q_session_window" ->
+      """SELECT user_id,
+        |  session_window.start AS session_start,
+        |  session_window.end AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY user_id, session_window(ts, '30 minutes')
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "q_simhash_docs" ->
       s"""WITH $shingleCte
          |SELECT doc_id, CAST(${simhashSql("hs")} AS BIGINT) AS simhash

@@ -279,5 +279,85 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  val all: Seq[Q] = Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qEmbedNearDup)
+  /** IVF coarse-quantizer shape: number of cells and probed cells per
+    * query. Cells scale ~sqrt(N) at a real corpus; anchors are a fixed
+    * deterministic slice of the corpus itself (vec_id 100..100+Cells-1) so
+    * both engines share them without an iterative k-means whose float
+    * reduction order would diverge across engines. */
+  val IvfCells = 16
+  val IvfProbe = 2
+  private val IvfAnchorBase = 100
+
+  /** IVF-style ANN (the second scale path next to banded LSH): corpus
+    * vectors are assigned to their nearest anchor cell (argmax cosine,
+    * anchor-id tiebreak); each query probes its `IvfProbe` best cells and
+    * scores only those cells' members — an equi-join on cell id. The
+    * anchor assignment is a constant-width (Cells-row) broadcast
+    * nested-loop join: N×Cells work, linear in the corpus, never
+    * all-pairs. */
+  val qAnnIvf: Q = Q("q_ann_ivf",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |anch AS (SELECT vec_id AS anchor_id, v AS av, nrm AS anrm FROM n
+       |         WHERE vec_id >= $IvfAnchorBase
+       |           AND vec_id < ${IvfAnchorBase + IvfCells}),
+       |assign AS (
+       |  SELECT n.vec_id, n.v, n.nrm, a.anchor_id,
+       |         list_dot_product(n.v, a.av) / (n.nrm * a.anrm) AS acos
+       |  FROM n CROSS JOIN anch a),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY acos DESC, anchor_id) AS BIGINT) AS arnk FROM assign),
+       |cells AS (SELECT vec_id, v, nrm, anchor_id AS cell FROM ranked
+       |          WHERE arnk = 1),
+       |probes AS (SELECT vec_id, v, nrm, anchor_id AS cell FROM ranked
+       |           WHERE arnk <= $IvfProbe AND $QuerySet),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |  FROM probes q JOIN cells c ON c.cell = q.cell
+       |                AND c.vec_id != q.vec_id),
+       |ranked2 AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim
+       |FROM ranked2 WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) {
+    (s, d) =>
+      val n = withNorm(emb(s, d)).select("vec_id", "v", "nrm")
+      val anch = n.filter(col("vec_id") >= IvfAnchorBase &&
+          col("vec_id") < IvfAnchorBase + IvfCells)
+        .select(col("vec_id").as("anchor_id"), col("v").as("av"),
+          col("nrm").as("anrm"))
+      // constant-width broadcast nested loop (Cells rows): the IVF
+      // assignment pass, N×Cells linear work — not an all-pairs join
+      val assign = n.crossJoin(broadcast(anch))
+        .select(col("vec_id"), col("v"), col("nrm"), col("anchor_id"),
+          (dot(col("v"), col("av")) / (col("nrm") * col("anrm"))).as("acos"))
+      val aw = Window.partitionBy("vec_id").orderBy(desc("acos"),
+        asc("anchor_id"))
+      val ranked = assign.withColumn("arnk", row_number().over(aw))
+      val cells = ranked.filter(col("arnk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("anchor_id").as("cell"))
+      val probes = ranked.filter(col("arnk") <= IvfProbe && expr(QuerySet))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("anchor_id").as("qcell"))
+      val scored = broadcast(probes).join(cells,
+          col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("cos"), asc("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy("query_id", "rnk")
+  }
+
+  val all: Seq[Q] =
+    Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup)
 }
