@@ -265,15 +265,17 @@ object Similarity {
        |                   AND a.vec_id < c.vec_id
        |WHERE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) >= 0.95
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    // self-join of the SAME plan object with string aliases, like the
+    // dedup pair joins — a renamed-copy side breaks canonical equality
+    // and with it exchange reuse (ReuseExchange compares canonicalized
+    // subtrees; the PlanShapeSpec guards this)
     val bd = banded(s, d)
-    val a = bd.select(col("vec_id").as("vec_a"), col("v").as("va"),
-      col("nrm").as("na"), col("band").as("banda"), col("key").as("keya"))
-    val cos = dot(col("va"), col("v")) / (col("na") * col("nrm"))
-    a.hint("shuffle_hash").join(bd.hint("shuffle_hash"),
-        col("banda") === col("band") && col("keya") === col("key") &&
-          col("vec_a") < col("vec_id"))
+    val cos = dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    bd.as("a").hint("shuffle_hash").join(bd.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
       .filter(cos >= 0.95)
-      .select(col("vec_a"), col("vec_id").as("vec_b"),
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cos, 6).as("cos_sim"))
       .distinct()
       .orderBy("vec_a", "vec_b")
