@@ -35,6 +35,31 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join: each purchase attributed to the same
+    * user's clicks within the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so the state store
+    * holds at most watermark+interval of either side — the bounded-state
+    * shape stream-stream joins require at scale (unbounded conditions
+    * would accumulate state forever). Runs identically on a batch frame
+    * (plain range join). */
+  def attributePurchases(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    purchases.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select("user_id", "purchase_id", "purchase_ts", "click_id",
+        "click_ts")
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
 
   final case class SessionState(

@@ -66,6 +66,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("user_id", "event_id", "ts", "event_type")
+    val query = StreamOps.attributePurchases(df).writeStream
+      .format("memory").queryName("attrib_test").outputMode("append")
+      .start()
+    try {
+      mem.addData(
+        (1L, 10L, t("2024-01-01 10:00:00"), "click"),
+        (1L, 11L, t("2024-01-01 10:30:00"), "purchase"), // within 1h: match
+        (1L, 12L, t("2024-01-01 11:30:00"), "purchase"), // click too old
+        (2L, 20L, t("2024-01-01 11:00:00"), "click"),
+        (2L, 21L, t("2024-01-01 11:20:00"), "purchase"), // match
+        (3L, 30L, t("2024-01-01 11:25:00"), "purchase")) // no click at all
+      query.processAllAvailable()
+      // advance watermarks so interval-join results finalize and emit
+      mem.addData((9L, 90L, t("2024-01-01 15:00:00"), "click"))
+      query.processAllAvailable()
+      val rows = spark.table("attrib_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+          r.getAs[Long]("click_id"))).toSet
+      assert(rows == Set((1L, 11L, 10L), (2L, 21L, 20L)), rows)
+    } finally query.stop()
+  }
+
   test("hourlyCounts runs as a real stream over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
