@@ -359,6 +359,35 @@ object Dedup {
     }
   }
 
+  /** Benchmark decontamination: training docs sharing ANY 3-gram shingle
+    * with the benchmark slice (doc_id % 50 == 0, a scale-independent 2%
+    * stand-in for an eval set) are flagged for removal — the n-gram
+    * overlap filter run against test sets before training. Candidate
+    * generation is a semi join on shingle hash with the (small) benchmark
+    * index broadcast: the corpus never shuffles. */
+  val qDecontaminate: Q = Q("q_decontaminate",
+    s"""WITH $shingleCte,
+       |bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh
+       |          WHERE doc_id % 50 = 0),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh
+       |       WHERE doc_id % 50 != 0)
+       |SELECT DISTINCT e.doc_id AS contaminated_doc
+       |FROM ex e JOIN bench b ON b.h = e.h
+       |ORDER BY contaminated_doc""".stripMargin) { (s, d) =>
+    val sh = shingleSets(s, d)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
+      .distinct()
+    val train = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
+    train.join(broadcast(bench), "h")
+      .select(col("doc_id").as("contaminated_doc"))
+      .distinct()
+      .orderBy("contaminated_doc")
+  }
+
   /** MinHash signatures computed INCREMENTALLY over row-per-shingle input
     * via the typed [[graft.functions.MinHashAgg]] aggregator — the form a
     * streaming or row-oriented source needs, where no per-doc array exists
@@ -458,5 +487,6 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccardPairs, qMinhashLsh, qMinhashIncremental,
-    qDedupNearRemoved, qSimhashDocs, qSimhashPairs, qDedupComponents)
+    qDedupNearRemoved, qSimhashDocs, qSimhashPairs, qDedupComponents,
+    qDecontaminate)
 }

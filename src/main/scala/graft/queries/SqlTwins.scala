@@ -57,6 +57,8 @@ object SqlTwins {
     s = s.replace("regexp_matches(", "regexp_like(")
     s = s.replace("list_dot_product(", "graft_dot(")
     s = s.replace("unnest(", "explode(")
+    s = s.replace("string_split(", "split(")
+    s = s.replaceAll("""\blen\s*\(""", "size(")
     s = s.replace("embedding::DOUBLE[]", "CAST(embedding AS ARRAY<DOUBLE>)")
     s = s.replaceAll("""\[([^\[\]]+)\]::DOUBLE\[\]""", "array($1)")
     s = s.replaceAll("""explode\(\[([^\[\]]+)\]\)""", "explode(array($1))")
@@ -237,6 +239,42 @@ object SqlTwins {
          |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" -> langIdTwin,
+
+    // Spark regexp_replace is global by default (no 'g' flag argument)
+    "q_pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(size(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+', 0))
+        |       AS BIGINT) AS n_emails,
+        |  CAST(size(regexp_extract_all(text, '[0-9]{6,}', 0)) AS BIGINT)
+        |    AS n_longnums,
+        |  CAST(length(regexp_replace(regexp_replace(text,
+        |         '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>'), '[0-9]{6,}',
+        |         '<NUM>')) AS BIGINT) AS clean_len,
+        |  md5(regexp_replace(regexp_replace(text,
+        |        '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>'), '[0-9]{6,}',
+        |        '<NUM>')) AS clean_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_split_hash" ->
+      """WITH h AS (SELECT doc_id,
+        |             CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |             graft_md5_mod31(text) % 100 AS bucket
+        |           FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH $shingleCte,
+         |bench AS (SELECT DISTINCT h FROM (
+         |            SELECT explode(hs) AS h FROM sh WHERE doc_id % 50 = 0)),
+         |ex AS (SELECT doc_id, explode(hs) AS h FROM sh
+         |       WHERE doc_id % 50 != 0)
+         |SELECT DISTINCT e.doc_id AS contaminated_doc
+         |FROM ex e JOIN bench b ON b.h = e.h
+         |ORDER BY contaminated_doc""".stripMargin,
 
     "q_fingerprint" ->
       s"""WITH $shingleCte

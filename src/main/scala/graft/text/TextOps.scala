@@ -251,7 +251,116 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Vocabulary head: top-50 tokens by frequency (BPE/tokenizer-training
+    * prep). One shuffle on token; top-k via rank over the aggregate. */
+  val qVocabTopk: Q = Q("q_vocab_topk",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+      |             FROM documents)
+      |SELECT token, COUNT(*) AS n,
+      |       CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token)
+      |            AS BIGINT) AS rnk
+      |FROM tok GROUP BY token
+      |ORDER BY rnk LIMIT 50""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    docs(s, d)
+      .select(explode(TextHash.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(desc("n"), asc("token"))).cast("long"))
+      .orderBy("rnk")
+      .limit(50)
+  }
+
+  private val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
+  private val numRe = "[0-9]{6,}"
+
+  /** PII-style redaction: emails and long digit runs replaced by
+    * placeholder tags, with per-doc match counts and a fingerprint of the
+    * scrubbed text (the pre-training scrub stage; restricted regex syntax
+    * that RE2 and Java agree on). */
+  val qPiiRedact: Q = Q("q_pii_redact",
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT)
+       |    AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$numRe')) AS BIGINT)
+       |    AS n_longnums,
+       |  CAST(length(regexp_replace(regexp_replace(text,
+       |         '$emailRe', '<EMAIL>', 'g'), '$numRe', '<NUM>', 'g'))
+       |       AS BIGINT) AS clean_len,
+       |  md5(regexp_replace(regexp_replace(text,
+       |        '$emailRe', '<EMAIL>', 'g'), '$numRe', '<NUM>', 'g'))
+       |    AS clean_md5
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val cleaned = regexp_replace(
+      regexp_replace(col("text"), emailRe, "<EMAIL>"), numRe, "<NUM>")
+    docs(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(numRe), lit(0)))
+        .cast("long").as("n_longnums"),
+      length(cleaned).cast("long").as("clean_len"),
+      md5(cleaned).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence-packing prep: per language, docs in doc_id order are
+    * packed into 512-token bins by exclusive prefix sum — the
+    * deterministic sequential-packing layout (greedy first-fit is
+    * order-dependent; prefix-sum binning is the distributable spelling).
+    * One window shuffle on lang. */
+  val qPackChunks: Q = Q("q_pack_chunks",
+    """WITH t AS (SELECT doc_id, lang,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |        COALESCE(CAST(SUM(n_tokens) OVER (
+      |          PARTITION BY lang ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS BIGINT), 0) AS prior_tokens
+      |      FROM t)
+      |SELECT doc_id, lang, n_tokens,
+      |       CAST(FLOOR(prior_tokens / 512.0) AS BIGINT) AS pack_id
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("prior_tokens",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(col("prior_tokens") / 512.0).cast("long").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split by content hash (md5 mod 100:
+    * 80/10/10) — reproducible across engines and runs, no RNG state. */
+  val qSplitHash: Q = Q("q_split_hash",
+    s"""WITH h AS (SELECT doc_id,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |             ${TextHash.hash32Sql("text")} % 100 AS bucket
+       |           FROM documents)
+       |SELECT CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM h GROUP BY 1 ORDER BY split""".stripMargin) { (s, d) =>
+    val bucket = TextHash.hash32(col("text")) % 100
+    docs(s, d)
+      .select(
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"),
+        size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("total_tokens"))
+      .orderBy("split")
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCounts, qQualityScore, qLangId, qFingerprint,
-    qCorpusClean)
+    qCorpusClean, qVocabTopk, qPiiRedact, qPackChunks, qSplitHash)
 }
