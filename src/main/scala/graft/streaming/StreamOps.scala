@@ -60,6 +60,23 @@ object StreamOps {
         "click_ts")
   }
 
+  /** foreachBatch sink into the date-partitioned layout: every micro-batch
+    * lands as parquet under `path/__day=.../` via
+    * [[graft.scale.Scale.writePartitionedByDay]] (append, so replays of a
+    * batch id could duplicate — pair with [[dedupStream]] upstream or an
+    * idempotent overwrite-by-partition for exactly-once). This is the
+    * bridge from the streaming surface to the batch engine's partitioned
+    * storage posture: downstream batch queries prune by day. */
+  def sinkPartitionedByDay(stream: DataFrame, tsCol: String,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.withColumn("__day", to_date(col(tsCol)))
+        .write.mode("append")
+        .partitionBy("__day")
+        .parquet(path)
+    }
+
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
 
   final case class SessionState(

@@ -94,6 +94,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("foreachBatch sink lands micro-batches in day-partitioned parquet") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_sink").toString
+    val mem = MemoryStream[StreamOps.Ev]
+    val query = StreamOps
+      .sinkPartitionedByDay(mem.toDF(), "ts", path)
+      .start()
+    try {
+      mem.addData(StreamOps.Ev(1L, 10L, t("2024-01-01 10:00:00")),
+        StreamOps.Ev(2L, 20L, t("2024-01-02 11:00:00")))
+      query.processAllAvailable()
+      mem.addData(StreamOps.Ev(3L, 30L, t("2024-01-02 12:00:00")))
+      query.processAllAvailable()
+      // day directories exist and a day-filtered read prunes + returns
+      val dirs = new java.io.File(path).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs.contains("__day=2024-01-01") &&
+        dirs.contains("__day=2024-01-02"), dirs)
+      val day2 = spark.read.parquet(path)
+        .filter(col("__day") === "2024-01-02")
+      assert(day2.count() == 2)
+      assert(spark.read.parquet(path).count() == 3)
+    } finally query.stop()
+  }
+
   test("hourlyCounts runs as a real stream over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
