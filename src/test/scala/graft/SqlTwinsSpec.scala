@@ -7,6 +7,15 @@ import graft.queries.SqlTwins
   * DataFrame program (or a documented skip). */
 class SqlTwinsSpec extends SparkSpec {
 
+  test("registry integrity: unique names, oracle keys, driver maps") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size,
+      names.diff(names.distinct).mkString(","))
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
+    // a duplicate name would silently shadow a query in the driver's map
+    assert(SparkEntry.queries.size == names.size)
+  }
+
   test("every registered query has a SQL twin or a documented skip") {
     SparkEntry.registry.foreach { q =>
       assert(SqlTwins.twin(q.name).isDefined || SqlTwins.skips.contains(q.name),
