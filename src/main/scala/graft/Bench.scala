@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * on SPARK_GRAFT_SF_DIR.
   *
   * Methodology: per query, TWO untimed warmup executions immediately
-  * followed by three timed executions (median). Round 1 ran all warmups in
+  * followed by five timed executions (median). Round 1 ran all warmups in
   * one upfront pass before any timing; by the time the first query was
   * timed, 57 plans of codegen-cache churn, broadcast-pool turnover and GC
   * separated it from its warmup, and the first few timed queries recorded
@@ -38,12 +38,12 @@ object Bench {
         try { fns(n)(spark, sfDir).count(); () }
         catch { case _: Throwable => () }
       run(); run() // warmup, adjacent to its own timed runs
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         run()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      n -> times(1) // median of 3 — stable against scheduler noise
+      n -> times(2) // median of 5 — tolerates two interference spikes
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
