@@ -89,7 +89,10 @@ object Tables {
 
   /** Whole-dataset dump (S5, reference sql/backup.sh): every table as
     * parquet under one timestamped directory — the pg_dump|gzip|s3 cp
-    * equivalent, but parallel and columnar per table. */
+    * equivalent, but parallel and columnar per table. `baseDir` is any
+    * Hadoop-FS URI: pass `s3a://bucket/prefix` to land the dump directly
+    * in object storage (the reference's `aws s3 cp` leg,
+    * sql/backup.sh:18-21) — same code path, different scheme. */
   def backupAll(spark: SparkSession, sfDir: String, names: Seq[String],
       baseDir: String,
       clock: java.time.Clock = java.time.Clock.systemUTC()): String = {
@@ -117,13 +120,13 @@ object Tables {
   final case class JdbcPartition(
       column: String, lower: Long, upper: Long, num: Int)
 
-  /** JDBC connection URL from the reference's env-var names
-    * (DB_HOST/DB_PORT/DB_NAME — reference src/job.py:29-44,
-    * .env.example:1-3). */
+  /** JDBC connection URL from the reference's env-var names and defaults
+    * (POSTGRES_HOST/PORT/DB, defaults db/5432/etl_db — reference
+    * src/job.py:33-37, .env.example:1-3). */
   def jdbcUrlFromEnv(env: Map[String, String]): String = {
-    val host = env.getOrElse("DB_HOST", "localhost")
-    val port = env.getOrElse("DB_PORT", "5432")
-    val db = env.getOrElse("DB_NAME", "postgres")
+    val host = env.getOrElse("POSTGRES_HOST", "db")
+    val port = env.getOrElse("POSTGRES_PORT", "5432")
+    val db = env.getOrElse("POSTGRES_DB", "etl_db")
     s"jdbc:postgresql://$host:$port/$db"
   }
 
@@ -138,8 +141,8 @@ object Tables {
     val reader = spark.read.format("jdbc")
       .option("url", jdbcUrlFromEnv(env))
       .option("dbtable", table)
-      .option("user", env.getOrElse("DB_USER", "postgres"))
-      .option("password", env.getOrElse("DB_PASSWORD", ""))
+      .option("user", env.getOrElse("POSTGRES_USER", "etl_user"))
+      .option("password", env.getOrElse("POSTGRES_PASSWORD", "etl_pass"))
     partition.fold(reader) { p =>
       reader.option("partitionColumn", p.column)
         .option("lowerBound", p.lower.toString)
@@ -155,8 +158,8 @@ object Tables {
     df.write.format("jdbc")
       .option("url", jdbcUrlFromEnv(env))
       .option("dbtable", table)
-      .option("user", env.getOrElse("DB_USER", "postgres"))
-      .option("password", env.getOrElse("DB_PASSWORD", ""))
+      .option("user", env.getOrElse("POSTGRES_USER", "etl_user"))
+      .option("password", env.getOrElse("POSTGRES_PASSWORD", "etl_pass"))
       .mode(mode)
       .save()
 

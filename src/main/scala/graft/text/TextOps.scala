@@ -252,7 +252,15 @@ object TextOps {
   }
 
   /** Vocabulary head: top-50 tokens by frequency (BPE/tokenizer-training
-    * prep). One shuffle on token; top-k via rank over the aggregate. */
+    * prep). One shuffle on token; top-k is heap-selected
+    * (TakeOrderedAndProject — O(n) per partition, never a global sort:
+    * vocabulary cardinality grows with the corpus, so a single-partition
+    * `row_number` window here would funnel billions of tokens through one
+    * task at 100 TB). The rank is then derived over just the 50 surviving
+    * rows by a broadcast count-of-predecessors self-join — total order on
+    * (n desc, token asc), so it equals ROW_NUMBER. Guarded by
+    * PlanShapeSpec: plan must contain TakeOrderedAndProject, no global
+    * WindowExec. */
   val qVocabTopk: Q = Q("q_vocab_topk",
     """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
       |             FROM documents)
@@ -261,15 +269,22 @@ object TextOps {
       |            AS BIGINT) AS rnk
       |FROM tok GROUP BY token
       |ORDER BY rnk LIMIT 50""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    docs(s, d)
+    val top = docs(s, d)
       .select(explode(TextHash.tokens(col("text"))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n"))
-      .withColumn("rnk", row_number()
-        .over(Window.orderBy(desc("n"), asc("token"))).cast("long"))
-      .orderBy("rnk")
+      .orderBy(desc("n"), asc("token"))
       .limit(50)
+    // rnk = 1 + #rows sorting strictly before, over the 50-row result
+    // (same DataFrame object both sides -> the token-agg exchange reuses)
+    top.as("a")
+      .join(top.as("b"),
+        col("b.n") > col("a.n") ||
+          (col("b.n") === col("a.n") && col("b.token") < col("a.token")),
+        "left")
+      .groupBy(col("a.token").as("token"), col("a.n").as("n"))
+      .agg((count(col("b.token")) + 1L).cast("long").as("rnk"))
+      .orderBy("rnk")
   }
 
   private val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
@@ -309,7 +324,22 @@ object TextOps {
     * packed into 512-token bins by exclusive prefix sum — the
     * deterministic sequential-packing layout (greedy first-fit is
     * order-dependent; prefix-sum binning is the distributable spelling).
-    * One window shuffle on lang. */
+    *
+    * The prefix sum is a two-level distributed scan, NOT a
+    * `Window.partitionBy(lang)` (which caps parallelism at #languages —
+    * one reducer would scan half a real corpus's rows for English):
+    *   1. range-repartition on (lang, doc_id), so each physical partition
+    *      holds a contiguous slice of every language's doc_id order;
+    *   2. local exclusive prefix sum within (partition, lang) — a window
+    *      keyed by (pid, lang), whose group size is bounded by the
+    *      partition size knob, never by language share;
+    *   3. per-(partition, lang) totals roll up map-side to ≤ #partitions ×
+    *      #langs rows; their per-lang running offsets (a window over that
+    *      BOUNDED aggregate — cardinality scales with cluster width, not
+    *      data) broadcast-join back onto the slices.
+    * Deterministic: range boundaries are seeded by partition index and
+    * doc_id is unique, so pid assignment and both scans are stable.
+    * PackChunksSpec asserts the dominant language's rows span >1 pid. */
   val qPackChunks: Q = Q("q_pack_chunks",
     """WITH t AS (SELECT doc_id, lang,
       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -323,17 +353,43 @@ object TextOps {
       |SELECT doc_id, lang, n_tokens,
       |       CAST(FLOOR(prior_tokens / 512.0) AS BIGINT) AS pack_id
       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs(s, d)
+    val base = docs(s, d)
       .select(col("doc_id"), col("lang"),
         size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("prior_tokens",
-        coalesce(sum("n_tokens").over(w), lit(0L)))
+    packByPrefixSum(base).orderBy("doc_id")
+  }
+
+  /** The distributed scan behind [[qPackChunks]], on any (doc_id, lang,
+    * n_tokens) frame: exclusive per-lang prefix sum in doc_id order →
+    * `pack_id = floor(prior / 512)`. Factored out so PackChunksSpec can
+    * drive it with a skewed single-language frame. */
+  private[graft] def packByPrefixSum(
+      base: org.apache.spark.sql.DataFrame,
+      binTokens: Double = 512.0,
+      slices: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // no explicit count -> AQE sizes the range slices by bytes (the 100 TB
+    // posture); specs pin `slices` so tiny inputs still fan out
+    val parted = slices.fold(
+      base.repartitionByRange(col("lang"), col("doc_id")))(n =>
+      base.repartitionByRange(n, col("lang"), col("doc_id")))
+    val sliced = parted.withColumn("pid", spark_partition_id())
+    // 2. local scan: group size ≤ partition size, whatever the language mix
+    val wLocal = Window.partitionBy("pid", "lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = sliced.withColumn("local_prior",
+      coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+    // 3. cross-partition offsets over the bounded (pid, lang) aggregate
+    val wOff = Window.partitionBy("lang").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy("pid", "lang")
+      .agg(sum("n_tokens").as("slice_total"))
+      .withColumn("offset", coalesce(sum("slice_total").over(wOff), lit(0L)))
+      .select("pid", "lang", "offset")
+    local.join(broadcast(offsets), Seq("pid", "lang"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        floor(col("prior_tokens") / 512.0).cast("long").as("pack_id"))
-      .orderBy("doc_id")
+        floor((col("local_prior") + col("offset")) / binTokens).cast("long")
+          .as("pack_id"))
   }
 
   /** Deterministic train/val/test split by content hash (md5 mod 100:

@@ -60,4 +60,24 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(Similarity.qAnnLsh.fn(spark, sf001))
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("vocab top-k heap-selects; no global window over the vocabulary") {
+    // round-2 verdict #1: vocabulary cardinality is data-scaled, so the
+    // rank must ride a TakeOrderedAndProject heap, never a WindowExec
+    val p = plan(graft.text.TextOps.qVocabTopk.fn(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("pack_chunks broadcasts slice offsets (no per-language reducer)") {
+    // round-2 verdict #2: the data-scaled window must key on (pid, lang) —
+    // group size bounded by the range-slice width, not by language share.
+    // (PackChunksSpec holds the functional parallelism assertion.)
+    val p = plan(graft.text.TextOps.qPackChunks.fn(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    val dataWindows = p.linesIterator.filter(w =>
+      w.contains("windowspecdefinition(") && !w.contains("slice_total"))
+    assert(dataWindows.forall(_.contains("pid#")),
+      dataWindows.mkString("\n"))
+  }
 }

@@ -36,12 +36,14 @@ class TablesIoSpec extends SparkSpec {
   }
 
   test("jdbc surface: env-var config wires through to the JDBC source") {
-    // URL assembly follows the reference's DB_* env names
+    // URL assembly follows the reference's POSTGRES_* env names and
+    // defaults (reference src/job.py:33-37, .env.example)
     assert(Tables.jdbcUrlFromEnv(Map(
-      "DB_HOST" -> "h", "DB_PORT" -> "5433", "DB_NAME" -> "d"))
+      "POSTGRES_HOST" -> "h", "POSTGRES_PORT" -> "5433",
+      "POSTGRES_DB" -> "d"))
       == "jdbc:postgresql://h:5433/d")
     assert(Tables.jdbcUrlFromEnv(Map.empty)
-      == "jdbc:postgresql://localhost:5432/postgres")
+      == "jdbc:postgresql://db:5432/etl_db")
     // no postgres driver ships in this sandbox: the read must fail AT THE
     // JDBC LAYER (driver resolution), proving the options reach it
     val e = intercept[Exception] {
