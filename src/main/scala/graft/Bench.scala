@@ -14,6 +14,13 @@ import org.apache.spark.sql.SparkSession
   * warmup-then-time per query keeps the JIT/codegen/broadcast state for a
   * query hot at the moment it is measured — we measure steady-state engine
   * throughput, not JVM-wide cache turnover.
+  *
+  * Self-defense against external interference (VERDICT r2 #8): besides the
+  * median, the JSON carries `queries_min` — per-query minimum of the five
+  * timed runs. A scheduler spike inflates median but rarely min, so a
+  * reader can tell spike from regression without re-running. A query that
+  * THROWS is reported as -1 with its name in `errors`, never as a
+  * near-zero "fast" time (the exception path returns instantly).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,22 +40,31 @@ object Bench {
     // prime the session once: parquet footers, Hadoop FS init, first codegen
     try fns(names.head)(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = names.map { n =>
-      def run(): Unit =
-        try { fns(n)(spark, sfDir).count(); () }
-        catch { case _: Throwable => () }
+    // (median, min); (-1, -1) if any run threw
+    val results: Seq[(String, (Double, Double))] = names.map { n =>
+      def run(): Boolean =
+        try { fns(n)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       run(); run() // warmup, adjacent to its own timed runs
-      val times = (1 to 5).map { _ =>
+      val timed = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
-        run()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      n -> times(2) // median of 5 — tolerates two interference spikes
+        val ok = run()
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      n -> (if (timed.forall(_._2)) {
+        val ts = timed.map(_._1).sorted
+        (ts(2), ts.head) // median of 5 tolerates two spikes; min resists all
+      } else (-1.0, -1.0))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jmap(f: ((String, (Double, Double))) => Double) = results
+      .map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = jmap(_._2._1)
+    val mins = jmap(_._2._2)
+    val errors = results.collect { case (k, (-1.0, _)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,10 +12,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * similarity/ANN operator (cosines, hyperplane sign bits).
   *
   * Value-identical to the composed higher-order-function form
-  * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)`: both are a strict
-  * left-to-right fold over element order in double precision, which is also
-  * how DuckDB's `list_dot_product` accumulates — so oracle parity is
-  * preserved bit-for-bit. The HOF form, however, never enters whole-stage
+  * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` for EQUAL-LENGTH,
+  * NULL-FREE arrays (the only shape the engine produces — embeddings are
+  * fixed-width non-null): both are a strict left-to-right fold over
+  * element order in double precision, which is also how DuckDB's
+  * `list_dot_product` accumulates — so oracle parity is preserved
+  * bit-for-bit. (The forms diverge outside that shape: zip_with pads the
+  * shorter array with NULLs so the HOF fold returns NULL, while `dot`
+  * truncates to min(length) and skips the undefined null-element read.)
+  * The HOF form, however, never enters whole-stage
   * codegen (lambda dispatch per element); with 64-dim embeddings and
   * B×R = 32 hyperplanes per vector that interpreted overhead dominated the
   * ANN queries (VERDICT r1 "What's wrong" #3). This expression compiles to

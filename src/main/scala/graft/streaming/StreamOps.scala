@@ -60,22 +60,36 @@ object StreamOps {
         "click_ts")
   }
 
-  /** foreachBatch sink into the date-partitioned layout: every micro-batch
-    * lands as parquet under `path/__day=.../` via
-    * [[graft.scale.Scale.writePartitionedByDay]] (append, so replays of a
-    * batch id could duplicate — pair with [[dedupStream]] upstream or an
-    * idempotent overwrite-by-partition for exactly-once). This is the
-    * bridge from the streaming surface to the batch engine's partitioned
-    * storage posture: downstream batch queries prune by day. */
+  /** foreachBatch sink into the date-partitioned layout, EXACTLY-ONCE
+    * under micro-batch replay: rows land as parquet under
+    * `path/__day=.../__batch=N/`, written with dynamic partition overwrite
+    * — an overwrite replaces only the `(__day, __batch)` partitions
+    * present in the incoming batch. foreachBatch batch ids are stable
+    * across retries, so a replayed batch rewrites exactly its own
+    * previous output and never duplicates (the reference's whole pipeline
+    * is idempotent by rebuild, src/job.py:296-299; this is the streaming
+    * equivalent). Same day-partitioned posture as
+    * [[graft.scale.Scale.writePartitionedByDay]] — downstream batch
+    * queries still prune on the leading `__day` key; `__batch` is an
+    * idempotency detail they ignore. */
   def sinkPartitionedByDay(stream: DataFrame, tsCol: String,
       path: String): org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      batch.withColumn("__day", to_date(col(tsCol)))
-        .write.mode("append")
-        .partitionBy("__day")
-        .parquet(path)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatchPartitionedByDay(batch, batchId, tsCol, path)
     }
+
+  /** The per-batch writer behind [[sinkPartitionedByDay]], factored out so
+    * replay idempotence is testable directly: calling it twice with the
+    * same `batchId` leaves one copy of the rows. */
+  private[graft] def writeBatchPartitionedByDay(batch: DataFrame,
+      batchId: Long, tsCol: String, path: String): Unit =
+    batch.withColumn("__day", to_date(col(tsCol)))
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__day", "__batch")
+      .parquet(path)
 
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
 
@@ -100,7 +114,14 @@ object StreamOps {
     * In batch mode Spark feeds each group once with no prior state and no
     * timeouts; the trailing session flushes at end-of-group — same
     * semantics as the windowed SQL twin (q_sessionize), which the spec
-    * asserts. */
+    * asserts.
+    *
+    * Out-of-order events (admitted whenever `watermarkDelay` > 0; they
+    * reach the open session only across micro-batches, since each batch is
+    * sorted): an event within gap-distance of the session interval merges
+    * and EXTENDS the interval (`start = min`, `last = max` — never
+    * regresses either end); an event more than a gap before the session's
+    * start can never merge and is emitted as its own singleton session. */
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30,
       watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -134,11 +155,25 @@ object StreamOps {
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
               open = open match {
-                case Some(s) if us(e.ts) - us(s.last) <= gapUs =>
-                  Some(s.copy(last = e.ts, n = s.n + 1))
-                case Some(s) =>
+                case Some(s) if us(e.ts) >= us(s.start) - gapUs &&
+                    us(e.ts) - us(s.last) <= gapUs =>
+                  // within gap-distance of the session interval. An
+                  // ADMITTED out-of-order event (possible across batches
+                  // whenever watermarkDelay > 0) may land inside or before
+                  // the open session — extend both ends, never regress
+                  Some(SessionState(
+                    if (us(e.ts) < us(s.start)) e.ts else s.start,
+                    if (us(e.ts) > us(s.last)) e.ts else s.last,
+                    s.n + 1))
+                case Some(s) if us(e.ts) > us(s.last) =>
                   closed += SessionOut(user, s.start, s.last, s.n)
                   Some(SessionState(e.ts, e.ts, 1))
+                case Some(s) =>
+                  // late event more than a gap BEFORE the open session: it
+                  // can never merge (its neighbourhood already emitted) —
+                  // close it alone, keep the open session untouched
+                  closed += SessionOut(user, e.ts, e.ts, 1)
+                  Some(s)
                 case None => Some(SessionState(e.ts, e.ts, 1))
               }
             }

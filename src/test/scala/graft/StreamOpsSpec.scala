@@ -122,6 +122,62 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sink replay is exactly-once: same batch id rewrites, not appends") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_replay_sink").toString
+    val b0 = Seq(StreamOps.Ev(1L, 10L, t("2024-01-01 10:00:00")),
+      StreamOps.Ev(2L, 20L, t("2024-01-02 11:00:00"))).toDF()
+    val b1 = Seq(StreamOps.Ev(3L, 30L, t("2024-01-02 12:00:00"))).toDF()
+    StreamOps.writeBatchPartitionedByDay(b0, 0L, "ts", path)
+    StreamOps.writeBatchPartitionedByDay(b1, 1L, "ts", path)
+    // replay batch 0 (a restart re-delivers it): must overwrite its own
+    // (__day, __batch=0) partitions, leaving batch 1 untouched — 3 rows
+    StreamOps.writeBatchPartitionedByDay(b0, 0L, "ts", path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 3, back.collect().mkString(";"))
+    assert(back.select("event_id").as[Long].collect().toSet
+      == Set(10L, 20L, 30L))
+    // day pruning still works over the (day, batch) layout
+    assert(back.filter(col("__day") === "2024-01-02").count() == 2)
+  }
+
+  test("sessionize merges admitted out-of-order events without regressing") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[StreamOps.Ev]
+    // 2h watermark delay: late events inside the delay are ADMITTED and
+    // reach the open session from an earlier micro-batch
+    val query = StreamOps.sessionize(mem.toDS(),
+        watermarkDelay = "2 hours").toDF()
+      .writeStream.format("memory").queryName("sess_ooo_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(StreamOps.Ev(1L, 11L, t("2024-01-01 10:10:00")))
+      query.processAllAvailable()
+      // batch 2, same user, EARLIER ts within gap-distance of the open
+      // session: must extend start backward, not regress last to 10:00
+      mem.addData(StreamOps.Ev(1L, 10L, t("2024-01-01 10:00:00")))
+      query.processAllAvailable()
+      // and one more than a gap before the session: singleton, emitted now
+      mem.addData(StreamOps.Ev(1L, 9L, t("2024-01-01 09:00:00")))
+      query.processAllAvailable()
+      // advance the watermark past last+gap (10:40): open session fires
+      mem.addData(StreamOps.Ev(2L, 20L, t("2024-01-01 13:00:00")))
+      query.processAllAvailable()
+      val rows = spark.table("sess_ooo_test").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[java.sql.Timestamp]("session_start"),
+          r.getAs[java.sql.Timestamp]("session_end"),
+          r.getAs[Int]("n_events"))).toSet
+      assert(rows == Set(
+        (t("2024-01-01 09:00:00"), t("2024-01-01 09:00:00"), 1),
+        (t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00"), 2)), rows)
+    } finally query.stop()
+  }
+
   test("hourlyCounts runs as a real stream over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
