@@ -305,15 +305,49 @@ object Dedup {
   private val simhashChunks: Seq[(Int, Int)] = // (offset, bits)
     Seq((0, 6), (6, 6), (12, 6), (18, 6), (24, 4), (28, 4))
 
+  /** Chunk-banded Hamming-≤`maxHam` pair scan over a (doc_id, simhash)
+    * frame: explode each signature into its chunks, equi-join on (chunk,
+    * ckey) — by pigeonhole over `chunks.size` chunks, full recall
+    * whenever maxHam < chunks.size — verify with exact bit_count. Shared
+    * by the 32-bit and wide variants. */
+  private def simhashPairsFrom(sims: DataFrame,
+      chunks: Seq[(Int, Int)], maxHam: Int): DataFrame = {
+    val chunkStructs = array(chunks.zipWithIndex.map {
+      case ((off, bits), i) =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("simhash"), off).bitwiseAND(lit((1L << bits) - 1))
+            .as("ckey"))
+    }: _*)
+    val exploded = sims
+      .select(col("doc_id"), col("simhash"), explode(chunkStructs).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"),
+        col("c.ckey").as("ckey"))
+    val cand = exploded.as("a").hint("shuffle_hash")
+      .join(exploded.as("b").hint("shuffle_hash"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.ckey") === col("b.ckey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
+      .distinct()
+    val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+    cand.filter(ham <= maxHam)
+      .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle chunk-table SQL for [[simhashPairsFrom]]'s candidate join. */
+  private def chunkSelectsSql(chunks: Seq[(Int, Int)]): String =
+    chunks.zipWithIndex.map { case ((off, bits), i) =>
+      s"SELECT doc_id, simhash, $i AS chunk, " +
+        s"(simhash >> $off) & ${(1L << bits) - 1} AS ckey FROM sims"
+    }.mkString("\n  UNION ALL ")
+
   /** SimHash near-dup pairs: Hamming distance ≤ 5 of the 32-bit
     * signatures. Candidates come from the chunk-band equi-join (exact
     * recall per [[simhashChunks]]); no cross join at any corpus size. */
   val qSimhashPairs: Q = {
-    val chunkSelects = simhashChunks.zipWithIndex.map {
-      case ((off, bits), i) =>
-        s"SELECT doc_id, simhash, $i AS chunk, " +
-          s"(simhash >> $off) & ${(1 << bits) - 1} AS ckey FROM sims"
-    }.mkString("\n  UNION ALL ")
+    val chunkSelects = chunkSelectsSql(simhashChunks)
     Q("q_simhash_pairs",
       s"""WITH $shingleCte,
          |sims AS (
@@ -334,28 +368,95 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val sims = shingleSets(s, d)
         .select(col("doc_id"), simhash32(col("hs")).as("simhash"))
-      val chunkStructs = array(simhashChunks.zipWithIndex.map {
-        case ((off, bits), i) =>
-          struct(lit(i).as("chunk"),
-            shiftright(col("simhash"), off).bitwiseAND(lit((1L << bits) - 1))
-              .as("ckey"))
-      }: _*)
-      val chunks = sims
-        .select(col("doc_id"), col("simhash"), explode(chunkStructs).as("c"))
-        .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"),
-          col("c.ckey").as("ckey"))
-      val cand = chunks.as("a").hint("shuffle_hash")
-        .join(chunks.as("b").hint("shuffle_hash"),
-          col("a.chunk") === col("b.chunk") &&
-            col("a.ckey") === col("b.ckey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
-          col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
-        .distinct()
-      val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
-      cand.filter(ham <= 5)
-        .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
-        .orderBy("doc_a", "doc_b")
+      simhashPairsFrom(sims, simhashChunks, maxHam = 5)
+    }
+  }
+
+  // ---- wide (62-bit) SimHash: VERDICT r2 #7 / round-2 backlog ----
+
+  /** LCG constants (Numerical Recipes) for the affine rehash feeding the
+    * upper signature bits. `WideA * h` with h < 2^31 stays < 2^52: no
+    * signed-64 overflow in either engine. */
+  private[graft] val WideA = 1664525L
+  private[graft] val WideB = 1013904223L
+
+  /** 62-bit SimHash: wider signatures sharpen the Hamming separation on
+    * large corpora (more independent projections per doc), while staying
+    * inside a signed 64-bit integer for cross-engine parity. Bits 0..30
+    * vote on the shingle hash's own bits; bits 31..61 vote on an affine
+    * rehash `(WideA*h + WideB) mod P` — each bit is an independent
+    * pseudo-random projection, the Charikar construction in md5-derived
+    * arithmetic both engines reproduce bit-identically. */
+  def simhash62(hs: Column): Column = {
+    val h2 = transform(hs, h => (lit(WideA) * h + lit(WideB)) % lit(P))
+    (0 until 62).map { j =>
+      val (arr, bit) = if (j < 31) (hs, j) else (h2, j - 31)
+      val votes = aggregate(arr, lit(0L),
+        (acc, h) => acc + (shiftright(h, bit).bitwiseAND(lit(1L)) * 2 - 1))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[simhash62]], expecting `hs` and the rehashed `hs2`
+    * array aliases in scope. */
+  private def simhash62Sql(hs: String, hs2: String): String =
+    (0 until 62).map { j =>
+      val (arr, bit) = if (j < 31) (hs, j) else (hs2, j - 31)
+      s"(CASE WHEN list_sum(list_transform($arr, " +
+        s"h -> ((h >> $bit) & 1)*2 - 1)) > 0 " +
+        s"THEN ${1L << j}::BIGINT ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val wideRehashSql =
+    s"list_transform(hs, h -> ($WideA::BIGINT * h + $WideB) % $P)"
+
+  /** Wide-signature chunk layout: 62 = 11+11+10+10+10+10 over 6 chunks —
+    * same pigeonhole guarantee (Hamming ≤ 5 leaves one chunk intact), but
+    * each chunk key now carries 10-11 bits, so candidate buckets are
+    * ~16-32× finer than the 32-bit layout: fewer false candidates per
+    * true pair, which is the point of the wider signature at scale. */
+  private[graft] val wideChunks: Seq[(Int, Int)] =
+    Seq((0, 11), (11, 11), (22, 10), (32, 10), (42, 10), (52, 10))
+
+  /** Per-doc wide SimHash signatures. */
+  val qSimhashWideDocs: Q = Q("q_simhash_wide_docs",
+    s"""WITH $shingleCte,
+       |sh2 AS (SELECT doc_id, hs, $wideRehashSql AS hs2 FROM sh)
+       |SELECT doc_id,
+       |       CAST(${simhash62Sql("hs", "hs2")} AS BIGINT) AS simhash
+       |FROM sh2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    shingleSets(s, d)
+      .select(col("doc_id"), simhash62(col("hs")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Wide SimHash near-dup pairs, Hamming ≤ 5 over 62 bits — a much
+    * sharper near-dup test than ≤5-of-32 (5/62 ≈ 8% of bits vs 16%). */
+  val qSimhashWidePairs: Q = {
+    val chunkSelects = chunkSelectsSql(wideChunks)
+    Q("q_simhash_wide_pairs",
+      s"""WITH $shingleCte,
+         |sh2 AS (SELECT doc_id, hs, $wideRehashSql AS hs2 FROM sh),
+         |sims AS (
+         |  SELECT doc_id,
+         |         CAST(${simhash62Sql("hs", "hs2")} AS BIGINT) AS simhash
+         |  FROM sh2),
+         |chunks AS (
+         |  $chunkSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+         |         b.doc_id AS doc_b, b.simhash AS sim_b
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.ckey = b.ckey
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sim_a, sim_b)) <= 5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sims = shingleSets(s, d)
+        .select(col("doc_id"), simhash62(col("hs")).as("simhash"))
+      simhashPairsFrom(sims, wideChunks, maxHam = 5)
     }
   }
 
@@ -487,6 +588,6 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccardPairs, qMinhashLsh, qMinhashIncremental,
-    qDedupNearRemoved, qSimhashDocs, qSimhashPairs, qDedupComponents,
-    qDecontaminate)
+    qDedupNearRemoved, qSimhashDocs, qSimhashPairs, qSimhashWideDocs,
+    qSimhashWidePairs, qDedupComponents, qDecontaminate)
 }

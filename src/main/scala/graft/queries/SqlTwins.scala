@@ -89,6 +89,19 @@ object SqlTwins {
        |  ELSE CAST(array() AS ARRAY<BIGINT>) END AS hs FROM th)"""
       .stripMargin
 
+  /** Spark spelling of [[graft.dedup.Dedup.simhash62]]'s bit votes. */
+  private def simhash62Sql(hs: String, hs2: String): String =
+    (0 until 62).map { j =>
+      val (arr, bit) = if (j < 31) (hs, j) else (hs2, j - 31)
+      s"(CASE WHEN aggregate($arr, CAST(0 AS BIGINT), " +
+        s"(acc, h) -> acc + ((shiftright(h, $bit) & 1)*2 - 1)) > 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val wideRehash =
+    s"transform(hs, h -> (CAST(${graft.dedup.Dedup.WideA} AS BIGINT) * h" +
+      s" + ${graft.dedup.Dedup.WideB}) % $P)"
+
   private def minhashSql(hs: String, k: Int): String =
     s"array_min(transform($hs, h -> (CAST(${TextHash.As(k)} AS BIGINT) * h" +
       s" + ${TextHash.Bs(k)}) % $P))"
@@ -333,6 +346,15 @@ object SqlTwins {
 
     "q_simhash_pairs" -> simhashPairsTwin,
 
+    "q_simhash_wide_docs" ->
+      s"""WITH $shingleCte,
+         |sh2 AS (SELECT doc_id, hs, $wideRehash AS hs2 FROM sh)
+         |SELECT doc_id,
+         |       CAST(${simhash62Sql("hs", "hs2")} AS BIGINT) AS simhash
+         |FROM sh2 ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_wide_pairs" -> simhashWidePairsTwin,
+
     "q_corpus_clean" ->
       s"""WITH $shingleCte,
          |ex AS (SELECT doc_id, explode(hs) AS h FROM sh),
@@ -439,6 +461,33 @@ object SqlTwins {
        |sims AS (
        |  SELECT doc_id, CAST(${simhashSql("hs")} AS BIGINT) AS simhash
        |  FROM sh),
+       |chunks AS (
+       |  $chunkSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+       |         b.doc_id AS doc_b, b.simhash AS sim_b
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk = b.chunk AND a.ckey = b.ckey
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(bit_count(sim_a ^ sim_b) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(sim_a ^ sim_b) <= 5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private lazy val simhashWidePairsTwin: String = {
+    val chunkSelects = graft.dedup.Dedup.wideChunks.zipWithIndex.map {
+      case ((off, bits), i) =>
+        s"SELECT doc_id, simhash, $i AS chunk, " +
+          s"shiftright(simhash, $off) & ${(1L << bits) - 1} AS ckey FROM sims"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCte,
+       |sh2 AS (SELECT doc_id, hs, $wideRehash AS hs2 FROM sh),
+       |sims AS (
+       |  SELECT doc_id,
+       |         CAST(${simhash62Sql("hs", "hs2")} AS BIGINT) AS simhash
+       |  FROM sh2),
        |chunks AS (
        |  $chunkSelects),
        |cand AS (

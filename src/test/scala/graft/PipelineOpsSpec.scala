@@ -55,6 +55,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(nearHam.max < randHam.sorted.apply(randHam.size / 2))
   }
 
+  test("wide simhash separates sharper: random pairs center near 31 bits") {
+    val sims = Dedup.qSimhashWideDocs.fn(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = Dedup.qNgramJaccardPairs.fn(spark, sf001)
+      .filter(col("jaccard") >= 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.nonEmpty)
+    def ham(p: (Long, Long)) =
+      java.lang.Long.bitCount(sims(p._1) ^ sims(p._2))
+    val nearHam = near.toSeq.map(ham)
+    val ids = sims.keys.toSeq.sorted.take(60)
+    val randHam = (for {
+      i <- ids; j <- ids if i < j && !near((i, j))
+    } yield ham((i, j))).sorted
+    // near-dups stay within the ≤5-of-62 threshold's neighbourhood while
+    // unrelated pairs center near 62/2 — a wider gap than 32 bits allows
+    assert(nearHam.max <= 12, nearHam.max)
+    val randMedian = randHam(randHam.size / 2)
+    assert(randMedian >= 20 && randMedian <= 42, randMedian)
+    assert(nearHam.max < randMedian)
+  }
+
   test("cosine top-k: ranks are 1..5 per query, cos within [-1,1]") {
     val rows = Similarity.qCosineTopk.fn(spark, sf001).collect()
     val byQuery = rows.groupBy(_.getLong(0))
