@@ -520,7 +520,9 @@ object Dedup {
     * diameter, driver only checks a convergence count — the standard
     * large-scale CC shape). Oracle: transitive closure by recursive CTE.
     * Output: (doc_id, component, is_kept) for every doc in some pair. */
-  val qDedupComponents: Q = Q("q_dedup_components",
+  /** Shared DuckDB oracle for both connected-components spellings:
+    * recursive reachability closure → per-node min reachable id. */
+  private val componentsOracleSql: String =
     s"""WITH RECURSIVE $shingleCte,
        |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
        |p AS (
@@ -544,7 +546,10 @@ object Dedup {
        |  SELECT e.dst, w.reach FROM walk w JOIN edges e ON e.src = w.node)
        |SELECT node AS doc_id, MIN(reach) AS component,
        |       node = MIN(reach) AS is_kept
-       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
+
+  val qDedupComponents: Q = Q("q_dedup_components",
+    componentsOracleSql) { (s, d) =>
     val pairs = jaccardPairs(s, d, 0.8).select("doc_a", "doc_b")
     // materialize the (small) edge list once — every propagation round
     // joins against it, and unchecked lineage would re-run the whole
@@ -586,8 +591,83 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (the MapReduce CC construction of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): each round hangs
+    * every node off the minimum of its neighbourhood, which squares away
+    * path lengths — convergence in O(log diameter) rounds vs label
+    * propagation's O(diameter). This is the 100×-scale insurance for DEEP
+    * components (long near-dup chains), where [[qDedupComponents]]'s
+    * per-round-one-hop propagation would need one shuffle per hop.
+    *
+    * Per round: large-star groups the symmetric adjacency by node, emits
+    * (v, min(N(u) ∪ u)) for each larger neighbour v > u; small-star
+    * re-hangs each node's smaller neighbours (and itself) off the group
+    * minimum. Both are groupBy + equi-join — no driver-side graph state;
+    * the only driver scalar is the converged flag, as in the propagation
+    * spelling. Throws if `maxRounds` is hit, rather than returning a
+    * partial clustering. */
+  private[graft] def starComponents(pairs: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    // canonical (u > v) orientation, self-loops dropped
+    var edges = pairs.toDF("a", "b")
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("doc_id"))
+      .unionAll(edges.select(col("v").as("doc_id"))).distinct()
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // large-star: symmetric adjacency; each strictly-larger neighbour v
+      // of u hangs off m(u) = min(N(u) ∪ {u})
+      val nbrs = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = nbrs.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: ls edges are already (larger, smaller); re-hang each
+      // group's smaller neighbours and the node itself off the minimum
+      val sMins = ls.groupBy("u").agg(min("v").as("m"))
+      val next = ls.join(sMins, "u")
+        .select(col("v").as("n"), col("m"))
+        .unionAll(sMins.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // fixed point: a min-rooted star is invariant under both operators.
+      // except() both ways is exact (no fingerprint collisions)
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star CC did not converge in $maxRounds rounds")
+    // converged edges are exactly (non-root node -> component root)
+    nodes.join(edges.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("v"), col("doc_id")).as("component"))
+      .withColumn("is_kept", col("doc_id") === col("component"))
+  }
+
+  /** [[starComponents]] over the ≥0.8-Jaccard near-dup graph — identical
+    * output to [[qDedupComponents]] (same oracle), logarithmic rounds. */
+  val qDedupComponentsStar: Q = Q("q_dedup_components_star",
+    componentsOracleSql) { (s, d) =>
+    starComponents(jaccardPairs(s, d, 0.8).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccardPairs, qMinhashLsh, qMinhashIncremental,
     qDedupNearRemoved, qSimhashDocs, qSimhashPairs, qSimhashWideDocs,
-    qSimhashWidePairs, qDedupComponents, qDecontaminate)
+    qSimhashWidePairs, qDedupComponents, qDedupComponentsStar,
+    qDecontaminate)
 }

@@ -43,7 +43,10 @@ object SqlTwins {
       ("iterative label propagation (driver-side loop over checkpoints); " +
         "the recursive-CTE spelling needs UNION-distinct recursion to " +
         "terminate on cyclic edge sets, which Spark's recursive CTEs " +
-        "(UNION ALL) do not support"))
+        "(UNION ALL) do not support"),
+    "q_dedup_components_star" ->
+      ("iterative large-star/small-star rounds (driver-side loop over " +
+        "checkpoints); same recursion limitation as q_dedup_components"))
 
   /** Mechanical DuckDB→Spark dialect mapping for the near-ANSI oracles.
     * Harmless on already-ANSI text; the hash/text queries that need more
