@@ -54,6 +54,7 @@ object SqlTwins {
   private def dialect(sql: String): String = {
     var s = sql
     s = s.replace("END IGNORE NULLS)", "END) IGNORE NULLS")
+    s = s.replace("AS VARCHAR)", "AS STRING)")
     s = s.replace("epoch_us(", "unix_micros(")
     s = s.replace("json_extract_string(", "get_json_object(")
     s = s.replace("quantile_cont(", "percentile(")

@@ -69,6 +69,45 @@ object TextOps {
         .orderBy("lang", "source")
   }
 
+  /** BPE-style pre-tokenizer regex (GPT-2 pattern family, lookahead-free
+    * so Java regex and RE2 agree): contraction suffixes, space-prefixed
+    * letter runs, digit runs, punctuation runs. Kept to the RE2∩Java
+    * subset — no \\p classes, no lookahead. */
+  private[graft] val bpeTokenRe =
+    "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** Token counting, BPE-pre-tokenizer flavour: whitespace counts next to
+    * regex pre-token counts (the unit a BPE trainer would consume). The
+    * corpus text is pure lowercase words, which would make the two counts
+    * degenerate-equal — so a deterministic versioned suffix
+    * (` v<doc_id%10>.0!`) is appended first, giving the regex real digit
+    * and punctuation runs to split (` v3.0!` → ` v`, `3`, `.`, `0`, `!`).
+    * Both engines run the same pattern; parity also guards the regex
+    * alternation semantics (leftmost-first in Java and RE2). */
+  val qTokenBpe: Q = Q("q_token_bpe",
+    s"""WITH aug AS (
+       |  SELECT doc_id, lang,
+       |         text || ' v' || CAST(doc_id % 10 AS VARCHAR) || '.0!' AS t
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(len(string_split(t, ' ')) AS BIGINT)) AS BIGINT)
+       |    AS ws_tokens,
+       |  CAST(SUM(CAST(len(regexp_extract_all(t, '${bpeTokenRe
+          .replace("'", "''")}'))
+       |    AS BIGINT)) AS BIGINT) AS bpe_tokens
+       |FROM aug GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("lang"),
+        concat(col("text"), lit(" v"), col("doc_id") % 10, lit(".0!"))
+          .as("t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("t"), " ")).cast("long")).as("ws_tokens"),
+        sum(size(regexp_extract_all(col("t"), lit(bpeTokenRe), lit(0)))
+          .cast("long")).as("bpe_tokens"))
+      .orderBy("lang")
+  }
+
   /** Heuristic quality score: four binary signals (length band, mean token
     * length band, stopword presence, punctuation scarcity), averaged.
     * The shape of C4/Gopher-style rule filters, minus the corpus-specific
@@ -417,6 +456,7 @@ object TextOps {
   }
 
   val all: Seq[Q] = Seq(
-    qTextStats, qTokenCounts, qQualityScore, qLangId, qFingerprint,
-    qCorpusClean, qVocabTopk, qPiiRedact, qPackChunks, qSplitHash)
+    qTextStats, qTokenCounts, qTokenBpe, qQualityScore, qLangId,
+    qFingerprint, qCorpusClean, qVocabTopk, qPiiRedact, qPackChunks,
+    qSplitHash)
 }
