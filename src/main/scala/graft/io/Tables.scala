@@ -116,6 +116,15 @@ object Tables {
       : DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
+  /** ORC source/sink: the second columnar format (predicate pushdown and
+    * column pruning work the same as parquet — stripe stats in place of
+    * row groups), for interop with ORC-resident warehouses. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def loadOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JDBC read-partitioning spec: one cursor per stride of `column`. */
   final case class JdbcPartition(
       column: String, lower: Long, upper: Long, num: Int)

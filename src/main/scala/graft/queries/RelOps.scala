@@ -470,10 +470,49 @@ object RelOps {
         .orderBy(asc("nation_name"), desc("units"), asc("supplier_name"))
   }
 
+  /** Range join (value ∈ [lo, hi) band lookup) as bucket-equi-join +
+    * residual predicate. Spark executes the raw inequality join as a
+    * BroadcastNestedLoopJoin — every fact row probes every band, and the
+    * moment the band side stops being broadcastable it degrades to a
+    * cartesian. The scale-safe spelling decomposes each band into the
+    * fixed-width buckets it overlaps (explode — a few rows per band),
+    * equi-joins fact rows to buckets (hash join), and applies the exact
+    * range bounds as a residual filter. Bucket width trades band fan-out
+    * against residual waste; 25.0 keeps the 7-band table at ≤13 buckets
+    * per band. Plan-guarded: BroadcastHashJoin, never NestedLoop. */
+  val qRangeJoinBands: Q = Q("q_range_join_bands",
+    """WITH bands(band_id, lo, hi) AS (
+      |  VALUES (0, 0.0, 1.0), (1, 1.0, 5.0), (2, 5.0, 20.0),
+      |         (3, 20.0, 50.0), (4, 50.0, 100.0), (5, 100.0, 200.0),
+      |         (6, 200.0, 500.0))
+      |SELECT CAST(b.band_id AS INT) AS band_id, b.lo, b.hi,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(ROUND(e.value*100) AS BIGINT)) AS BIGINT)
+      |         AS value_cents
+      |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+      |GROUP BY 1, 2, 3 ORDER BY band_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = 25.0
+    val bands = Seq((0, 0.0, 1.0), (1, 1.0, 5.0), (2, 5.0, 20.0),
+      (3, 20.0, 50.0), (4, 50.0, 100.0), (5, 100.0, 200.0),
+      (6, 200.0, 500.0)).toDF("band_id", "lo", "hi")
+    val bandBuckets = bands.withColumn("bucket",
+      explode(sequence(floor(col("lo") / w), floor(col("hi") / w))))
+    Tables.load(s, d, "events")
+      .withColumn("bucket", floor(col("value") / w))
+      .withColumn("value_cents_row", cents(col("value")))
+      .join(broadcast(bandBuckets), "bucket")
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band_id", "lo", "hi")
+      .agg(count(lit(1)).as("n_events"),
+        sum("value_cents_row").as("value_cents"))
+      .orderBy("band_id")
+  }
+
   val all: Seq[Q] = Seq(
     qSemiJoin, qAntiJoin, qOuterJoinAgg, qUnionAllNames,
     qSetIntersectExcept, qWindowRank, qWindowRunning, qWindowLagDelta,
     qRollup, qCube, qDistinctAgg, qTopkOrders, qJsonExtract, qSessionize,
     qSessionWindow, qTumblingHour, qAsofPriorClick, qAsofTolerance,
-    qPivotConditional, qTopkPerKeyCustom)
+    qPivotConditional, qTopkPerKeyCustom, qRangeJoinBands)
 }

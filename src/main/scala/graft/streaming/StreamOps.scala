@@ -27,6 +27,31 @@ object StreamOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("value_cents"))
 
+  /** Sliding-window counts (window `size` advancing every `slide`): each
+    * event lands in size/slide overlapping windows — the hopping-window
+    * aggregate for rate dashboards. Same bounded-state posture as
+    * [[hourlyCounts]]: the watermark closes windows, state per key is
+    * #open-windows × #event-types, independent of stream length. */
+  def slidingCounts(events: DataFrame, size: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("event_type"), col("n"))
+
+  /** Stream-static enrichment: the streaming fact joined to a static
+    * dimension frame. No state store is involved (unlike stream-stream
+    * joins) — Spark re-plans the static side per micro-batch, broadcast
+    * here since dimensions are small; at scale this is the standard
+    * pattern for decorating an event stream with slowly-changing
+    * reference data. */
+  def enrich(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup: drop replayed event ids, with state bounded
     * by the watermark (an at-least-once source made exactly-once). The
     * batch twin is a plain dropDuplicates. */

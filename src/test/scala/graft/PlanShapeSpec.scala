@@ -69,6 +69,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("range join runs as a bucketed equi-join, never a nested loop") {
+    val p = plan(graft.queries.RelOps.qRangeJoinBands.fn(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
   test("pack_chunks broadcasts slice offsets (no per-language reducer)") {
     // round-2 verdict #2: the data-scaled window must key on (pid, lang) —
     // group size bounded by the range-slice width, not by language share.

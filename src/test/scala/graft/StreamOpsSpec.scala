@@ -178,6 +178,49 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("slidingCounts: an event lands in size/slide overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val query = StreamOps.slidingCounts(df).writeStream
+      .format("memory").queryName("sliding_test").outputMode("complete")
+      .start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData((t("2024-01-01 10:05:00"), "click", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("sliding_test").orderBy("win_start").collect()
+      // 1h window hopping 15min: 10:05 falls in exactly 4 windows
+      assert(rows.length == 4, rows.mkString(";"))
+      assert(rows.map(_.getAs[java.sql.Timestamp]("win_start")).head
+        == t("2024-01-01 09:15:00"))
+      assert(rows.map(_.getAs[java.sql.Timestamp]("win_start")).last
+        == t("2024-01-01 10:00:00"))
+      assert(rows.forall(_.getAs[Long]("n") == 1L))
+    } finally query.stop()
+  }
+
+  test("stream-static enrichment joins a broadcast dimension per batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[StreamOps.Ev]
+    val query = StreamOps.enrich(mem.toDF(), dim, "user_id").writeStream
+      .format("memory").queryName("enrich_test").outputMode("append")
+      .start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(StreamOps.Ev(1L, 10L, t("2024-01-01 10:00:00")),
+        StreamOps.Ev(2L, 20L, t("2024-01-01 10:01:00")),
+        StreamOps.Ev(9L, 90L, t("2024-01-01 10:02:00"))) // no dim row
+      query.processAllAvailable()
+      val rows = spark.table("enrich_test").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("tier")).toMap
+      assert(rows == Map(1L -> "gold", 2L -> "basic", 9L -> null))
+    } finally query.stop()
+  }
+
   test("hourlyCounts runs as a real stream over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

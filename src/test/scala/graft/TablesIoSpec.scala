@@ -36,6 +36,20 @@ class TablesIoSpec extends SparkSpec {
     assert(back.except(nation).count() == 0)
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    val orders = Tables.load(spark, sf001, "orders")
+    val path = tmp("graft_orc")
+    Tables.writeOrc(orders, path)
+    val back = Tables.loadOrc(spark, path)
+    assert(back.count() == orders.count())
+    assert(back.except(orders).count() == 0)
+    // same pushdown posture as parquet: the predicate reaches the scan
+    val plan = back.filter(col("o_orderkey") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("EqualTo(o_orderkey,42)"), plan)
+  }
+
   test("missing-table probe tolerates absence (reference 'No existe')") {
     assert(!Tables.exists(spark, sf001, "combined_sellout"))
     assert(Tables.countTables(spark, sf001,
