@@ -274,7 +274,16 @@ object Dedup {
 
   /** 32-bit SimHash over the distinct shingle-hash set: bit j is the sign
     * of Σ ±1 votes from each shingle's j-th hash bit (Charikar 2002). */
+  /** 32-bit SimHash signature — the native one-pass codegen expression
+    * ([[graft.functions.GraftSimhash]]); [[simhash32Composed]] is the
+    * HOF spelling it is spec-proven value-identical to. */
   def simhash32(hs: Column): Column =
+    call_function(graft.functions.GraftSimhash.FunctionName, hs, lit(32))
+
+  /** Composed HOF form of [[simhash32]] (one interpreted `aggregate` fold
+    * per bit) — kept as the parity reference for GraftSimhashSpec and as
+    * documentation of the semantics the oracle SQL mirrors. */
+  private[graft] def simhash32Composed(hs: Column): Column =
     (0 until 32).map { j =>
       val votes = aggregate(hs, lit(0L),
         (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
@@ -376,9 +385,10 @@ object Dedup {
 
   /** LCG constants (Numerical Recipes) for the affine rehash feeding the
     * upper signature bits. `WideA * h` with h < 2^31 stays < 2^52: no
-    * signed-64 overflow in either engine. */
-  private[graft] val WideA = 1664525L
-  private[graft] val WideB = 1013904223L
+    * signed-64 overflow in either engine. (Shared with the native
+    * expression — single source of truth.) */
+  private[graft] val WideA = graft.functions.GraftSimhash.WideA
+  private[graft] val WideB = graft.functions.GraftSimhash.WideB
 
   /** 62-bit SimHash: wider signatures sharpen the Hamming separation on
     * large corpora (more independent projections per doc), while staying
@@ -386,8 +396,13 @@ object Dedup {
     * vote on the shingle hash's own bits; bits 31..61 vote on an affine
     * rehash `(WideA*h + WideB) mod P` — each bit is an independent
     * pseudo-random projection, the Charikar construction in md5-derived
-    * arithmetic both engines reproduce bit-identically. */
-  def simhash62(hs: Column): Column = {
+    * arithmetic both engines reproduce bit-identically. Native one-pass
+    * codegen expression; [[simhash62Composed]] is the parity reference. */
+  def simhash62(hs: Column): Column =
+    call_function(graft.functions.GraftSimhash.FunctionName, hs, lit(62))
+
+  /** Composed HOF form of [[simhash62]] — parity reference only. */
+  private[graft] def simhash62Composed(hs: Column): Column = {
     val h2 = transform(hs, h => (lit(WideA) * h + lit(WideB)) % lit(P))
     (0 until 62).map { j =>
       val (arr, bit) = if (j < 31) (hs, j) else (h2, j - 31)

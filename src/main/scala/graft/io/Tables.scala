@@ -24,6 +24,7 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.functions.Md5Mod31.ensureRegistered(spark)
     graft.functions.GraftDot.ensureRegistered(spark)
+    graft.functions.GraftSimhash.ensureRegistered(spark)
     // SQL-callable form of the incremental MinHash aggregator, so the
     // SqlTwins surface can group with it too
     if (!spark.catalog.functionExists("minhash_sig"))
