@@ -350,6 +350,23 @@ object SqlTwins {
 
     "q_simhash_pairs" -> simhashPairsTwin,
 
+    "q_repetition" ->
+      s"""WITH $shingleCte
+         |SELECT d.doc_id, d.lang,
+         |  CAST(greatest(size(split(d.text, ' ')) - 2, 0) AS BIGINT)
+         |    AS n_grams,
+         |  CAST(size(s.hs) AS BIGINT) AS n_unique,
+         |  CASE WHEN size(split(d.text, ' ')) - 2 > 0
+         |       THEN CAST(1.0 AS DOUBLE) - CAST(size(s.hs) AS DOUBLE)
+         |            / (size(split(d.text, ' ')) - 2)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS dup_frac,
+         |  CASE WHEN size(split(d.text, ' ')) - 2 > 0
+         |       THEN (CAST(1.0 AS DOUBLE) - CAST(size(s.hs) AS DOUBLE)
+         |            / (size(split(d.text, ' ')) - 2)) > 0.2
+         |       ELSE FALSE END AS is_repetitive
+         |FROM documents d JOIN sh s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_simhash_wide_docs" ->
       s"""WITH $shingleCte,
          |sh2 AS (SELECT doc_id, hs, $wideRehash AS hs2 FROM sh)

@@ -108,6 +108,44 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Repetition filter (the Gopher/MassiveText "duplicate n-gram
+    * fraction" quality signal): per doc, the fraction of its 3-gram
+    * shingles that are repeats — `1 − distinct/total`. Highly repetitive
+    * docs (boilerplate, keyword stuffing, decode loops) score high and
+    * get flagged. Integer counts + one per-row division: bit-exact across
+    * engines; reuses the md5 shingle pipeline, embarrassingly parallel,
+    * no shuffle. */
+  val qRepetition: Q = Q("q_repetition",
+    s"""WITH ${TextHash.shingleCteSql}
+       |SELECT d.doc_id, d.lang,
+       |  CAST(greatest(len(string_split(d.text, ' ')) - 2, 0) AS BIGINT)
+       |    AS n_grams,
+       |  CAST(len(s.hs) AS BIGINT) AS n_unique,
+       |  CASE WHEN len(string_split(d.text, ' ')) - 2 > 0
+       |       THEN CAST(1.0 AS DOUBLE) - CAST(len(s.hs) AS DOUBLE)
+       |            / (len(string_split(d.text, ' ')) - 2)
+       |       ELSE CAST(0.0 AS DOUBLE) END AS dup_frac,
+       |  CASE WHEN len(string_split(d.text, ' ')) - 2 > 0
+       |       THEN (CAST(1.0 AS DOUBLE) - CAST(len(s.hs) AS DOUBLE)
+       |            / (len(string_split(d.text, ' ')) - 2)) > 0.2
+       |       ELSE FALSE END AS is_repetitive
+       |FROM documents d JOIN sh s ON s.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    TextHash.addShingleHashes(docs(s, d), col("text"))
+      .select(col("doc_id"), col("lang"),
+        greatest(size(TextHash.tokens(col("text"))) - 2, lit(0))
+          .cast("long").as("n_grams"),
+        size(col("hs")).cast("long").as("n_unique"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_unique").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)))
+      .withColumn("is_repetitive",
+        when(col("n_grams") > 0, col("dup_frac") > 0.2)
+          .otherwise(lit(false)))
+      .orderBy("doc_id")
+  }
+
   /** Heuristic quality score: four binary signals (length band, mean token
     * length band, stopword presence, punctuation scarcity), averaged.
     * The shape of C4/Gopher-style rule filters, minus the corpus-specific
@@ -456,7 +494,7 @@ object TextOps {
   }
 
   val all: Seq[Q] = Seq(
-    qTextStats, qTokenCounts, qTokenBpe, qQualityScore, qLangId,
-    qFingerprint, qCorpusClean, qVocabTopk, qPiiRedact, qPackChunks,
-    qSplitHash)
+    qTextStats, qTokenCounts, qTokenBpe, qQualityScore, qRepetition,
+    qLangId, qFingerprint, qCorpusClean, qVocabTopk, qPiiRedact,
+    qPackChunks, qSplitHash)
 }
