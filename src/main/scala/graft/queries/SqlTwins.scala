@@ -55,6 +55,11 @@ object SqlTwins {
     var s = sql
     s = s.replace("END IGNORE NULLS)", "END) IGNORE NULLS")
     s = s.replace("AS VARCHAR)", "AS STRING)")
+    // the hash32Sql idiom → the native expression (before the generic
+    // ::BIGINT rule, which would only mangle its tail)
+    s = s.replaceAll(
+      """\('0x' \|\| substring\(md5\(([^()]+)\), 1, 8\)\)::BIGINT % 2147483647""",
+      "graft_md5_mod31($1)")
     s = s.replace("epoch_us(", "unix_micros(")
     s = s.replace("json_extract_string(", "get_json_object(")
     s = s.replace("quantile_cont(", "percentile(")

@@ -469,6 +469,35 @@ object TextOps {
           .as("pack_id"))
   }
 
+  /** Mixture sampling (the data-mixing step of a training pipeline):
+    * each source gets a deterministic sampling rate in permille —
+    * 200 + md5(source) mod 700, standing in for externally-tuned mixture
+    * weights — and a doc survives iff md5(text) mod 1000 falls under its
+    * source's rate. Hash-gated sampling is the scale-safe spelling: no
+    * RNG state, reproducible across runs/engines/partitionings, and a
+    * pure per-row filter (no shuffle before the per-source rollup). */
+  val qMixtureSample: Q = Q("q_mixture_sample",
+    s"""WITH d AS (
+       |  SELECT source,
+       |         200 + ${TextHash.hash32Sql("source")} % 700 AS rate_pm,
+       |         ${TextHash.hash32Sql("text")} % 1000 AS r
+       |  FROM documents)
+       |SELECT source, CAST(rate_pm AS BIGINT) AS rate_pm,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN r < rate_pm THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_sampled
+       |FROM d GROUP BY 1, 2 ORDER BY source""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("source"),
+        (lit(200L) + TextHash.hash32(col("source")) % 700L).as("rate_pm"),
+        (TextHash.hash32(col("text")) % 1000L).as("r"))
+      .groupBy("source", "rate_pm")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r") < col("rate_pm"), 1L).otherwise(0L))
+          .as("n_sampled"))
+      .orderBy("source")
+  }
+
   /** Deterministic train/val/test split by content hash (md5 mod 100:
     * 80/10/10) — reproducible across engines and runs, no RNG state. */
   val qSplitHash: Q = Q("q_split_hash",
@@ -496,5 +525,5 @@ object TextOps {
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCounts, qTokenBpe, qQualityScore, qRepetition,
     qLangId, qFingerprint, qCorpusClean, qVocabTopk, qPiiRedact,
-    qPackChunks, qSplitHash)
+    qPackChunks, qSplitHash, qMixtureSample)
 }
