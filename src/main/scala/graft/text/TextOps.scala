@@ -443,6 +443,17 @@ object TextOps {
   private[graft] def packByPrefixSum(
       base: org.apache.spark.sql.DataFrame,
       binTokens: Double = 512.0,
+      slices: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    priorByPrefixSum(base, slices)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(col("prior_tokens") / binTokens).cast("long").as("pack_id"))
+
+  /** The distributed exclusive prefix sum itself: (doc_id, lang,
+    * n_tokens) → + `prior_tokens` (sum of earlier docs' tokens within the
+    * language, doc_id order). Shared by [[qPackChunks]] (bins it) and
+    * [[qTokenBudget]] (thresholds it). */
+  private[graft] def priorByPrefixSum(
+      base: org.apache.spark.sql.DataFrame,
       slices: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // no explicit count -> AQE sizes the range slices by bytes (the 100 TB
@@ -465,8 +476,35 @@ object TextOps {
       .select("pid", "lang", "offset")
     local.join(broadcast(offsets), Seq("pid", "lang"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        floor((col("local_prior") + col("offset")) / binTokens).cast("long")
-          .as("pack_id"))
+        (col("local_prior") + col("offset")).as("prior_tokens"))
+  }
+
+  /** Token-budget fill (dataset sizing): greedily select docs per
+    * language, in deterministic doc_id order, until the language's token
+    * budget is reached — a doc is selected iff the tokens BEFORE it are
+    * under budget (the boundary doc may overflow; the rule is exact and
+    * order-deterministic). Runs on the same two-level distributed prefix
+    * sum as [[qPackChunks]] — no per-language reducer. */
+  val qTokenBudget: Q = Q("q_token_budget",
+    """WITH t AS (SELECT doc_id, lang,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |         CAST(COALESCE(SUM(n_tokens) OVER (
+      |           PARTITION BY lang ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |           0) AS BIGINT) AS prior_tokens
+      |  FROM t)
+      |SELECT doc_id, lang, n_tokens, prior_tokens,
+      |       prior_tokens < 2000 AS is_selected
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
+    priorByPrefixSum(base)
+      .withColumn("is_selected", col("prior_tokens") < 2000L)
+      .orderBy("doc_id")
   }
 
   /** Mixture sampling (the data-mixing step of a training pipeline):
@@ -525,5 +563,5 @@ object TextOps {
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCounts, qTokenBpe, qQualityScore, qRepetition,
     qLangId, qFingerprint, qCorpusClean, qVocabTopk, qPiiRedact,
-    qPackChunks, qSplitHash, qMixtureSample)
+    qPackChunks, qSplitHash, qMixtureSample, qTokenBudget)
 }
