@@ -95,4 +95,18 @@ class ScaleSpec extends SparkSpec {
     assert(one == graft.functions.Md5Mod31.hashUtf8(
       org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
   }
+
+  test("all three native functions are SQL-callable after registration") {
+    graft.io.Tables.load(spark, sf001, "nation") // triggers ensureRegistered
+    val row = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       graft_simhash(array(5L), 32) AS s32,
+        |       graft_simhash(array(5L), 62) AS s62""".stripMargin)
+      .collect()(0)
+    assert(row.getDouble(0) == 11.0)
+    // one element: signature = the element's low bits themselves (a
+    // single positive vote per set bit)
+    assert(row.getLong(1) == 5L)
+    assert((row.getLong(2) & 0x7fffffffL) == 5L)
+  }
 }
