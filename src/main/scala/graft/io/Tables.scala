@@ -52,12 +52,22 @@ object Tables {
 
   /** Row count per table, "-1" marking missing tables (S3,
     * reference src/job.py:114-129). Counts are distributed aggregates; only
-    * the tiny (table → count) map lands on the driver. */
+    * the tiny (table → count) map lands on the driver. The per-table count
+    * JOBS are submitted concurrently (Spark's scheduler interleaves them
+    * across the executor pool) — sequential submission would serialize N
+    * metadata-sized jobs behind each other's scheduling latency. */
   def countTables(spark: SparkSession, sfDir: String,
-      names: Seq[String]): Map[String, Long] =
-    names.map { n =>
-      n -> (if (exists(spark, sfDir, n)) load(spark, sfDir, n).count() else -1L)
-    }.toMap
+      names: Seq[String]): Map[String, Long] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = names.map { n =>
+      Future(n ->
+        (if (exists(spark, sfDir, n)) load(spark, sfDir, n).count()
+        else -1L))
+    }
+    Await.result(Future.sequence(futures), Duration.Inf).toMap
+  }
 
   /** Timestamped backup sink before destructive edits (S4/D3,
     * reference src/job.py:236-240). Path-partitioned parquet — at cluster
