@@ -657,8 +657,11 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       // fixed point: a min-rooted star is invariant under both operators.
-      // except() both ways is exact (no fingerprint collisions)
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // Both frames are DISTINCT sets, so |A|=|B| ∧ A∖B=∅ ⟺ A=B: the
+      // cheap count gates the single except (exact, no fingerprints) —
+      // non-converged rounds usually exit on the count alone
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
       edges = next
       rounds += 1
     }
