@@ -162,5 +162,86 @@ object Multimodal {
     extractDims(syntheticMediaTable(s, d)).toDF().orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qMultimodalFeatures, qMediaDims)
+  /** A raw gray8 bitmap: `pixels` is row-major w×h bytes — the
+    * post-decode representation a real pipeline resizes/crops, with no
+    * codec needed to operate on it. */
+  final case class RawImage(
+      doc_id: Long, in_w: Int, in_h: Int, pixels: Array[Byte])
+
+  final case class ResizeStats(
+      doc_id: Long, in_w: Int, in_h: Int, out_w: Int, out_h: Int,
+      checksum: Long)
+
+  /** REAL nearest-neighbour resize on a row-major gray8 buffer — the
+    * byte-level kernel itself, no libraries: out(x2, y2) =
+    * in(x2·w/w2, y2·h/h2) with integer floor division. */
+  def resizeNearest(px: Array[Byte], w: Int, h: Int,
+      w2: Int, h2: Int): Array[Byte] = {
+    val out = new Array[Byte](w2 * h2)
+    var y2 = 0
+    while (y2 < h2) {
+      val y1 = y2 * h / h2
+      var x2 = 0
+      while (x2 < w2) {
+        out(y2 * w2 + x2) = px(y1 * w + x2 * w / w2)
+        x2 += 1
+      }
+      y2 += 1
+    }
+    out
+  }
+
+  /** Synthetic gray8 corpus over `documents`: per doc a w×h bitmap
+    * (w = 8 + doc_id%24, h = 8 + doc_id%16) whose pixel j is the doc's
+    * text byte at j mod length — deterministic content a SQL oracle can
+    * re-derive pixel-by-pixel. Text is ASCII throughout the corpus, so
+    * byte and character indexing agree across engines. */
+  def rawImageTable(s: SparkSession, d: String): Dataset[RawImage] = {
+    import s.implicits._
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("body"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, body) =>
+        val w = (8 + id % 24).toInt
+        val h = (8 + id % 16).toInt
+        val px = Array.tabulate(w * h)(j => body(j % body.length))
+        RawImage(id, w, h, px)
+      }
+  }
+
+  /** Real resize as a registered query: every bitmap downsampled to 8×8
+    * by the actual byte kernel (mapPartitions batch loop, like the other
+    * decode stages), summarized as a position-weighted checksum
+    * Σ (k+1)·out(k) the DuckDB oracle recomputes from the same
+    * source-index arithmetic — any indexing/rounding error in the kernel
+    * hash-mismatches. */
+  val qMediaResize: Q = Q("q_media_resize",
+    """SELECT doc_id,
+      |  CAST(8 + doc_id % 24 AS INT) AS in_w,
+      |  CAST(8 + doc_id % 16 AS INT) AS in_h,
+      |  CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+      |  CAST(list_sum(list_transform(range(0, 64), k ->
+      |    (k + 1) * ascii(substring(text,
+      |      CAST(1 + (((k // 8) * (8 + doc_id % 16) // 8)
+      |                  * (8 + doc_id % 24)
+      |                + ((k % 8) * (8 + doc_id % 24) // 8))
+      |               % length(text) AS INT),
+      |      1)))) AS BIGINT) AS checksum
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    rawImageTable(s, d).mapPartitions { imgs =>
+      imgs.map { img =>
+        val out = resizeNearest(img.pixels, img.in_w, img.in_h, 8, 8)
+        var sum = 0L
+        var k = 0
+        while (k < out.length) {
+          sum += (k + 1).toLong * (out(k) & 0xff)
+          k += 1
+        }
+        ResizeStats(img.doc_id, img.in_w, img.in_h, 8, 8, sum)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qMultimodalFeatures, qMediaDims, qMediaResize)
 }

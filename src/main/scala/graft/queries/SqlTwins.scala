@@ -55,6 +55,7 @@ object SqlTwins {
     var s = sql
     s = s.replace("END IGNORE NULLS)", "END) IGNORE NULLS")
     s = s.replace("AS VARCHAR)", "AS STRING)")
+    s = s.replace(" // ", " div ") // integer floor division
     // the hash32Sql idiom → the native expression (before the generic
     // ::BIGINT rule, which would only mangle its tail)
     s = s.replaceAll(
@@ -354,6 +355,21 @@ object SqlTwins {
          |FROM sh ORDER BY doc_id""".stripMargin,
 
     "q_simhash_pairs" -> simhashPairsTwin,
+
+    "q_media_resize" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 24 AS INT) AS in_w,
+        |  CAST(8 + doc_id % 16 AS INT) AS in_h,
+        |  CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+        |  CAST(aggregate(transform(sequence(0, 63), k ->
+        |    (k + 1) * ascii(substring(text,
+        |      CAST(1 + (((k div 8) * (8 + doc_id % 16) div 8)
+        |                  * (8 + doc_id % 24)
+        |                + ((k % 8) * (8 + doc_id % 24) div 8))
+        |               % length(text) AS INT),
+        |      1))), CAST(0 AS BIGINT), (acc, x) -> acc + x)
+        |    AS BIGINT) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       s"""WITH $shingleCte

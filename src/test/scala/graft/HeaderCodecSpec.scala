@@ -88,6 +88,21 @@ class HeaderCodecSpec extends SparkSpec {
       HeaderCodec.wavBytes(22050, 1, tail.take(3))).contains((22050, 1)))
   }
 
+  test("nearest-neighbour resize: literal fixtures down, up, identity") {
+    // 4×2 → 2×2: picks columns 0,2 of each selected row
+    val px = bytes(10, 20, 30, 40, 50, 60, 70, 80)
+    assert(Multimodal.resizeNearest(px, 4, 2, 2, 2).toSeq
+      == bytes(10, 30, 50, 70).toSeq)
+    // 1×1 → 3×3 upsample: replicates the single pixel
+    assert(Multimodal.resizeNearest(bytes(7), 1, 1, 3, 3).toSeq
+      == Seq.fill(9)(7.toByte))
+    // identity
+    assert(Multimodal.resizeNearest(px, 4, 2, 4, 2).toSeq == px.toSeq)
+    // 2×2 → 4×4: each source pixel becomes a 2×2 block
+    assert(Multimodal.resizeNearest(bytes(1, 2, 3, 4), 2, 2, 4, 4).toSeq
+      == bytes(1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4).toSeq)
+  }
+
   test("extractDims sniffs the container from bytes, not the mime label") {
     import spark.implicits._
     val rows = Seq(
