@@ -53,6 +53,12 @@ class PlanShapeSpec extends SparkSpec {
         .contains("ReusedExchange"))
       assert(plan(Similarity.qEmbedNearDup.fn(spark, sf001))
         .contains("ReusedExchange"))
+      // both simhash widths: the signature pipeline must run once, not
+      // once per chunk-join side
+      assert(plan(Dedup.qSimhashPairs.fn(spark, sf001))
+        .contains("ReusedExchange"))
+      assert(plan(Dedup.qSimhashWidePairs.fn(spark, sf001))
+        .contains("ReusedExchange"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
