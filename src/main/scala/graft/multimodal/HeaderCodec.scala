@@ -107,6 +107,25 @@ object HeaderCodec {
     None
   }
 
+  /** The "data" chunk's payload bytes (PCM samples), walking the RIFF
+    * chunk list like [[wavFormat]]; None for non-WAV or truncated data. */
+  def wavData(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE"))
+      return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0) return None
+      if (ascii(b, i, "data")) {
+        return if (i + 8 + size <= b.length)
+          Some(java.util.Arrays.copyOfRange(b, i + 8, i + 8 + size))
+        else None
+      }
+      i += 8 + size + (size & 1)
+    }
+    None
+  }
+
   // ---------- write side: ByteBuffer, independent of the readers ----------
 
   /** Minimal valid-layout PNG: signature + IHDR (8-bit RGBA, zeroed CRC —

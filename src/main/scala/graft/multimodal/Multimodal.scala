@@ -243,5 +243,72 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qMultimodalFeatures, qMediaDims, qMediaResize)
+  final case class MediaEnergy(
+      doc_id: Long, n_frames: Long, total_energy: Long, peak_frame: Long,
+      peak_energy: Long)
+
+  /** Per-frame energy over a PCM byte buffer: frames of `frameLen`
+    * samples (unsigned 8-bit here), energy = Σ sample² — the audio
+    * feature-extraction analog of [[resizeNearest]], pure integer
+    * arithmetic. */
+  def frameEnergies(data: Array[Byte], frameLen: Int): Array[Long] = {
+    val nf = (data.length + frameLen - 1) / frameLen
+    Array.tabulate(nf) { f =>
+      var s = 0L
+      var i = f * frameLen
+      val end = math.min(i + frameLen, data.length)
+      while (i < end) {
+        val v = (data(i) & 0xff).toLong
+        s += v * v
+        i += 1
+      }
+      s
+    }
+  }
+
+  /** Audio feature extraction as a registered query: the WAV docs'
+    * data chunks (REAL chunk walk via [[HeaderCodec.wavData]]) framed
+    * into 16-sample windows, per-frame energy, peak localization. The
+    * oracle recomputes the energies from the same text bytes (the RIFF
+    * pad byte is 0 and contributes nothing; the corpus is ASCII so byte
+    * and char indexing agree). A wrong chunk offset, frame boundary or
+    * energy sum hash-mismatches. */
+  val qMediaEnergy: Q = Q("q_media_energy",
+    """WITH a AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |         length(text) + length(text) % 2 AS dl
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |e AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, (dl + 15) // 16), f ->
+      |      CAST(list_sum(list_transform(
+      |        range(f*16, least((f+1)*16, CAST(n AS BIGINT))), i ->
+      |          ascii(substring(text, CAST(i + 1 AS INT), 1))
+      |          * ascii(substring(text, CAST(i + 1 AS INT), 1))))
+      |        AS BIGINT)) AS es
+      |  FROM a)
+      |SELECT doc_id,
+      |  CAST(len(es) AS BIGINT) AS n_frames,
+      |  CAST(list_sum(es) AS BIGINT) AS total_energy,
+      |  CAST(list_position(es, list_max(es)) - 1 AS BIGINT) AS peak_frame,
+      |  CAST(list_max(es) AS BIGINT) AS peak_energy
+      |FROM e ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    syntheticMediaTable(s, d)
+      .filter(col("mime") === "audio/wav")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val data = HeaderCodec.wavData(r.payload)
+            .getOrElse(Array.emptyByteArray)
+          val es = frameEnergies(data, 16)
+          val peak = if (es.isEmpty) -1L else es.indexOf(es.max).toLong
+          MediaEnergy(r.doc_id, es.length.toLong, es.sum, peak,
+            if (es.isEmpty) 0L else es.max)
+        }
+      }.toDF().orderBy("doc_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(qMultimodalFeatures, qMediaDims, qMediaResize, qMediaEnergy)
 }

@@ -356,6 +356,31 @@ object SqlTwins {
 
     "q_simhash_pairs" -> simhashPairsTwin,
 
+    "q_media_energy" ->
+      """WITH a AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |         length(text) + length(text) % 2 AS dl
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |e AS (
+        |  SELECT doc_id,
+        |    transform(sequence(0, (dl + 15) div 16 - 1), f ->
+        |      CAST(aggregate(transform(
+        |        sequence(CAST(f*16 AS BIGINT),
+        |                 least(CAST((f+1)*16 AS BIGINT),
+        |                       CAST(n AS BIGINT)) - 1), i ->
+        |          ascii(substring(text, CAST(i + 1 AS INT), 1))
+        |          * ascii(substring(text, CAST(i + 1 AS INT), 1))),
+        |        CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)) AS es
+        |  FROM a)
+        |SELECT doc_id,
+        |  CAST(size(es) AS BIGINT) AS n_frames,
+        |  CAST(aggregate(es, CAST(0 AS BIGINT), (acc, x) -> acc + x)
+        |    AS BIGINT) AS total_energy,
+        |  CAST(array_position(es, array_max(es)) - 1 AS BIGINT)
+        |    AS peak_frame,
+        |  CAST(array_max(es) AS BIGINT) AS peak_energy
+        |FROM e ORDER BY doc_id""".stripMargin,
+
     "q_media_resize" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 24 AS INT) AS in_w,

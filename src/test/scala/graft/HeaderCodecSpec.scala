@@ -103,6 +103,24 @@ class HeaderCodecSpec extends SparkSpec {
       == bytes(1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4).toSeq)
   }
 
+  test("wavData extracts the data chunk; frame energies localize a spike") {
+    val tail = Array.tabulate(40)(i => (if (i == 35) 200 else 1).toByte)
+    val wav = HeaderCodec.wavBytes(8000, 1, tail)
+    val data = HeaderCodec.wavData(wav)
+    assert(data.exists(_.sameElements(tail))) // even length: no pad
+    // odd tail gains exactly one zero pad byte
+    val padded = HeaderCodec.wavData(
+      HeaderCodec.wavBytes(8000, 1, tail.take(33)))
+    assert(padded.exists(d => d.length == 34 && d.last == 0))
+    assert(HeaderCodec.wavData(png260x3).isEmpty)
+    assert(HeaderCodec.wavData(wav44100st.take(30)).isEmpty) // truncated
+    val es = Multimodal.frameEnergies(data.get, 16)
+    assert(es.length == 3) // 40 bytes -> frames of 16, 16, 8
+    assert(es(0) == 16L && es(1) == 16L)
+    assert(es(2) == 7L + 200L * 200L) // 7 unit bytes + the spike at 35
+    assert(es.indexOf(es.max) == 2) // spike localizes to the last frame
+  }
+
   test("extractDims sniffs the container from bytes, not the mime label") {
     import spark.implicits._
     val rows = Seq(
