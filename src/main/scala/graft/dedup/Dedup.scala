@@ -623,7 +623,7 @@ object Dedup {
     * spelling. Throws if `maxRounds` is hit, rather than returning a
     * partial clustering. */
   private[graft] def starComponents(pairs: DataFrame,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 30, roundsPerCheck: Int = 1): DataFrame = {
     // canonical (u > v) orientation, self-loops dropped
     var edges = pairs.toDF("a", "b")
       .select(greatest(col("a"), col("b")).as("u"),
@@ -636,26 +636,19 @@ object Dedup {
     var converged = edges.isEmpty
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      // large-star: symmetric adjacency; each strictly-larger neighbour v
-      // of u hangs off m(u) = min(N(u) ∪ {u})
-      val nbrs = edges.select(col("u"), col("v"))
-        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val ls = nbrs.filter(col("v") > col("u"))
-        .join(mins, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-      // small-star: ls edges are already (larger, smaller); re-hang each
-      // group's smaller neighbours and the node itself off the minimum
-      val sMins = ls.groupBy("u").agg(min("v").as("m"))
-      val next = ls.join(sMins, "u")
-        .select(col("v").as("n"), col("m"))
-        .unionAll(sMins.select(col("u").as("n"), col("m")))
-        .filter(col("n") =!= col("m"))
-        .select(col("n").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint(true)
+      // `roundsPerCheck` star rounds compose plan-side between
+      // materializations: each checkpoint+count+except costs fixed job
+      // overhead, and star rounds are no-ops at the fixed point, so
+      // batching trades ≤ roundsPerCheck−1 extra no-op rounds for
+      // 1/roundsPerCheck of the per-check costs. Sound because the
+      // operator pair has a strictly decreasing potential (Kiveris et al.
+      // §4) — no periodic orbits a batched equality check could mistake
+      // for a fixed point.
+      var cur = edges
+      (1 to roundsPerCheck).foreach { _ =>
+        cur = starRound(cur); rounds += 1
+      }
+      val next = cur.localCheckpoint(true)
       // fixed point: a min-rooted star is invariant under both operators.
       // Both frames are DISTINCT sets, so |A|=|B| ∧ A∖B=∅ ⟺ A=B: the
       // cheap count gates the single except (exact, no fingerprints) —
@@ -663,11 +656,45 @@ object Dedup {
       converged = next.count() == edges.count() &&
         next.except(edges).isEmpty
       edges = next
-      rounds += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"star CC did not converge in $maxRounds rounds")
+    lastStarRounds = rounds
+    nodesWithRoots(nodes, edges)
+  }
+
+  /** Star rounds the last [[starComponents]] call took — a debug/spec
+    * observable (driver-side scalar, set once per call). */
+  @volatile private[graft] var lastStarRounds: Int = 0
+
+  /** One large-star + small-star round over a canonical (u > v) edge set —
+    * plan-only (no materialization; the loop in [[starComponents]] decides
+    * where to checkpoint). */
+  private def starRound(edges: DataFrame): DataFrame = {
+    // large-star: symmetric adjacency; each strictly-larger neighbour v
+    // of u hangs off m(u) = min(N(u) ∪ {u})
+    val nbrs = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    val ls = nbrs.filter(col("v") > col("u"))
+      .join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // small-star: ls edges are already (larger, smaller); re-hang each
+    // group's smaller neighbours and the node itself off the minimum
+    val sMins = ls.groupBy("u").agg(min("v").as("m"))
+    ls.join(sMins, "u")
+      .select(col("v").as("n"), col("m"))
+      .unionAll(sMins.select(col("u").as("n"), col("m")))
+      .filter(col("n") =!= col("m"))
+      .select(col("n").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  private def nodesWithRoots(nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
     // converged edges are exactly (non-root node -> component root)
     nodes.join(edges.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
