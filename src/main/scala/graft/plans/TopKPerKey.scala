@@ -28,7 +28,8 @@ final case class TopKPerKey(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    partial: Boolean = false) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
@@ -39,13 +40,24 @@ final case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** Co-locate each key's rows; AQE still coalesces/splits as usual. */
+  /** Co-locate each key's rows; AQE still coalesces/splits as usual.
+    * A PARTIAL pass accepts the child's distribution as-is: it runs the
+    * same bounded heap over whatever rows each map partition holds,
+    * shrinking every key to ≤ k rows per partition BEFORE the shuffle the
+    * downstream final pass requires — the map-side-combine half of the
+    * operator, and the reason a LOW-cardinality key (few reducers) still
+    * scales: the hot key's billions of rows arrive at its single reducer
+    * already reduced to #map-partitions × k. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial)
+      org.apache.spark.sql.catalyst.plans.physical
+        .UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
@@ -88,8 +100,8 @@ final case class TopKPerKeyExec(
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case TopKPerKey(keys, order, k, child, partial) =>
+      TopKPerKeyExec(keys, order, k, planLater(child), partial) :: Nil
     case _ => Nil
   }
 }
@@ -100,9 +112,20 @@ object TopKPerKey {
     * (column, ascending?) keys. Attributes are resolved here against the
     * analyzed child plan (a Column's ColumnNodeExpression wrapper would
     * not resolve inside a custom node), so the logical node is born
-    * resolved. */
+    * resolved.
+    *
+    * `mapSideCombine = true` stacks a PARTIAL pass under the final one:
+    * each map partition's heap shrinks every key to ≤ k rows before the
+    * cluster-by-key shuffle. Top-k is algebraic — per-key top-k of the
+    * union of per-partition top-ks equals the global per-key top-k — so
+    * the result is value-identical GIVEN a total order (include a unique
+    * tiebreak column; with ties the retained representatives may differ,
+    * exactly as they may between runs of the single-pass form). Use it
+    * when the key is low-cardinality or hot: the reducer for a key
+    * receives #map-partitions × k rows instead of the key's full data. */
   def topKPerKey(df: DataFrame, keyCols: Seq[String],
-      ordering: Seq[(String, Boolean)], k: Int): DataFrame = {
+      ordering: Seq[(String, Boolean)], k: Int,
+      mapSideCombine: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     ensureRegistered(spark)
     val plan = org.apache.spark.sql.graft.Bridge.planOf(df)
@@ -115,8 +138,13 @@ object TopKPerKey {
         if (asc) org.apache.spark.sql.catalyst.expressions.Ascending
         else org.apache.spark.sql.catalyst.expressions.Descending)
     }
+    val keys = keyCols.map(attr)
+    val child =
+      if (mapSideCombine) TopKPerKey(keys, sortOrders, k, plan,
+        partial = true)
+      else plan
     org.apache.spark.sql.graft.Bridge.ofRows(spark,
-      TopKPerKey(keyCols.map(attr), sortOrders, k, plan))
+      TopKPerKey(keys, sortOrders, k, child))
   }
 
   /** Idempotent strategy registration on a live session. */

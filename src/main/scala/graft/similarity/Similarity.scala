@@ -290,15 +290,11 @@ object Similarity {
   val IvfProbe = 2
   private val IvfAnchorBase = 100
 
-  /** IVF-style ANN (the second scale path next to banded LSH): corpus
-    * vectors are assigned to their nearest anchor cell (argmax cosine,
-    * anchor-id tiebreak); each query probes its `IvfProbe` best cells and
-    * scores only those cells' members — an equi-join on cell id. The
-    * anchor assignment is a constant-width (Cells-row) broadcast
-    * nested-loop join: N×Cells work, linear in the corpus, never
-    * all-pairs. */
-  val qAnnIvf: Q = Q("q_ann_ivf",
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+  /** Shared oracle CTE fragment: `ranked` = every vector scored against
+    * every anchor with its per-vector anchor rank; `cells` (arnk = 1) is
+    * the IVF assignment. Used by [[qAnnIvf]] and [[qSemdedup]]. */
+  private val ivfRankedCteSql: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v
        |           FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |anch AS (SELECT vec_id AS anchor_id, v AS av, nrm AS anrm FROM n
@@ -310,7 +306,35 @@ object Similarity {
        |  FROM n CROSS JOIN anch a),
        |ranked AS (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
-       |    ORDER BY acos DESC, anchor_id) AS BIGINT) AS arnk FROM assign),
+       |    ORDER BY acos DESC, anchor_id) AS BIGINT) AS arnk FROM assign)"""
+      .stripMargin
+
+  /** The Spark twin of `ranked` in [[ivfRankedCteSql]]: N×Cells anchor
+    * scores via a constant-width (Cells-row) broadcast nested-loop join —
+    * linear in the corpus, never all-pairs. */
+  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
+    val n = withNorm(emb(s, d)).select("vec_id", "v", "nrm")
+    val anch = n.filter(col("vec_id") >= IvfAnchorBase &&
+        col("vec_id") < IvfAnchorBase + IvfCells)
+      .select(col("vec_id").as("anchor_id"), col("v").as("av"),
+        col("nrm").as("anrm"))
+    val assign = n.crossJoin(broadcast(anch))
+      .select(col("vec_id"), col("v"), col("nrm"), col("anchor_id"),
+        (dot(col("v"), col("av")) / (col("nrm") * col("anrm"))).as("acos"))
+    val aw = Window.partitionBy("vec_id").orderBy(desc("acos"),
+      asc("anchor_id"))
+    assign.withColumn("arnk", row_number().over(aw))
+  }
+
+  /** IVF-style ANN (the second scale path next to banded LSH): corpus
+    * vectors are assigned to their nearest anchor cell (argmax cosine,
+    * anchor-id tiebreak); each query probes its `IvfProbe` best cells and
+    * scores only those cells' members — an equi-join on cell id. The
+    * anchor assignment is a constant-width (Cells-row) broadcast
+    * nested-loop join: N×Cells work, linear in the corpus, never
+    * all-pairs. */
+  val qAnnIvf: Q = Q("q_ann_ivf",
+    s"""WITH $ivfRankedCteSql,
        |cells AS (SELECT vec_id, v, nrm, anchor_id AS cell FROM ranked
        |          WHERE arnk = 1),
        |probes AS (SELECT vec_id, v, nrm, anchor_id AS cell FROM ranked
@@ -328,19 +352,7 @@ object Similarity {
        |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim
        |FROM ranked2 WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) {
     (s, d) =>
-      val n = withNorm(emb(s, d)).select("vec_id", "v", "nrm")
-      val anch = n.filter(col("vec_id") >= IvfAnchorBase &&
-          col("vec_id") < IvfAnchorBase + IvfCells)
-        .select(col("vec_id").as("anchor_id"), col("v").as("av"),
-          col("nrm").as("anrm"))
-      // constant-width broadcast nested loop (Cells rows): the IVF
-      // assignment pass, N×Cells linear work — not an all-pairs join
-      val assign = n.crossJoin(broadcast(anch))
-        .select(col("vec_id"), col("v"), col("nrm"), col("anchor_id"),
-          (dot(col("v"), col("av")) / (col("nrm") * col("anrm"))).as("acos"))
-      val aw = Window.partitionBy("vec_id").orderBy(desc("acos"),
-        asc("anchor_id"))
-      val ranked = assign.withColumn("arnk", row_number().over(aw))
+      val ranked = ivfRanked(s, d)
       val cells = ranked.filter(col("arnk") === 1)
         .select(col("vec_id"), col("v"), col("nrm"),
           col("anchor_id").as("cell"))
@@ -360,6 +372,56 @@ object Similarity {
         .orderBy("query_id", "rnk")
   }
 
+  /** SemDeDup cosine threshold. On a real corpus this sits at ~0.95+
+    * (near-identical paraphrases); this synthetic corpus's embeddings are
+    * near-orthogonal random vectors (max pairwise cos ≈ 0.6 at sf0.1), so
+    * the registered query uses a threshold low enough that the removal
+    * path is actually exercised and oracle-checked — the knob, not the
+    * shape, is what a real deployment retunes. */
+  val SemDedupTau = 0.42
+
+  /** Semantic deduplication, SemDeDup-shaped (Abbas et al., 2023,
+    * arXiv:2303.09540): cluster the embedding space coarsely, then drop
+    * all but one of any within-cluster group of near-identical vectors.
+    * Clustering here is the deterministic IVF cell assignment
+    * ([[ivfRanked]], arnk = 1) — the paper's k-means, minus the float
+    * nondeterminism an iterative k-means would add across engines; the
+    * within-cell pair scan is a self-equi-join on cell id (sum of cell²
+    * work — the point of clustering first: never all-pairs), and removal
+    * keeps the lowest vec_id of each near-dup group (greedy keep-first,
+    * same resolution rule as [[graft.dedup.Dedup]]'s near-dup removal).
+    *
+    * Both join sides are the SAME cell-assignment plan object under
+    * shuffle_hash hints, so the N×Cells assignment pass runs once
+    * (exchange reuse — the [[qEmbedNearDup]] pattern). */
+  val qSemdedup: Q = Q("q_semdedup",
+    s"""WITH $ivfRankedCteSql,
+       |cells AS (SELECT vec_id, v, nrm, anchor_id AS cell FROM ranked
+       |          WHERE arnk = 1),
+       |removed AS (
+       |  SELECT DISTINCT b.vec_id FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+       |          >= $SemDedupTau)
+       |SELECT c.vec_id, c.cell, r.vec_id IS NULL AS is_kept
+       |FROM cells c LEFT JOIN removed r ON r.vec_id = c.vec_id
+       |ORDER BY c.vec_id""".stripMargin) { (s, d) =>
+    val cells = ivfRanked(s, d).filter(col("arnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("anchor_id").as("cell"))
+    val cos = dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    val removed = cells.as("a").hint("shuffle_hash")
+      .join(cells.as("b").hint("shuffle_hash"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(cos >= SemDedupTau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    cells.join(removed.withColumn("rm", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("rm").isNull.as("is_kept"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] =
-    Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup)
+    Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup,
+      qSemdedup)
 }

@@ -560,8 +560,96 @@ object TextOps {
       .orderBy("split")
   }
 
+  /** Distributed GLOBAL rank without a global window — the scale-safe
+    * spelling of `row_number().over(Window.orderBy(...))` (which funnels
+    * all data through one partition): range-partition by the sort key,
+    * rank locally within each slice, add broadcast per-slice offsets —
+    * the same two-level scan as [[priorByPrefixSum]], specialised to row
+    * counting. Requires the sort keys to be a TOTAL order (include a
+    * unique tiebreak) so the rank is deterministic regardless of where
+    * the sampled range boundaries land.
+    *
+    * Adds `rnk` (1-based global rank) and `n_total`. The offset window is
+    * global but over the #slices-row aggregate — bounded by cluster
+    * parallelism, not data (the q_window_lag_delta exception, documented
+    * there). As with [[priorByPrefixSum]], no explicit slice count means
+    * AQE sizes the range slices by bytes; specs pin `slices` so tiny
+    * inputs still fan out. */
+  private[graft] def globalRankByRange(
+      df: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column],
+      slices: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = slices.fold(df.repartitionByRange(sortCols: _*))(n =>
+      df.repartitionByRange(n, sortCols: _*))
+    val sliced = parted.withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid").orderBy(sortCols: _*)
+    val local = sliced.withColumn("local_rnk",
+      row_number().over(wLocal).cast("long"))
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy("pid")
+      .agg(count(lit(1)).as("slice_n"))
+      .withColumn("offset", coalesce(sum("slice_n").over(wOff), lit(0L)))
+    val total = offsets.agg(sum("slice_n").cast("long").as("n_total"))
+    local.join(broadcast(offsets.select("pid", "offset")), Seq("pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", col("local_rnk") + col("offset"))
+      .drop("pid", "local_rnk", "offset")
+  }
+
+  /** Global quality ranking + decile binning over the whole corpus
+    * (curriculum/quality-bucketing prep): every doc ranked by length
+    * (longest first, doc_id tiebreak), then binned into 10 equal-depth
+    * deciles with pure integer arithmetic. Runs on
+    * [[globalRankByRange]] — no global window touches the data. */
+  val qGlobalRank: Q = Q("q_global_rank",
+    """WITH r AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+      |    AS rnk,
+      |  CAST(COUNT(*) OVER () AS BIGINT) AS n FROM documents)
+      |SELECT doc_id, n_chars, rnk,
+      |       CAST(((rnk - 1) * 10) // n AS BIGINT) AS decile
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = docs(s, d).select(col("doc_id"), col("n_chars"))
+    globalRankByRange(base, Seq(col("n_chars").desc, col("doc_id").asc))
+      .withColumn("decile",
+        expr("CAST(((rnk - 1) * 10) div n_total AS BIGINT)"))
+      .select("doc_id", "n_chars", "rnk", "decile")
+      .orderBy("doc_id")
+  }
+
+  /** Stratified deterministic sampling: exactly min(20, |group|) docs per
+    * language, chosen by a salted content-hash ranking (reproducible, no
+    * RNG state) — the per-source quota sampling step of a data-mixing
+    * pipeline. Runs on the custom [[graft.plans.TopKPerKey]] operator
+    * with its map-side partial pass: lang has only a handful of values,
+    * so the naive window spelling would bottleneck on #languages
+    * reducers, while the partial heap pass ships ≤ slices × 20 rows per
+    * language into the final shuffle. */
+  val qStratifiedSample: Q = Q("q_stratified_sample",
+    s"""WITH t AS (SELECT doc_id, lang,
+       |            ${TextHash.hash32Sql("'strat' || text")} % 1000000 AS r
+       |          FROM documents),
+       |rk AS (SELECT doc_id, lang, r,
+       |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY r, doc_id)
+       |           AS rnk
+       |       FROM t)
+       |SELECT lang, doc_id, CAST(r AS BIGINT) AS r
+       |FROM rk WHERE rnk <= 20 ORDER BY lang, doc_id""".stripMargin) {
+    (s, d) =>
+      val base = docs(s, d).select(col("doc_id"), col("lang"),
+        (TextHash.hash32(concat(lit("strat"), col("text"))) % 1000000L)
+          .as("r"))
+      graft.plans.TopKPerKey.topKPerKey(base, Seq("lang"),
+        Seq("r" -> true, "doc_id" -> true), 20, mapSideCombine = true)
+        .select(col("lang"), col("doc_id"), col("r"))
+        .orderBy("lang", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCounts, qTokenBpe, qQualityScore, qRepetition,
     qLangId, qFingerprint, qCorpusClean, qVocabTopk, qPiiRedact,
-    qPackChunks, qSplitHash, qMixtureSample, qTokenBudget)
+    qPackChunks, qSplitHash, qMixtureSample, qTokenBudget, qGlobalRank,
+    qStratifiedSample)
 }

@@ -81,6 +81,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p)
   }
 
+  test("semdedup self-join reuses one exchange for the cell assignment") {
+    // both pair-scan sides are the same IVF-assignment subtree: the
+    // N×Cells anchor scoring pass must run once (qEmbedNearDup pattern)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assert(plan(Similarity.qSemdedup.fn(spark, sf001))
+      .contains("ReusedExchange"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("stratified sample stacks a partial heap pass before the shuffle") {
+    // lang is low-cardinality: without the map-side partial pass every
+    // language funnels its full data through one reducer; with it, the
+    // plan carries TWO TopKPerKey nodes with the exchange between them
+    val p = plan(graft.text.TextOps.qStratifiedSample.fn(spark, sf001))
+    val nodes = p.linesIterator.filter(_.contains("TopKPerKey")).toSeq
+    assert(nodes.size == 2, p)
+    assert(p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("global rank windows only per-slice, never over the data") {
+    // the scale-safe row_number: data-scaled windows key on pid (slice-
+    // bounded); the only global window is over the #slices-row aggregate
+    val p = plan(graft.text.TextOps.qGlobalRank.fn(spark, sf001))
+    val dataWindows = p.linesIterator.filter(w =>
+      w.contains("windowspecdefinition(") && !w.contains("slice_n"))
+    assert(dataWindows.nonEmpty, p)
+    assert(dataWindows.forall(_.contains("pid#")),
+      dataWindows.mkString("\n"))
+  }
+
   test("pack_chunks broadcasts slice offsets (no per-language reducer)") {
     // round-2 verdict #2: the data-scaled window must key on (pid, lang) —
     // group size bounded by the range-slice width, not by language share.

@@ -42,6 +42,28 @@ class TopKPerKeySpec extends SparkSpec {
     assert(over.count() == 0)
   }
 
+  test("map-side partial pass is value-identical on a total order") {
+    // a LOW-cardinality key (o_orderpriority: 5 values) with a unique
+    // tiebreak — the combined form must pick exactly the single-pass rows
+    val orders = Tables.load(spark, sf001, "orders")
+    val single = TopKPerKey.topKPerKey(orders, Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 7)
+    val combined = TopKPerKey.topKPerKey(orders, Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 7,
+      mapSideCombine = true)
+    assert(combined.count() == single.count())
+    assert(combined.except(single).count() == 0)
+    assert(single.except(combined).count() == 0)
+    // the partial pass must run BEFORE the exchange (map side): in the
+    // plan tree the second TopKPerKey sits under the Exchange
+    val plan = combined.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+    val firstTopK = lines.indexWhere(_.contains("TopKPerKey"))
+    val exchange = lines.indexWhere(_.contains("Exchange"))
+    val partialTopK = lines.lastIndexWhere(_.contains("TopKPerKey"))
+    assert(firstTopK < exchange && exchange < partialTopK, plan)
+  }
+
   test("k larger than group size keeps all rows") {
     val nation = Tables.load(spark, sf001, "nation")
     val all = TopKPerKey.topKPerKey(nation, Seq("n_regionkey"),
