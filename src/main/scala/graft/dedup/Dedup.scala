@@ -710,9 +710,102 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring duplication window width, in whitespace tokens.
+    * The published recipe (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022) uses 50 BPE tokens on web text;
+    * this corpus's docs are shorter, so 8 keeps the operator exercised.
+    * The shape — rolling-hash every k-token window, find windows shared
+    * across docs — is width-independent. */
+  val SubstrK = 8
+
+  /** Exact substring (k-token window) cross-document duplication: every
+    * doc's windows are rolling-hash fingerprinted
+    * ([[graft.functions.TextHash.addWindowHashes]] — O(tokens) total, not
+    * O(tokens·k)), a window is "duplicated" when ≥ 2 distinct docs
+    * contain it, and each doc reports how many of its window occurrences
+    * are duplicated — the removal signal of suffix-array substring dedup,
+    * spelled as two linear shuffles on the window hash (group-count +
+    * semi join; the aggregates are map-side combined, so a boilerplate
+    * window shared by millions of docs is one hot GROUP key, not a pair
+    * explosion). */
+  val qSubstringDups: Q = Q("q_substring_dups",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+       |           FROM documents),
+       |th AS (SELECT doc_id,
+       |        list_transform(w, t -> ${hash32Sql("t")}) AS t FROM words),
+       |ws AS (SELECT doc_id, ${windowHashesSql("t", SubstrK)} AS ws
+       |       FROM th),
+       |ex AS (SELECT doc_id, unnest(ws) AS h FROM ws),
+       |dup AS (SELECT h FROM ex GROUP BY h
+       |        HAVING COUNT(DISTINCT doc_id) >= 2),
+       |per_doc AS (
+       |  SELECT e.doc_id, COUNT(*) AS n_dup_windows
+       |  FROM ex e JOIN dup USING (h) GROUP BY 1)
+       |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_windows,
+       |       COALESCE(p.n_dup_windows, 0) AS n_dup_windows
+       |FROM ws w LEFT JOIN per_doc p ON p.doc_id = w.doc_id
+       |WHERE len(w.ws) > 0
+       |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+    val ws = addWindowHashes(docs(s, d), col("text"), SubstrK)
+      .select("doc_id", "ws")
+    val ex = ws.select(col("doc_id"), explode_outer(col("ws")).as("h"))
+      .filter(col("h").isNotNull)
+    val dup = ex.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val perDoc = ex.join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    ws.select(col("doc_id"), size(col("ws")).cast("long").as("n_windows"))
+      .filter(col("n_windows") > 0)
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark-contamination CONTAINMENT score (Broder containment,
+    * |doc ∩ bench| / |doc| over distinct 3-gram shingles): where
+    * [[qDecontaminate]] flags any overlap, this ranks HOW contaminated
+    * each doc is — the thresholdable report a real decontamination run
+    * reviews. Same broadcast-bench shape (the corpus never shuffles);
+    * the division is a single per-row double op, bit-equal across
+    * engines. */
+  val qDecontaminateContainment: Q = Q("q_decontaminate_containment",
+    s"""WITH $shingleCte,
+       |bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh
+       |          WHERE doc_id % 50 = 0),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh
+       |       WHERE doc_id % 50 != 0),
+       |hits AS (SELECT e.doc_id, COUNT(*) AS n_hit
+       |         FROM ex e JOIN bench b ON b.h = e.h GROUP BY 1),
+       |sizes AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles
+       |          FROM sh WHERE doc_id % 50 != 0)
+       |SELECT s.doc_id, s.n_shingles, h.n_hit,
+       |       round(CAST(h.n_hit AS DOUBLE) / s.n_shingles, 6)
+       |         AS containment
+       |FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+       |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+    val sh = shingleSets(s, d)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
+      .distinct()
+    val train = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
+    train.join(broadcast(bench), "h")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_shingles"), 6)
+          .as("containment"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccardPairs, qMinhashLsh, qMinhashIncremental,
     qDedupNearRemoved, qSimhashDocs, qSimhashPairs, qSimhashWideDocs,
     qSimhashWidePairs, qDedupComponents, qDedupComponentsStar,
-    qDecontaminate)
+    qDecontaminate, qSubstringDups, qDecontaminateContainment)
 }

@@ -104,6 +104,35 @@ object TextHash {
        |sh AS (SELECT doc_id, ${shingleHashesSql("t")} AS hs FROM th)"""
       .stripMargin
 
+  /** ALL k-token window fingerprints of `textCol` (positions kept, NOT
+    * deduplicated — occurrence counts are the point), added as column
+    * `out`: the generalisation of [[addShingleHashes]] to arbitrary k by
+    * folding the rolling combine over k shifted slices. Same staging and
+    * overflow discipline: per-token md5 once, per-window work is k−1
+    * integer ops, every intermediate < B·P < 2^39. */
+  def addWindowHashes(df: org.apache.spark.sql.DataFrame, textCol: Column,
+      k: Int, out: String = "ws"): org.apache.spark.sql.DataFrame = {
+    require(k >= 2, s"window needs >= 2 tokens, got $k")
+    val th = col("__graft_th")
+    val n = size(th) - (k - 1)
+    val combined = (2 to k).foldLeft(slice(th, lit(1), n)) { (acc, j) =>
+      zip_with(acc, slice(th, lit(j), n), (a, b) => (a * B + b) % P)
+    }
+    df.withColumn("__graft_th", transform(tokens(textCol), t => hash32(t)))
+      .withColumn(out,
+        when(size(th) >= k, combined).otherwise(array().cast("array<long>")))
+      .drop("__graft_th")
+  }
+
+  /** DuckDB twin of [[addWindowHashes]]'s per-window fold; `th` must be
+    * the token-hash list alias (see [[shingleCteSql]]'s `th` stage). */
+  def windowHashesSql(th: String, k: Int): String = {
+    val fold = (1 until k).foldLeft(s"$th[i]") { (acc, j) =>
+      s"(($acc * $B + $th[i+$j]) % $P)"
+    }
+    s"list_transform(range(1, len($th) - ${k - 2}), i -> $fold)"
+  }
+
   /** MinHash value k (0-based) over a hashed-shingle array column. */
   def minhash(hs: Column, k: Int): Column =
     array_min(transform(hs, h => (lit(As(k)) * h + lit(Bs(k))) % lit(P)))

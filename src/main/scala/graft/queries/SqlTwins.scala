@@ -299,6 +299,42 @@ object SqlTwins {
          |FROM ex e JOIN bench b ON b.h = e.h
          |ORDER BY contaminated_doc""".stripMargin,
 
+    "q_decontaminate_containment" ->
+      s"""WITH $shingleCte,
+         |bench AS (SELECT DISTINCT h FROM (
+         |            SELECT explode(hs) AS h FROM sh WHERE doc_id % 50 = 0)),
+         |ex AS (SELECT doc_id, CAST(size(hs) AS BIGINT) AS n_shingles,
+         |              explode(hs) AS h FROM sh WHERE doc_id % 50 != 0),
+         |hits AS (SELECT e.doc_id, e.n_shingles, COUNT(*) AS n_hit
+         |         FROM ex e JOIN bench b ON b.h = e.h GROUP BY 1, 2)
+         |SELECT doc_id, n_shingles, n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS containment
+         |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "q_substring_dups" -> {
+      val k = graft.dedup.Dedup.SubstrK
+      val fold = (1 until k).foldLeft("t[i]") { (acc, j) =>
+        s"(($acc * $B + t[i+$j]) % $P)"
+      }
+      s"""WITH words AS (SELECT doc_id, split(text, ' ') AS w
+         |               FROM documents),
+         |th AS (SELECT doc_id, transform(w, t -> graft_md5_mod31(t)) AS t
+         |       FROM words),
+         |ws AS (SELECT doc_id,
+         |  CASE WHEN size(t) >= $k THEN transform(
+         |    sequence(0, size(t) - $k), i -> $fold)
+         |  ELSE CAST(array() AS ARRAY<BIGINT>) END AS ws FROM th),
+         |ex AS (SELECT doc_id, explode(ws) AS h FROM ws),
+         |dup AS (SELECT h FROM ex GROUP BY h
+         |        HAVING COUNT(DISTINCT doc_id) >= 2),
+         |per_doc AS (SELECT e.doc_id, COUNT(*) AS n_dup_windows
+         |            FROM ex e JOIN dup d ON d.h = e.h GROUP BY 1)
+         |SELECT w.doc_id, CAST(size(w.ws) AS BIGINT) AS n_windows,
+         |  COALESCE(p.n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows
+         |FROM ws w LEFT JOIN per_doc p ON p.doc_id = w.doc_id
+         |WHERE size(w.ws) > 0 ORDER BY w.doc_id""".stripMargin
+    },
+
     "q_fingerprint" ->
       s"""WITH $shingleCte
          |SELECT d.doc_id, md5(d.text) AS content_md5,
