@@ -63,6 +63,38 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** REAL file-system ingestion for the media pipeline: Spark's
+    * `binaryFile` source over a directory tree → [[MediaRow]]. Each file
+    * becomes one row (path, modificationTime, length, content); doc_id is
+    * parsed from the `<id>.<ext>` file name and mime derived from the
+    * extension (downstream [[extractDims]] sniffs signatures and ignores
+    * a wrong label anyway). `glob` (pathGlobFilter) prunes at the LISTING
+    * stage — a per-modality subtree costs one directory scan, no payload
+    * reads for filtered-out files. This is the ingestion adapter the
+    * fabricated tables ([[mediaTable]], [[syntheticMediaTable]]) stand in
+    * for when no object store is mounted. */
+  def loadBinaryFiles(s: SparkSession, dir: String,
+      glob: Option[String] = None): Dataset[MediaRow] = {
+    import s.implicits._
+    val base = s.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+    glob.fold(base)(g => base.option("pathGlobFilter", g))
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.[A-Za-z0-9]+$", 1)
+          .cast("long").as("doc_id"),
+        lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+          .as("ext"),
+        col("content").as("payload"))
+      .select(col("doc_id"),
+        when(col("ext") === "png", "image/png")
+          .when(col("ext").isin("jpg", "jpeg"), "image/jpeg")
+          .when(col("ext") === "wav", "audio/wav")
+          .otherwise("application/octet-stream").as("mime"),
+        col("payload"))
+      .as[MediaRow]
+  }
+
   /** Partition-wise feature extraction: the batch-UDF shape. Each task
     * decodes its partition's rows in one iterator pass — codec setup would
     * be hoisted before the map, once per partition. */

@@ -80,6 +80,30 @@ class TablesIoSpec extends SparkSpec {
     assert(back.count() == Tables.load(spark, sf001, "nation").count())
   }
 
+  test("binaryFile ingestion: files on disk → MediaRow → header decode") {
+    import graft.multimodal.{HeaderCodec, Multimodal}
+    val dir = tmp("graft_media")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir).resolve(name), bytes)
+    put("11.png", HeaderCodec.pngBytes(640, 480, Array[Byte](1, 2, 3)))
+    put("12.jpg", HeaderCodec.jpegBytes(320, 200, Array[Byte](4, 5)))
+    put("13.wav", HeaderCodec.wavBytes(16000, 2,
+      Array[Byte](0, 1, 0, 2, 0, 3, 0, 4)))
+    val media = Multimodal.loadBinaryFiles(spark, dir)
+    assert(media.count() == 3)
+    val dims = Multimodal.extractDims(media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(dims(11L).width.contains(640) && dims(11L).height.contains(480))
+    assert(dims(11L).mime == "image/png")
+    assert(dims(12L).width.contains(320) && dims(12L).height.contains(200))
+    assert(dims(13L).sample_rate.contains(16000)
+      && dims(13L).n_channels.contains(2))
+    // pathGlobFilter prunes at the listing: only the wav is ever read
+    val wavOnly = Multimodal.loadBinaryFiles(spark, dir, Some("*.wav"))
+    assert(wavOnly.collect().map(_.doc_id).toSeq == Seq(13L))
+  }
+
   test("jdbc surface: env-var config wires through to the JDBC source") {
     // URL assembly follows the reference's POSTGRES_* env names and
     // defaults (reference src/job.py:33-37, .env.example)
