@@ -647,9 +647,75 @@ object TextOps {
         .orderBy("lang", "doc_id")
   }
 
+  /** Probe tokens for the count-min query: high/mid-frequency corpus
+    * words, one colliding pair victim, and one ABSENT token (its non-zero
+    * estimate is the sketch's overestimate property, reproduced exactly
+    * by the oracle). */
+  private val CmProbes = Seq("the", "a", "data", "join", "scan",
+    "zzz_absent")
+
+  /** Token-frequency COUNT-MIN SKETCH ([[graft.functions.CountMinAgg]]):
+    * the whole corpus's token stream folds into one D×W counter array
+    * (map-side combined — partitions ship the sketch, not tokens), then
+    * fixed probe tokens read `min_j cell_j` point estimates next to
+    * their exact counts. The oracle rebuilds the same cells by GROUP BY,
+    * so estimates — including collision overestimates and the absent
+    * token's phantom count — match bit-for-bit. */
+  val qCountminTokens: Q = {
+    import graft.functions.CountMinAgg.{D, W, cellSql}
+    val h = TextHash.hash32Sql _
+    val cellsUnion = (0 until D).map { j =>
+      s"SELECT $j AS j, ${cellSql(j, "h")} AS c, COUNT(*)::BIGINT AS cnt " +
+        "FROM th GROUP BY 2"
+    }.mkString("\n  UNION ALL ")
+    val caseCell = s"CASE j.j " + (0 until D).map { j =>
+      s"WHEN $j THEN ${cellSql(j, "p.h")}"
+    }.mkString(" ") + " END"
+    val probeValues = CmProbes.map(t => s"('$t')").mkString(",")
+    Q("q_countmin_tokens",
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+         |            FROM documents),
+         |th AS (SELECT token, ${h("token")} AS h FROM tok),
+         |cells AS (
+         |  $cellsUnion),
+         |probes(token) AS (VALUES $probeValues),
+         |ph AS (SELECT token, ${h("token")} AS h FROM probes),
+         |pj AS (SELECT p.token, j.j, $caseCell AS c
+         |       FROM ph p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j),
+         |est AS (SELECT pj.token, MIN(COALESCE(c2.cnt, 0)) AS cm_estimate
+         |        FROM pj LEFT JOIN cells c2 ON c2.j = pj.j AND c2.c = pj.c
+         |        GROUP BY 1),
+         |exact AS (SELECT token, COUNT(*)::BIGINT AS exact_count
+         |          FROM tok GROUP BY 1)
+         |SELECT e.token, COALESCE(x.exact_count, 0) AS exact_count,
+         |       e.cm_estimate
+         |FROM est e LEFT JOIN exact x ON x.token = e.token
+         |ORDER BY e.token""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.CountMinAgg
+      val th = docs(s, d)
+        .select(explode_outer(TextHash.tokens(col("text"))).as("token"))
+        .filter(col("token").isNotNull)
+        .select(col("token"), TextHash.hash32(col("token")).as("h"))
+      val sketch = th.agg(CountMinAgg.sketch(col("h")).as("sk"))
+      val pr = CmProbes.toDF("token")
+        .withColumn("h", TextHash.hash32(col("token")))
+      val est = pr.crossJoin(broadcast(sketch))
+        .select(col("token"),
+          CountMinAgg.estimate(col("sk"), col("h")).as("cm_estimate"))
+      val exact = th.filter(col("token").isin(CmProbes: _*))
+        .groupBy("token").agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("token"), "left")
+        .select(col("token"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+          col("cm_estimate"))
+        .orderBy("token")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCounts, qTokenBpe, qQualityScore, qRepetition,
     qLangId, qFingerprint, qCorpusClean, qVocabTopk, qPiiRedact,
     qPackChunks, qSplitHash, qMixtureSample, qTokenBudget, qGlobalRank,
-    qStratifiedSample)
+    qStratifiedSample, qCountminTokens)
 }
