@@ -42,6 +42,22 @@ object StreamOps {
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"), col("event_type"), col("n"))
 
+  /** Streaming count-min: hourly token-frequency sketches via the SAME
+    * mergeable [[graft.functions.CountMinAgg]] aggregator as the batch
+    * query — per open window the state store holds one D×W counter
+    * array, not the token rows, and the watermark closes windows. The
+    * streaming/batch symmetry is the point: a sketch computed on the
+    * stream equals the sketch of the same rows at rest (spec-asserted),
+    * so dashboards and backfills agree exactly. Input: (ts, h) with `h`
+    * an element hash ([[graft.functions.TextHash.hash32]]). */
+  def hourlySketch(hashes: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    hashes
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.CountMinAgg.sketch(col("h")).as("sk"))
+      .select(col("window.start").as("hour_start"), col("sk"))
+
   /** Stream-static enrichment: the streaming fact joined to a static
     * dimension frame. No state store is involved (unlike stream-stream
     * joins) — Spark re-plans the static side per micro-batch, broadcast

@@ -66,6 +66,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming count-min sketch equals the batch sketch of the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (t("2024-01-01 10:05:00"), 7L), (t("2024-01-01 10:15:00"), 7L),
+      (t("2024-01-01 10:25:00"), 13L), (t("2024-01-01 11:05:00"), 7L),
+      (t("2024-01-01 11:20:00"), 999983L))
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val query = StreamOps.hourlySketch(mem.toDF().toDF("ts", "h"))
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(3): _*)
+      query.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      query.processAllAvailable()
+      val got = spark.table("cm_stream")
+        .select(col("hour_start"), col("sk")).as[(java.sql.Timestamp,
+          Seq[Long])].collect().toMap
+      // batch truth: same aggregator over the same rows at rest, per hour
+      val batch = rows.toDF("ts", "h")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(graft.functions.CountMinAgg.sketch(col("h")).as("sk"))
+        .as[(java.sql.Timestamp, Seq[Long])].collect().toMap
+      assert(got.keySet == batch.keySet)
+      assert(got == batch)
+      assert(got(t("2024-01-01 10:00:00")).sum
+        == 3L * graft.functions.CountMinAgg.D)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
