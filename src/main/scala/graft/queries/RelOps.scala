@@ -509,10 +509,107 @@ object RelOps {
       .orderBy("band_id")
   }
 
+  /** Calendar gap-fill + forward fill (the time-series densification
+    * step): per key, every day between that key's first and last order
+    * exists in the output — missing days carry n = 0 and the last seen
+    * daily revenue (LOCF). The calendar is generated per key
+    * (`sequence(lo, hi)` exploded — rows bounded by Σ key spans, never a
+    * cross join against a global calendar), and the LOCF window runs
+    * over the DAILY AGGREGATE — cardinality = calendar days, the
+    * bounded-window exception documented at [[qWindowLagDelta]], not a
+    * data-scaled window. */
+  val qGapFill: Q = Q("q_gap_fill",
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS day,
+      |         COUNT(*)::BIGINT AS n,
+      |         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |           AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1, 2),
+      |bounds AS (SELECT k, MIN(day) AS lo, MAX(day) AS hi
+      |           FROM daily GROUP BY 1),
+      |cal AS (SELECT k, CAST(unnest(generate_series(lo::TIMESTAMP,
+      |               hi::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
+      |        FROM bounds),
+      |filled AS (
+      |  SELECT c.k, c.day, COALESCE(d.n, 0) AS n, d.rev_cents
+      |  FROM cal c LEFT JOIN daily d ON d.k = c.k AND d.day = c.day)
+      |SELECT k, day, n,
+      |  CAST(last_value(rev_cents IGNORE NULLS) OVER (
+      |    PARTITION BY k ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS rev_cents_ffill
+      |FROM filled ORDER BY k, day""".stripMargin) { (s, d) =>
+    val daily = Tables.load(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("k"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .cast("long").as("rev_cents"))
+    val cal = daily.groupBy("k")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("k"), explode_outer(
+        sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      .filter(col("day").isNotNull)
+    val w = Window.partitionBy("k").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("k", "day"), "left")
+      .select(col("k"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"), col("rev_cents"))
+      .withColumn("rev_cents_ffill",
+        last("rev_cents", ignoreNulls = true).over(w))
+      .select("k", "day", "n", "rev_cents_ffill")
+      .orderBy("k", "day")
+  }
+
+  /** Record linkage (entity resolution) in the standard two-phase shape:
+    * BLOCK on a cheap key — here (brand, last name token) — so candidate
+    * pairs are per-block quadratic instead of corpus-quadratic, then
+    * VERIFY candidates with character-level edit distance (levenshtein —
+    * identical DP algorithm in both engines, integer-exact). Output is
+    * the per-block match census. At a real corpus the blocking key must
+    * scale its cardinality with the data (phonetic codes, name
+    * fingerprints, the SymSpell delete-neighborhood) — the block-join
+    * + verify SHAPE is what this operator pins. */
+  val qRecordLinkage: Q = Q("q_record_linkage",
+    """WITH p AS (SELECT p_partkey, p_brand, p_name,
+      |             string_split(p_name, ' ')[-1] AS blk FROM part),
+      |pairs AS (
+      |  SELECT a.p_brand, a.blk,
+      |         levenshtein(a.p_name, b.p_name) AS lev
+      |  FROM p a JOIN p b
+      |    ON a.p_brand = b.p_brand AND a.blk = b.blk
+      |   AND a.p_partkey < b.p_partkey)
+      |SELECT p_brand, blk, COUNT(*) AS n_pairs,
+      |       CAST(SUM(CASE WHEN lev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_exact,
+      |       CAST(SUM(CASE WHEN lev BETWEEN 1 AND 3 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_fuzzy
+      |FROM pairs GROUP BY 1, 2 ORDER BY p_brand, blk""".stripMargin) {
+    (s, d) =>
+      // same plan object both sides + shuffle_hash: one reused exchange
+      val p = Tables.load(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_name"),
+          element_at(split(col("p_name"), " "), -1).as("blk"))
+      val lev = levenshtein(col("a.p_name"), col("b.p_name"))
+      p.as("a").hint("shuffle_hash").join(p.as("b").hint("shuffle_hash"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.blk") === col("b.blk") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_brand").as("p_brand"), col("a.blk").as("blk"),
+          lev.as("lev"))
+        .groupBy("p_brand", "blk")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("lev") === 0, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("lev").between(1, 3), 1L).otherwise(0L))
+            .as("n_fuzzy"))
+        .orderBy("p_brand", "blk")
+  }
+
   val all: Seq[Q] = Seq(
     qSemiJoin, qAntiJoin, qOuterJoinAgg, qUnionAllNames,
     qSetIntersectExcept, qWindowRank, qWindowRunning, qWindowLagDelta,
     qRollup, qCube, qDistinctAgg, qTopkOrders, qJsonExtract, qSessionize,
     qSessionWindow, qTumblingHour, qAsofPriorClick, qAsofTolerance,
-    qPivotConditional, qTopkPerKeyCustom, qRangeJoinBands)
+    qPivotConditional, qTopkPerKeyCustom, qRangeJoinBands, qGapFill,
+    qRecordLinkage)
 }

@@ -299,6 +299,44 @@ object SqlTwins {
          |FROM ex e JOIN bench b ON b.h = e.h
          |ORDER BY contaminated_doc""".stripMargin,
 
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS day,
+        |         COUNT(*) AS n,
+        |         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1, 2),
+        |bounds AS (SELECT k, MIN(day) AS lo, MAX(day) AS hi
+        |           FROM daily GROUP BY 1),
+        |cal AS (SELECT k, explode(sequence(lo, hi, interval 1 day)) AS day
+        |        FROM bounds),
+        |filled AS (
+        |  SELECT c.k, c.day, COALESCE(d.n, CAST(0 AS BIGINT)) AS n,
+        |         d.rev_cents
+        |  FROM cal c LEFT JOIN daily d ON d.k = c.k AND d.day = c.day)
+        |SELECT k, day, n,
+        |  last(rev_cents) IGNORE NULLS OVER (
+        |    PARTITION BY k ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS rev_cents_ffill
+        |FROM filled ORDER BY k, day""".stripMargin,
+
+    "q_record_linkage" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name,
+        |             element_at(split(p_name, ' '), -1) AS blk FROM part),
+        |pairs AS (
+        |  SELECT a.p_brand, a.blk,
+        |         levenshtein(a.p_name, b.p_name) AS lev
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.blk = b.blk
+        |   AND a.p_partkey < b.p_partkey)
+        |SELECT p_brand, blk, COUNT(*) AS n_pairs,
+        |       CAST(SUM(CASE WHEN lev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_exact,
+        |       CAST(SUM(CASE WHEN lev BETWEEN 1 AND 3 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_fuzzy
+        |FROM pairs GROUP BY 1, 2 ORDER BY p_brand, blk""".stripMargin,
+
     "q_decontaminate_containment" ->
       s"""WITH $shingleCte,
          |bench AS (SELECT DISTINCT h FROM (
