@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -605,11 +605,89 @@ object RelOps {
         .orderBy("p_brand", "blk")
   }
 
+  /** Funnel window: each step must follow the previous within 24h. */
+  private val FunnelWindowUs = 24L * 3600L * 1000000L
+
+  /** Ordered conversion funnel (view → click → purchase, each step within
+    * 24h of the previous): the product-analytics staple. Each stage is a
+    * per-user min-timestamp aggregate equi-joined to the previous stage —
+    * one shuffle on user_id per step, no window over raw events, no
+    * cross-stage explosion (stage frames shrink monotonically). */
+  val qFunnel: Q = Q("q_funnel",
+    s"""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+       |           WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       |      JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+       |       AND epoch_us(e.ts) - epoch_us(v.t1) <= $FunnelWindowUs
+       |      WHERE e.event_type = 'click' GROUP BY 1),
+       |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       |      JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+       |       AND epoch_us(e.ts) - epoch_us(c.t2) <= $FunnelWindowUs
+       |      WHERE e.event_type = 'purchase' GROUP BY 1)
+       |SELECT 'step1_view' AS step, COUNT(*)::BIGINT AS n_users FROM v
+       |UNION ALL SELECT 'step2_click', COUNT(*)::BIGINT FROM c
+       |UNION ALL SELECT 'step3_purchase', COUNT(*)::BIGINT FROM p
+       |ORDER BY step""".stripMargin) { (s, d) =>
+    val ev = Tables.load(s, d, "events")
+    def firstAfter(evType: String, prev: DataFrame,
+        prevTs: String, out: String): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev.select(col("user_id").as("uid"), col(prevTs)),
+          col("user_id") === col("uid") && col("ts") > col(prevTs) &&
+            unix_micros(col("ts")) - unix_micros(col(prevTs))
+              <= FunnelWindowUs)
+        .groupBy("user_id").agg(min("ts").as(out))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = firstAfter("click", v, "t1", "t2")
+    val p = firstAfter("purchase", c, "t2", "t3")
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("step"), col("n_users"))
+    stage("step1_view", v)
+      .unionAll(stage("step2_click", c))
+      .unionAll(stage("step3_purchase", p))
+      .orderBy("step")
+  }
+
+  /** Weekly retention cohorts (purchase retention): users grouped by
+    * first-seen week; for each (cohort week, week offset) the count of
+    * cohort members who purchased that week. Two shuffles on user_id
+    * (first-seen aggregate + join) and one on the bounded (cohort,
+    * offset) key — the cohort matrix is weeks², never data-scaled. */
+  val qRetentionCohorts: Q = Q("q_retention_cohorts",
+    """WITH first AS (SELECT user_id,
+      |                 CAST(date_trunc('week', MIN(ts)) AS DATE)
+      |                 AS cohort_week FROM events GROUP BY 1),
+      |act AS (SELECT DISTINCT e.user_id, f.cohort_week,
+      |          CAST(date_diff('day', f.cohort_week,
+      |            CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+      |            AS week_offset
+      |        FROM events e JOIN first f ON f.user_id = e.user_id
+      |        WHERE e.event_type = 'purchase')
+      |SELECT cohort_week, week_offset, COUNT(*)::BIGINT AS n_users
+      |FROM act GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+    val ev = Tables.load(s, d, "events")
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).cast("date").as("cohort_week"))
+    ev.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(date_trunc("week", col("ts")).cast("date"),
+          col("cohort_week")).cast("long") / 7).cast("long")
+          .as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val all: Seq[Q] = Seq(
     qSemiJoin, qAntiJoin, qOuterJoinAgg, qUnionAllNames,
     qSetIntersectExcept, qWindowRank, qWindowRunning, qWindowLagDelta,
     qRollup, qCube, qDistinctAgg, qTopkOrders, qJsonExtract, qSessionize,
     qSessionWindow, qTumblingHour, qAsofPriorClick, qAsofTolerance,
     qPivotConditional, qTopkPerKeyCustom, qRangeJoinBands, qGapFill,
-    qRecordLinkage)
+    qRecordLinkage, qFunnel, qRetentionCohorts)
 }

@@ -299,6 +299,19 @@ object SqlTwins {
          |FROM ex e JOIN bench b ON b.h = e.h
          |ORDER BY contaminated_doc""".stripMargin,
 
+    "q_retention_cohorts" ->
+      """WITH first AS (SELECT user_id,
+        |                 CAST(date_trunc('week', MIN(ts)) AS DATE)
+        |                 AS cohort_week FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id, f.cohort_week,
+        |          CAST(datediff(CAST(date_trunc('week', e.ts) AS DATE),
+        |            f.cohort_week) div 7 AS BIGINT) AS week_offset
+        |        FROM events e JOIN first f ON f.user_id = e.user_id
+        |        WHERE e.event_type = 'purchase')
+        |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        |FROM act GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
     "q_gap_fill" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS day,
