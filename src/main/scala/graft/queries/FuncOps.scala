@@ -228,8 +228,41 @@ object FuncOps {
       .orderBy("bucket")
   }
 
+  /** Exact z-score anomaly detection over daily order counts — stddev
+    * WITHOUT any multi-row floating-point accumulation (the determinism
+    * rule that excludes stddev from [[qAggStats]]): with S = Σn and
+    * Q = Σn² over m days, flag day x iff (x·m − S)² ≥ K²·(m·Q − S²),
+    * which is algebraically (x − μ)² ≥ K²σ² with every term a 64-bit
+    * integer. One narrow aggregate broadcast back over the daily frame;
+    * both engines flag identical days, no FP epsilon anywhere. K = 3. */
+  val qAnomalyDays: Q = Q("q_anomaly_days",
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |                 COUNT(*)::BIGINT AS n FROM orders GROUP BY 1),
+      |stats AS (SELECT COUNT(*)::BIGINT AS m, SUM(n)::BIGINT AS s,
+      |                 SUM(n*n)::BIGINT AS q FROM daily)
+      |SELECT d.day, d.n, d.n * st.m - st.s AS dev_scaled,
+      |       d.n * st.m > st.s AS is_high
+      |FROM daily d CROSS JOIN stats st
+      |WHERE (d.n * st.m - st.s) * (d.n * st.m - st.s)
+      |        >= 9 * (st.m * st.q - st.s * st.s)
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val daily = Tables.load(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.agg(count(lit(1)).as("m"),
+      sum("n").cast("long").as("s"),
+      sum(col("n") * col("n")).cast("long").as("q"))
+    val dev = col("n") * col("m") - col("s")
+    daily.crossJoin(broadcast(stats))
+      .filter(dev * dev >=
+        lit(9L) * (col("m") * col("q") - col("s") * col("s")))
+      .select(col("day"), col("n"), dev.as("dev_scaled"),
+        (col("n") * col("m") > col("s")).as("is_high"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(
     qDateFunctions, qStringFunctions, qArrayFunctions,
     qConditionalFunctions, qMathFunctions, qApproxDistinct, qPercentiles,
-    qRegexFilter, qAggStats, qHistogram)
+    qRegexFilter, qAggStats, qHistogram, qAnomalyDays)
 }
