@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => plans.TopKPerKeyStrategy)
+    e.injectOptimizerRule(_ => plans.GlobalRowNumberTopK)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier(
         functions.Md5Mod31.FunctionName),

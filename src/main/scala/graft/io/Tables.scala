@@ -25,6 +25,7 @@ object Tables {
     graft.functions.Md5Mod31.ensureRegistered(spark)
     graft.functions.GraftDot.ensureRegistered(spark)
     graft.functions.GraftSimhash.ensureRegistered(spark)
+    graft.plans.GlobalRowNumberTopKRegistration.ensureRegistered(spark)
     // SQL-callable form of the incremental MinHash aggregator, so the
     // SqlTwins surface can group with it too
     if (!spark.catalog.functionExists("minhash_sig"))
