@@ -17,10 +17,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Self-defense against external interference (VERDICT r2 #8): besides the
   * median, the JSON carries `queries_min` — per-query minimum of the five
-  * timed runs. A scheduler spike inflates median but rarely min, so a
-  * reader can tell spike from regression without re-running. A query that
-  * THROWS is reported as -1 with its name in `errors`, never as a
-  * near-zero "fast" time (the exception path returns instantly).
+  * timed runs, but ONLY for queries where the median looks spiked
+  * (median > 2×min + 50 ms). A scheduler spike inflates median but rarely
+  * min, so a reader can tell spike from regression without re-running; on
+  * a quiet machine the map is empty. Values are rounded to milliseconds
+  * and the min map is selective because the driver parses this line from a
+  * bounded tail of the process output — round 3's full-precision dual maps
+  * (~6 KB for 87 queries) overflowed that buffer and the driver recorded
+  * `parsed: null`. The whole line must stay comfortably under ~3 KB.
+  * A query that THROWS is reported as -1 with its name in `errors`, never
+  * as a near-zero "fast" time (the exception path returns instantly).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,15 +62,20 @@ object Bench {
         (ts(2), ts.head) // median of 5 tolerates two spikes; min resists all
       } else (-1.0, -1.0))
     }
-    def jmap(f: ((String, (Double, Double))) => Double) = results
-      .map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
+    def ms(d: Double): String =
+      if (d < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results
+      .map { case (k, (med, _)) => "\"" + k + "\":" + ms(med) }
       .mkString("{", ",", "}")
-    val qs = jmap(_._2._1)
-    val mins = jmap(_._2._2)
+    val mins = results
+      .collect { case (k, (med, mn)) if med >= 0 && med > 2 * mn + 0.05 =>
+        "\"" + k + "\":" + ms(mn)
+      }
+      .mkString("{", ",", "}")
     val errors = results.collect { case (k, (-1.0, _)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"queries_min":$mins,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,16 @@ object TextHash {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** The staging column [[addShingleHashes]]/[[addWindowHashes]] thread
+    * through their projection pipeline. Both helpers refuse an input that
+    * already carries the name — silently overwriting and then dropping a
+    * caller's column of the same name would corrupt caller data. */
+  private val TempCol = "__graft_th"
+
+  private def requireTempFree(df: org.apache.spark.sql.DataFrame): Unit =
+    require(!df.columns.contains(TempCol),
+      s"input already has a '$TempCol' column - rename it before hashing")
+
   /** 32-bit string hash portable to any engine with md5: first 8 hex chars
     * as an integer, reduced mod P. Composed-builtins form — the reference
     * semantics and what the DuckDB oracle mirrors. */
@@ -70,6 +80,7 @@ object TextHash {
     * reproducible in any 64-bit-integer engine. */
   def addShingleHashes(df: org.apache.spark.sql.DataFrame, textCol: Column,
       out: String = "hs"): org.apache.spark.sql.DataFrame = {
+    requireTempFree(df)
     val th = col("__graft_th")
     // zip_with over shifted slices, NOT element_at(th, i) indexing: an
     // optimizer rule that inlines this expression (pushed-down inferred
@@ -113,6 +124,7 @@ object TextHash {
   def addWindowHashes(df: org.apache.spark.sql.DataFrame, textCol: Column,
       k: Int, out: String = "ws"): org.apache.spark.sql.DataFrame = {
     require(k >= 2, s"window needs >= 2 tokens, got $k")
+    requireTempFree(df)
     val th = col("__graft_th")
     val n = size(th) - (k - 1)
     val combined = (2 to k).foldLeft(slice(th, lit(1), n)) { (acc, j) =>

@@ -22,6 +22,21 @@ object Tables {
     * to a microsecond TimestampType here (integer `div`, not FP division:
     * epoch-nanos exceed double's 2^53 exact range). */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    ensureSessionRegistered(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType)
+      .fold(df)(_ => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+  }
+
+  /** Idempotently install the engine's session-level extras (native
+    * functions, the optimizer rule, the SQL-callable MinHash aggregator).
+    * The individual ensureRegistered helpers are check-then-append on
+    * session-mutable registries, so concurrent first calls could lose or
+    * double an installation — this single entry point is synchronized, and
+    * anything that fans work out across threads ([[countTables]]) calls it
+    * once on the calling thread first. */
+  def ensureSessionRegistered(spark: SparkSession): Unit = synchronized {
     graft.functions.Md5Mod31.ensureRegistered(spark)
     graft.functions.GraftDot.ensureRegistered(spark)
     graft.functions.GraftSimhash.ensureRegistered(spark)
@@ -31,10 +46,6 @@ object Tables {
     if (!spark.catalog.functionExists("minhash_sig"))
       spark.udf.register("minhash_sig",
         org.apache.spark.sql.functions.udaf(new graft.functions.MinHashAgg))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType)
-      .fold(df)(_ => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
   }
 
   /** Existence probe (S3 tolerance): the reference reports "No existe" for
@@ -62,6 +73,9 @@ object Tables {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // install session extras BEFORE fanning out: load()'s registration
+    // helpers are check-then-append, racy if first run concurrently
+    ensureSessionRegistered(spark)
     val futures = names.map { n =>
       Future(n ->
         (if (exists(spark, sfDir, n)) load(spark, sfDir, n).count()

@@ -232,9 +232,15 @@ object FuncOps {
     * WITHOUT any multi-row floating-point accumulation (the determinism
     * rule that excludes stddev from [[qAggStats]]): with S = Σn and
     * Q = Σn² over m days, flag day x iff (x·m − S)² ≥ K²·(m·Q − S²),
-    * which is algebraically (x − μ)² ≥ K²σ² with every term a 64-bit
-    * integer. One narrow aggregate broadcast back over the daily frame;
-    * both engines flag identical days, no FP epsilon anywhere. K = 3. */
+    * which is algebraically (x − μ)² ≥ K²σ² with every term exact. The
+    * squared terms are computed in DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB): at large scale (daily counts ~1e6 over thousands of days)
+    * (n·m − S)² and m·Q − S² approach 2^63, where Spark would wrap
+    * silently in non-ANSI mode while DuckDB promotes — 128-bit arithmetic
+    * keeps both engines exact to |dev| < 10^19 (ADVICE r3). The emitted
+    * `dev_scaled` stays BIGINT: it is linear, bounded by max(n)·m. One
+    * narrow aggregate broadcast back over the daily frame; both engines
+    * flag identical days, no FP epsilon anywhere. K = 3. */
   val qAnomalyDays: Q = Q("q_anomaly_days",
     """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
       |                 COUNT(*)::BIGINT AS n FROM orders GROUP BY 1),
@@ -243,9 +249,12 @@ object FuncOps {
       |SELECT d.day, d.n, d.n * st.m - st.s AS dev_scaled,
       |       d.n * st.m > st.s AS is_high
       |FROM daily d CROSS JOIN stats st
-      |WHERE (d.n * st.m - st.s) * (d.n * st.m - st.s)
-      |        >= 9 * (st.m * st.q - st.s * st.s)
+      |WHERE (CAST(d.n AS HUGEINT) * st.m - st.s)
+      |        * (CAST(d.n AS HUGEINT) * st.m - st.s)
+      |        >= 9 * (CAST(st.m AS HUGEINT) * st.q
+      |                - CAST(st.s AS HUGEINT) * st.s)
       |ORDER BY day""".stripMargin) { (s, d) =>
+    val wide = org.apache.spark.sql.types.DecimalType(38, 0)
     val daily = Tables.load(s, d, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n"))
@@ -253,9 +262,11 @@ object FuncOps {
       sum("n").cast("long").as("s"),
       sum(col("n") * col("n")).cast("long").as("q"))
     val dev = col("n") * col("m") - col("s")
+    val devWide = col("n").cast(wide) * col("m") - col("s")
     daily.crossJoin(broadcast(stats))
-      .filter(dev * dev >=
-        lit(9L) * (col("m") * col("q") - col("s") * col("s")))
+      .filter(devWide * devWide >=
+        lit(9L) * (col("m").cast(wide) * col("q") -
+          col("s").cast(wide) * col("s")))
       .select(col("day"), col("n"), dev.as("dev_scaled"),
         (col("n") * col("m") > col("s")).as("is_high"))
       .orderBy("day")

@@ -55,6 +55,8 @@ object SqlTwins {
     var s = sql
     s = s.replace("END IGNORE NULLS)", "END) IGNORE NULLS")
     s = s.replace("AS VARCHAR)", "AS STRING)")
+    // DuckDB's 128-bit integer → Spark's widest exact integer type
+    s = s.replace("AS HUGEINT)", "AS DECIMAL(38,0))")
     s = s.replace(" // ", " div ") // integer floor division
     // the hash32Sql idiom → the native expression (before the generic
     // ::BIGINT rule, which would only mangle its tail)

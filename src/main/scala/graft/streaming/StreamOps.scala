@@ -142,27 +142,36 @@ object StreamOps {
       n_events: Int)
 
   /** Gap-based sessionization via flatMapGroupsWithState: per-user state
-    * holds the open session; a gap > `gapMinutes` closes it.
+    * holds the set of OPEN session intervals; a gap > `gapMinutes`
+    * separates sessions.
     *
-    * Streaming mode is driven by EVENT-TIME TIMEOUTS: the open session's
-    * timeout is set to `last + gap`, a watermark (`watermarkDelay`) is
-    * applied to the input, and when the watermark passes the timeout the
-    * group fires with an empty iterator and the session is emitted — no
-    * new event for that user is needed. State per user is one open
-    * session, removed on timeout: bounded by active users, the scale-safe
+    * State is a list of disjoint, gap-separated intervals (not just the
+    * newest one): an admitted out-of-order event (possible across
+    * micro-batches whenever `watermarkDelay` > 0) merges into whichever
+    * interval it is within gap-distance of — extending either end, never
+    * regressing — and an event that lands within gap-distance of TWO
+    * intervals bridges them into one. Late events more than a gap before
+    * the newest session therefore open their own interval and still merge
+    * with each other (ADVICE r3: the previous emit-immediately-as-
+    * singleton shape split mutually-adjacent late events that the batch
+    * twin would merge). Interval-hull merging is exactly chain-closure
+    * sessionization: each interval's events have consecutive sorted gaps
+    * ≤ gap, so any point within gap of the hull is within gap of a member
+    * — streaming output equals the batch/SQL-twin sessions over the same
+    * admitted rows, regardless of arrival order.
+    *
+    * An interval is emitted only once the event-time watermark passes its
+    * `last + gap` — no still-admissible event can merge with it after
+    * that. Emission is driven by EVENT-TIME TIMEOUTS armed at the
+    * earliest such deadline; when the watermark passes it the group fires
+    * with an empty iterator and every sealed interval flushes. State per
+    * user is bounded by #intervals inside the watermark horizon
+    * (≤ watermarkDelay/gap + 1): bounded by active users, the scale-safe
     * shape.
     *
     * In batch mode Spark feeds each group once with no prior state and no
-    * timeouts; the trailing session flushes at end-of-group — same
-    * semantics as the windowed SQL twin (q_sessionize), which the spec
-    * asserts.
-    *
-    * Out-of-order events (admitted whenever `watermarkDelay` > 0; they
-    * reach the open session only across micro-batches, since each batch is
-    * sorted): an event within gap-distance of the session interval merges
-    * and EXTENDS the interval (`start = min`, `last = max` — never
-    * regresses either end); an event more than a gap before the session's
-    * start can never merge and is emitted as its own singleton session. */
+    * timeouts; every interval flushes at end-of-group — same semantics as
+    * the windowed SQL twin (q_sessionize), which the spec asserts. */
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30,
       watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -173,6 +182,16 @@ object StreamOps {
     def us(t: Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+    // merge one event into the disjoint interval list; it may bridge two
+    def merge(list: List[SessionState], e: Ev): List[SessionState] = {
+      val t = us(e.ts)
+      val (near, rest) = list.partition(s =>
+        t >= us(s.start) - gapUs && t <= us(s.last) + gapUs)
+      val start = (e.ts :: near.map(_.start)).minBy(us)
+      val last = (e.ts :: near.map(_.last)).maxBy(us)
+      SessionState(start, last, near.map(_.n).sum + 1) :: rest
+    }
+
     val input = if (streaming) events.withWatermark("ts", watermarkDelay)
       else events
     val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
@@ -182,52 +201,31 @@ object StreamOps {
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append, timeoutConf) {
         (user: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
-          if (state.hasTimedOut) {
-            // watermark passed last+gap with no new events: close it
-            val outs = state.getOption.toList.flatten
-              .map(s => SessionOut(user, s.start, s.last, s.n))
-            state.remove()
-            outs.iterator
+          // fold the batch into the carried intervals (chain closure is
+          // order-insensitive, so no sort is needed)
+          val merged = evs.foldLeft(state.getOption.getOrElse(Nil))(merge)
+          if (!streaming) {
+            merged.sortBy(s => us(s.start))
+              .map(s => SessionOut(user, s.start, s.last, s.n)).iterator
           } else {
-            // sort the group's batch; carry any open session from state
-            val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
-            var open: Option[SessionState] =
-              state.getOption.flatMap(_.headOption)
-            val closed = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              open = open match {
-                case Some(s) if us(e.ts) >= us(s.start) - gapUs &&
-                    us(e.ts) - us(s.last) <= gapUs =>
-                  // within gap-distance of the session interval. An
-                  // ADMITTED out-of-order event (possible across batches
-                  // whenever watermarkDelay > 0) may land inside or before
-                  // the open session — extend both ends, never regress
-                  Some(SessionState(
-                    if (us(e.ts) < us(s.start)) e.ts else s.start,
-                    if (us(e.ts) > us(s.last)) e.ts else s.last,
-                    s.n + 1))
-                case Some(s) if us(e.ts) > us(s.last) =>
-                  closed += SessionOut(user, s.start, s.last, s.n)
-                  Some(SessionState(e.ts, e.ts, 1))
-                case Some(s) =>
-                  // late event more than a gap BEFORE the open session: it
-                  // can never merge (its neighbourhood already emitted) —
-                  // close it alone, keep the open session untouched
-                  closed += SessionOut(user, e.ts, e.ts, 1)
-                  Some(s)
-                case None => Some(SessionState(e.ts, e.ts, 1))
-              }
+            // seal every interval the watermark has passed: future
+            // admitted events all have ts >= watermark > last + gap
+            val wmMs = state.getCurrentWatermarkMs()
+            val (closed, open) =
+              merged.partition(s => us(s.last) + gapUs < wmMs * 1000L)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
+              // fire when the watermark passes the EARLIEST deadline
+              // (clamped above the watermark: ms-floor of a µs deadline
+              // exactly at the watermark would otherwise be rejected)
+              val deadline = open.map(s =>
+                Math.floorDiv(us(s.last), 1000L) +
+                  gapMinutes * 60L * 1000L).min
+              state.setTimeoutTimestamp(math.max(deadline, wmMs + 1))
             }
-            open.foreach { s =>
-              if (!streaming) closed += SessionOut(user, s.start, s.last, s.n)
-              else {
-                state.update(List(s))
-                // fire when the event-time watermark passes last + gap
-                state.setTimeoutTimestamp(
-                  Math.floorDiv(us(s.last), 1000L) + gapMinutes * 60L * 1000L)
-              }
-            }
-            closed.result().iterator
+            closed.sortBy(s => us(s.start))
+              .map(s => SessionOut(user, s.start, s.last, s.n)).iterator
           }
       }
   }

@@ -35,6 +35,18 @@ class DedupDfCapSpec extends SparkSpec {
     assert(capped <= 10, s"capped=$capped")
   }
 
+  test("hash helpers refuse an input that already uses the staging column") {
+    import spark.implicits._
+    val clash = Seq((1L, "a b c", 9L)).toDF("doc_id", "text", "__graft_th")
+    // silently overwriting + dropping the caller's column would corrupt it
+    intercept[IllegalArgumentException] {
+      TextHash.addShingleHashes(clash, col("text"))
+    }
+    intercept[IllegalArgumentException] {
+      TextHash.addWindowHashes(clash, col("text"), 2)
+    }
+  }
+
   test("capped pairs verify against FULL sets: scores match uncapped") {
     val capped = Dedup.jaccardPairsFrom(sh, 0.5, Some(50L)).collect()
     assert(capped.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))

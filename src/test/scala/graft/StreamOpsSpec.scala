@@ -193,7 +193,8 @@ class StreamOpsSpec extends SparkSpec {
       // session: must extend start backward, not regress last to 10:00
       mem.addData(StreamOps.Ev(1L, 10L, t("2024-01-01 10:00:00")))
       query.processAllAvailable()
-      // and one more than a gap before the session: singleton, emitted now
+      // and one more than a gap before the session: opens its own interval
+      // (held in state until the watermark seals it, not emitted eagerly)
       mem.addData(StreamOps.Ev(1L, 9L, t("2024-01-01 09:00:00")))
       query.processAllAvailable()
       // advance the watermark past last+gap (10:40): open session fires
@@ -207,6 +208,42 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows == Set(
         (t("2024-01-01 09:00:00"), t("2024-01-01 09:00:00"), 1),
         (t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00"), 2)), rows)
+    } finally query.stop()
+  }
+
+  test("sessionize merges mutually-adjacent LATE events into one session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[StreamOps.Ev]
+    val query = StreamOps.sessionize(mem.toDS(),
+        watermarkDelay = "2 hours").toDF()
+      .writeStream.format("memory").queryName("sess_late_merge")
+      .outputMode("append").start()
+    try {
+      // open session at 12:00
+      mem.addData(StreamOps.Ev(1L, 12L, t("2024-01-01 12:00:00")))
+      query.processAllAvailable()
+      // two admitted-late events (inside the 2h horizon: > 10:00), each
+      // > gap before 12:00 but within gap-distance of EACH OTHER,
+      // arriving in separate batches: the batch twin sessionizes them
+      // together, so streaming must too (ADVICE r3: these used to become
+      // two separate singletons)
+      mem.addData(StreamOps.Ev(1L, 10L, t("2024-01-01 10:30:00")))
+      query.processAllAvailable()
+      mem.addData(StreamOps.Ev(1L, 11L, t("2024-01-01 10:40:00")))
+      query.processAllAvailable()
+      // advance the watermark (15:00 - 2h = 13:00) past both deadlines
+      mem.addData(StreamOps.Ev(2L, 20L, t("2024-01-01 15:00:00")))
+      query.processAllAvailable()
+      val rows = spark.table("sess_late_merge").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[java.sql.Timestamp]("session_start"),
+          r.getAs[java.sql.Timestamp]("session_end"),
+          r.getAs[Int]("n_events"))).toSet
+      assert(rows == Set(
+        (t("2024-01-01 10:30:00"), t("2024-01-01 10:40:00"), 2),
+        (t("2024-01-01 12:00:00"), t("2024-01-01 12:00:00"), 1)), rows)
     } finally query.stop()
   }
 
