@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{FuncOps, Q, RefQueries, RelOps}
+import graft.queries.{ExtOps, FuncOps, Q, RefQueries, RelOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module registers its operators as [[graft.queries.Q]] values
@@ -13,9 +13,9 @@ object SparkEntry {
 
   /** Every registered operator, in registration order. */
   def registry: Seq[Q] =
-    RefQueries.all ++ RelOps.all ++ FuncOps.all ++ graft.text.TextOps.all ++
-      graft.dedup.Dedup.all ++ graft.similarity.Similarity.all ++
-      graft.multimodal.Multimodal.all
+    RefQueries.all ++ RelOps.all ++ FuncOps.all ++ ExtOps.all ++
+      graft.text.TextOps.all ++ graft.dedup.Dedup.all ++
+      graft.similarity.Similarity.all ++ graft.multimodal.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q2-shaped: scan → broadcast join → agg → top-k (SURVEY.md §7.2). */

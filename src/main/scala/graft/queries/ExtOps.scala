@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+import graft.io.Tables
+
+/** Round-4 extension operators: sketch-based distinct counting, string
+  * similarity join, the remaining window/grouping/set-operation SQL
+  * surface, SCD-2 dimension building and pre-aggregate re-aggregation.
+  *
+  * Like the rest of the registry these go beyond the reference's own 33
+  * operators (its query surface is reference sql/queries.sql:1-32) —
+  * they are the relational/ML-adjacent operations a user of an analytics
+  * engine expects, each expressed Spark-first and each with a
+  * value-exact DuckDB oracle. Determinism discipline as everywhere:
+  * md5-derived integer hashing, integer cents, single-division FP only,
+  * totally ordered outputs.
+  */
+object ExtOps {
+
+  /** Order value in integer cents (the engine-wide exact-money idiom). */
+  private def cents = round(col("o_totalprice") * 100, 0).cast("long")
+
+  /** HyperLogLog distinct-count sketch with ORACLE-EXACT registers: the
+    * bucket/rank decomposition uses the engine's md5 hash, so DuckDB
+    * recomputes bit-identical registers AND the identical estimate —
+    * this upgrades approximate counting from the rows-only gate
+    * q_approx_distinct (HLL++ internal hashing is engine-private) to a
+    * full value gate on the same operator family.
+    *
+    * Shape: hv = md5-mod-P hash of the value; bucket = hv mod 64; rank =
+    * leading-zero count of the remaining 25 bits + 1, via integer string
+    * length of bin() — no FP log2 anywhere. Registers are max(rank) per
+    * bucket: ONE 64-group aggregate with map-side partial max (the
+    * 64-key shuffle moves 64 rows per task, not data), then a broadcast
+    * join against the static bucket frame for empty buckets. The
+    * harmonic mean is integer-scaled: Σ 2^(26−Mj) ≤ 64·2^26 fits long,
+    * and the estimate α·m²·2^26 / S is a single division of literals
+    * both engines parse identically. At 100 TB this is the canonical
+    * one-pass mergeable-sketch shape (registers merge by elementwise
+    * max — same posture as [[graft.functions.CountMinAgg]]). */
+  val qHllDistinct: Q = Q("q_hll_distinct",
+    """WITH b AS (SELECT hv % 64 AS bucket,
+      |             CASE WHEN hv // 64 = 0 THEN 26
+      |                  ELSE 26 - length(bin(hv // 64)) END AS r
+      |           FROM (SELECT ('0x'||substring(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT
+      |                          % 2147483647 AS hv FROM events)),
+      |mx AS (SELECT bucket, MAX(r) AS mr FROM b GROUP BY 1),
+      |reg AS (SELECT g.bucket, COALESCE(mx.mr, 0) AS mj
+      |        FROM (SELECT unnest(range(0,64)) AS bucket) g
+      |        LEFT JOIN mx ON mx.bucket = g.bucket),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |               CAST(SUM(1::BIGINT << (26 - mj)) AS BIGINT) AS s_scaled
+      |        FROM reg)
+      |SELECT m, s_scaled,
+      |       194908456023.296 / CAST(s_scaled AS DOUBLE) AS est,
+      |       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+      |         AS n_true
+      |FROM agg""".stripMargin) { (s, d) =>
+    val ev = Tables.load(s, d, "events")
+    val b = ev
+      .select(TextHash.hash32(col("user_id").cast("string")).as("hv"))
+      .select((col("hv") % 64).as("bucket"),
+        expr("CASE WHEN hv div 64 = 0 THEN 26 " +
+          "ELSE 26 - length(bin(hv div 64)) END").cast("int").as("r"))
+    // no DISTINCT pass needed: max-rank is idempotent over duplicates
+    val mx = b.groupBy("bucket").agg(max("r").as("mr"))
+    val reg = s.range(0, 64).select(col("id").as("bucket"))
+      .join(broadcast(mx), Seq("bucket"), "left")
+      .select(coalesce(col("mr"), lit(0)).as("mj"))
+    val agg = reg.agg(count(lit(1)).cast("long").as("m"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 26 - mj)")).cast("long")
+        .as("s_scaled"))
+    val nTrue = ev.agg(count_distinct(col("user_id")).cast("long").as("n_true"))
+    agg.crossJoin(broadcast(nTrue))
+      .select(col("m"), col("s_scaled"),
+        (lit(194908456023.296) / col("s_scaled").cast("double")).as("est"),
+        col("n_true"))
+  }
+
+  /** Edit-distance similarity join (fuzzy record linkage on part names),
+    * structured as DEDUP-BEFORE-DP: the O(|a|·|b|) Levenshtein dynamic
+    * program runs over DISTINCT names only, and the qualifying name
+    * pairs — a tiny frame — are expanded back to part-key pairs by two
+    * equi-joins. Entity-attribute domains are bounded (names, addresses,
+    * titles repeat massively at fact-table scale: here 64 distinct names
+    * across every sf), so the expensive quadratic step runs on the value
+    * DOMAIN while the linear expansion runs on the DATA — the same
+    * pre-aggregation asymmetry the dedup family exploits. The naive
+    * spelling (blocked self-join of the raw table with the DP in the
+    * join condition) measured 65 s at sf0.1; this shape is ~0.3 s with
+    * the identical result.
+    *
+    * Within the name-level join, candidates are still blocked on the
+    * first name token (equi-join, never all-pairs) and pre-filtered by
+    * two conditions IMPLIED by dist ≤ 3 — |Δlen| ≤ 3, and a char-class
+    * count filter (4 disjoint alphabet classes; one edit moves the
+    * per-class count L1 by ≤ 2, so dist ≤ 3 ⇒ L1 ≤ 6) — ordered
+    * cheap-first ahead of the DP (codegen && short-circuits). These
+    * implied filters are what keep the name-level join linear-ish when
+    * the name domain is genuinely large; the oracle spells only the
+    * simple form since the result is unchanged. Both engines implement
+    * classic integer edit-distance DP, so scores are value-exact. The
+    * expansion joins broadcast the small side: name pairs, then the
+    * (pair × left-keys) intermediate — both bounded by the name domain,
+    * not the table. */
+  val qFuzzyLinkage: Q = Q("q_fuzzy_linkage",
+    """WITH p AS (SELECT p_partkey, p_name,
+      |             string_split(p_name, ' ')[1] AS blk FROM part)
+      |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |       a.p_name AS name_a, b.p_name AS name_b,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      |WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+      |  AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+      |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+    val parts = Tables.load(s, d, "part").select("p_partkey", "p_name")
+    def classCount(pat: String) =
+      length(regexp_replace(col("p_name"), pat, ""))
+    val names = parts.select("p_name").distinct()
+      .select(col("p_name"),
+        element_at(split(col("p_name"), " "), 1).as("blk"),
+        length(col("p_name")).as("len"),
+        classCount("[^a-g]").as("c1"), classCount("[^h-m]").as("c2"),
+        classCount("[^n-s]").as("c3"), classCount("[^t-z ]").as("c4"))
+    def dAbs(c: String) = abs(col(s"x.$c") - col(s"y.$c"))
+    val lev = levenshtein(col("x.p_name"), col("y.p_name"))
+    val npairs = names.as("x").hint("shuffle_hash")
+      .join(names.as("y").hint("shuffle_hash"),
+        col("x.blk") === col("y.blk") &&
+          col("x.p_name") < col("y.p_name") &&
+          dAbs("len") <= 3 &&
+          dAbs("c1") + dAbs("c2") + dAbs("c3") + dAbs("c4") <= 6 &&
+          lev.between(1, 3))
+      .select(col("x.p_name").as("nx"), col("y.p_name").as("ny"),
+        lev.cast("long").as("dist"))
+    // symmetric orientations so the key-ordered expansion below emits
+    // each part pair exactly once with name_a = key_a's name
+    val sym = npairs.unionByName(
+      npairs.select(col("ny").as("nx"), col("nx").as("ny"), col("dist")))
+    val left = parts
+      .select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      .join(broadcast(sym), col("name_a") === col("nx"))
+    broadcast(left)
+      .join(parts.select(col("p_partkey").as("key_b"),
+          col("p_name").as("name_b")),
+        col("name_b") === col("ny") && col("key_a") < col("key_b"))
+      .select("key_a", "key_b", "name_a", "name_b", "dist")
+      .orderBy("key_a", "key_b")
+  }
+
+  /** ntile / percent_rank / cume_dist — the distribution-rank window
+    * family (completing §2.8 beyond rank/lag/running). The windowed
+    * input is the nation × segment aggregate: BOUNDED cardinality
+    * (25 × 5), so the per-segment window partition never grows with the
+    * fact table — the same bounded-input justification as
+    * q_window_lag_delta, and the opposite of the q_vocab_topk defect
+    * fixed in round 3. percent_rank and cume_dist are single divisions
+    * of window-local integers: bit-equal across engines. */
+  val qNationTiles: Q = Q("q_nation_tiles",
+    """WITH sales AS (SELECT c.c_nationkey AS nationkey,
+      |                 c.c_mktsegment AS segment,
+      |                 CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT))
+      |                      AS BIGINT) AS cents
+      |               FROM orders o
+      |               JOIN customer c ON o.o_custkey = c.c_custkey
+      |               GROUP BY 1, 2)
+      |SELECT n.n_name AS nation, s.segment, s.cents,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume
+      |FROM sales s JOIN nation n ON n.n_nationkey = s.nationkey
+      |WINDOW w AS (PARTITION BY s.segment
+      |             ORDER BY s.cents DESC, s.nationkey)
+      |ORDER BY segment, cents DESC, nation""".stripMargin) { (s, d) =>
+    val cust = Tables.load(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val sales = Tables.load(s, d, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(cents).cast("long").as("cents"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(desc("cents"), asc("c_nationkey"))
+    sales
+      .join(broadcast(Tables.load(s, d, "nation")),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name").as("nation"), col("c_mktsegment").as("segment"),
+        col("cents"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("segment"), desc("cents"), col("nation"))
+  }
+
+  /** GROUPING SETS with grouping() disambiguation (completing §2.5's
+    * rollup/cube family with the general form): detail, per-status
+    * subtotal and grand total in ONE pass — Catalyst expands the sets
+    * and aggregates once, the scale answer to "run three queries and
+    * union them". grouping() distinguishes a subtotal NULL from a data
+    * NULL; surfaced as the sentinel 'ALL'. */
+  val qGroupingSets: Q = Q("q_grouping_sets",
+    """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+      |            ELSE o_orderstatus END AS status,
+      |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+      |            ELSE o_orderpriority END AS priority,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |         AS cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), ())
+      |ORDER BY status, priority""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).as("g_st"),
+        grouping(col("o_orderpriority")).as("g_pri"),
+        count(lit(1)).as("n"), sum(cents).cast("long").as("cents"))
+      .select(
+        when(col("g_st") === 1, "ALL").otherwise(col("o_orderstatus"))
+          .as("status"),
+        when(col("g_pri") === 1, "ALL").otherwise(col("o_orderpriority"))
+          .as("priority"),
+        col("n"), col("cents"))
+      .orderBy("status", "priority")
+  }
+
+  /** INTERSECT ALL / EXCEPT ALL — the multiset set operations (§2.6 had
+    * only the DISTINCT forms): which customers placed orders in BOTH
+    * status classes, with multiset multiplicity min(#F, #O), and the
+    * EXCEPT ALL remainder (#F − #O copies). Output is re-aggregated to
+    * (op, custkey, n) so it is totally ordered. Both forms shuffle on
+    * the row value — the same high-cardinality key either engine uses. */
+  val qSetOpsAll: Q = Q("q_set_ops_all",
+    """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      |o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |i AS (SELECT o_custkey FROM f INTERSECT ALL SELECT o_custkey FROM o),
+      |e AS (SELECT o_custkey FROM f EXCEPT ALL SELECT o_custkey FROM o),
+      |u AS (SELECT 'intersect_all' AS op, o_custkey FROM i
+      |      UNION ALL SELECT 'except_all' AS op, o_custkey FROM e)
+      |SELECT op, o_custkey AS custkey, COUNT(*) AS n
+      |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val orders = Tables.load(s, d, "orders")
+    val f = orders.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val o = orders.filter(col("o_orderstatus") === "O").select("o_custkey")
+    f.intersectAll(o).withColumn("op", lit("intersect_all"))
+      .unionByName(f.exceptAll(o).withColumn("op", lit("except_all")))
+      .groupBy(col("op"), col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("op", "custkey")
+  }
+
+  /** SCD type-2 dimension build: per-customer order-priority history as
+    * validity intervals — the warehouse-side "track attribute changes
+    * over time" operator an ETL engine owes its users (the reference
+    * rebuilds dimensions wholesale, reference src/job.py:296-299; this
+    * is the incremental-history generalisation). Change rows are
+    * detected with lag() and closed with lead(), both windowed on
+    * o_custkey: a HIGH-cardinality partition key, so parallelism scales
+    * with customers, not with a dimension's value domain. first_orderkey
+    * rides along to keep rows unique under same-day priority flips. */
+  val qScd2Priority: Q = Q("q_scd2_priority",
+    """WITH ord AS (SELECT o_custkey, o_orderkey,
+      |               CAST(o_orderdate AS DATE) AS d,
+      |               o_orderpriority AS pri FROM orders),
+      |chg AS (SELECT *, lag(pri) OVER w AS prev FROM ord
+      |        WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)),
+      |scd AS (SELECT o_custkey, o_orderkey, d, pri FROM chg
+      |        WHERE prev IS NULL OR prev <> pri)
+      |SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
+      |       pri AS priority, d AS eff_from,
+      |       lead(d) OVER w2 AS eff_to,
+      |       (lead(d) OVER w2 IS NULL) AS is_current
+      |FROM scd
+      |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+      |ORDER BY custkey, first_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    val chg = Tables.load(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"), col("o_orderpriority").as("pri"))
+      .withColumn("prev", lag("pri", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("pri"))
+    chg.select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("first_orderkey"), col("pri").as("priority"),
+        col("d").as("eff_from"), lead("d", 1).over(w).as("eff_to"),
+        lead("d", 1).over(w).isNull.as("is_current"))
+      .orderBy("custkey", "first_orderkey")
+  }
+
+  /** Re-aggregation of pre-aggregates: weekly totals computed FROM the
+    * daily aggregate, not from the fact table — the
+    * materialized-rollup/partial-merge posture that makes 100 TB
+    * dashboards cheap (sums of sums are exact in integer cents; the
+    * daily layer is what an incremental pipeline would persist). The
+    * oracle recomputes the same two-level cascade. */
+  val qReaggWeekly: Q = Q("q_reagg_weekly",
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |                 COUNT(*)::BIGINT AS n,
+      |                 CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+      |                      AS BIGINT) AS cents
+      |               FROM orders GROUP BY 1)
+      |SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+      |       CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(cents).cast("long").as("cents"))
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(sum("n").cast("long").as("n"),
+        sum("cents").cast("long").as("cents"))
+      .orderBy("week")
+  }
+
+  /** Positional explode (§2.7 lateral-view surface): token position is
+    * part of the output — the shape every sequence-labelling prep
+    * pipeline needs (position-aware n-grams, alignment joins). The
+    * doc_id predicate reaches the parquet scan (pushed filter), so the
+    * generator runs over the pruned slice only. */
+  val qPosexplodeTokens: Q = Q("q_posexplode_tokens",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents WHERE doc_id < 40)
+      |SELECT doc_id, CAST(unnest(range(0, len(w))) AS INT) AS pos,
+      |       unnest(w) AS token
+      |FROM w ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "documents")
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+  }
+
+  val all: Seq[Q] = Seq(
+    qHllDistinct, qFuzzyLinkage, qNationTiles, qGroupingSets, qSetOpsAll,
+    qScd2Priority, qReaggWeekly, qPosexplodeTokens)
+}

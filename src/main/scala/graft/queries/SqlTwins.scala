@@ -157,6 +157,48 @@ object SqlTwins {
   // ---- hand-written twins ----
 
   private val overrides: Map[String, String] = Map(
+    // HLL registers: sequence()/explode() for the bucket frame and
+    // shiftleft() for the power of two (DuckDB spells them range/unnest
+    // and <<); the hash is the session-registered native expression
+    "q_hll_distinct" ->
+      """WITH b AS (SELECT hv % 64 AS bucket,
+        |             CASE WHEN hv div 64 = 0 THEN 26
+        |                  ELSE 26 - length(bin(hv div 64)) END AS r
+        |           FROM (SELECT graft_md5_mod31(CAST(user_id AS STRING))
+        |                          AS hv FROM events)),
+        |mx AS (SELECT bucket, MAX(r) AS mr FROM b GROUP BY 1),
+        |g AS (SELECT explode(sequence(0, 63)) AS bucket),
+        |reg AS (SELECT g.bucket, COALESCE(mx.mr, 0) AS mj
+        |        FROM g LEFT JOIN mx ON mx.bucket = g.bucket),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |               CAST(SUM(shiftleft(CAST(1 AS BIGINT), 26 - mj))
+        |                    AS BIGINT) AS s_scaled
+        |        FROM reg)
+        |SELECT m, s_scaled,
+        |       194908456023.296 / CAST(s_scaled AS DOUBLE) AS est,
+        |       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+        |         AS n_true
+        |FROM agg""".stripMargin,
+
+    // DuckDB's 1-based list index `[1]` → element_at
+    "q_fuzzy_linkage" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |             element_at(split(p_name, ' '), 1) AS blk FROM part)
+        |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |       a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+        |  AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+        |ORDER BY key_a, key_b""".stripMargin,
+
+    // DuckDB's aligned multi-unnest → Spark's posexplode generator
+    "q_posexplode_tokens" ->
+      """SELECT doc_id, pos, token
+        |FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, token)
+        |      FROM documents WHERE doc_id < 40)
+        |ORDER BY doc_id, pos""".stripMargin,
+
     "q_date_functions" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INT) AS y,
