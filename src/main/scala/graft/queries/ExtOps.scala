@@ -333,7 +333,151 @@ object ExtOps {
       .orderBy("doc_id", "pos")
   }
 
+  /** Rolling 7-day totals per priority — the RANGE-frame window family
+    * (event-time distance, not row count: days with no orders still
+    * shorten the window). The frame key is an integer day index so the
+    * range arithmetic is exact in both engines; the windowed input is
+    * the per-(priority, day) aggregate — bounded by the calendar ×
+    * 5 priorities, never by fact rows. first_value rides the same frame
+    * to expose the window's left edge. */
+  val qRolling7d: Q = Q("q_rolling_7d",
+    """WITH daily AS (SELECT o_orderpriority AS pri,
+      |                 CAST(o_orderdate AS DATE) AS day,
+      |                 datediff('day', DATE '1990-01-01',
+      |                          CAST(o_orderdate AS DATE)) AS dk,
+      |                 COUNT(*)::BIGINT AS n,
+      |                 CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+      |                      AS BIGINT) AS cents
+      |               FROM orders GROUP BY 1, 2, 3)
+      |SELECT pri, day, n, cents,
+      |       CAST(SUM(cents) OVER w AS BIGINT) AS cents_7d,
+      |       CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+      |       CAST(first_value(day) OVER w AS DATE) AS win_first_day
+      |FROM daily
+      |WINDOW w AS (PARTITION BY pri ORDER BY dk
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY pri, day""".stripMargin) { (s, d) =>
+    val day = to_date(col("o_orderdate"))
+    val daily = Tables.load(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("pri"), day.as("day"),
+        datediff(day, lit("1990-01-01").cast("date")).as("dk"))
+      .agg(count(lit(1)).as("n"), sum(cents).cast("long").as("cents"))
+    val w = Window.partitionBy("pri").orderBy("dk").rangeBetween(-6, 0)
+    daily.select(col("pri"), col("day"), col("n"), col("cents"),
+        sum("cents").over(w).cast("long").as("cents_7d"),
+        sum("n").over(w).cast("long").as("n_7d"),
+        first("day").over(w).as("win_first_day"))
+      .orderBy("pri", "day")
+  }
+
+  /** Bloom-filter join pruning with a MEASURED false-positive margin:
+    * the high-balance customer set is hashed into a 4096-bit / 2-hash
+    * Bloom membership table (md5-derived positions, so the oracle
+    * recomputes the identical bits), broadcast, and used to pre-filter
+    * the orders probe — the runtime-filter pattern that saves the
+    * shuffle of provably-unmatchable fact rows at 100 TB. The output
+    * reports, per priority, how many rows the Bloom filter passes vs
+    * the exact semi-join, i.e. the shuffled-rows saving and the
+    * false-positive cost are both visible and oracle-checked. Bits and
+    * the VIP key set are broadcast (≤ 4096 rows / small dim); the probe
+    * never shuffles. */
+  val qBloomJoin: Q = Q("q_bloom_join",
+    """WITH vip AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+      |vh AS (SELECT ('0x'||substring(md5(CAST(c_custkey AS VARCHAR)),1,8))::BIGINT
+      |                % 2147483647 AS h FROM vip),
+      |bits AS (SELECT DISTINCT pos FROM (
+      |  SELECT (1299721 * h + 7) % 4096 AS pos FROM vh
+      |  UNION ALL SELECT (15485863 * h + 11) % 4096 AS pos FROM vh)),
+      |probe AS (SELECT o_orderpriority AS priority, o_custkey,
+      |            ('0x'||substring(md5(CAST(o_custkey AS VARCHAR)),1,8))::BIGINT
+      |              % 2147483647 AS h
+      |          FROM orders),
+      |flags AS (SELECT priority,
+      |            ((1299721 * h + 7) % 4096 IN (SELECT pos FROM bits)
+      |             AND (15485863 * h + 11) % 4096 IN (SELECT pos FROM bits))
+      |              AS bloom_hit,
+      |            o_custkey IN (SELECT c_custkey FROM vip) AS true_hit
+      |          FROM probe)
+      |SELECT priority, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS bloom_pass,
+      |  CAST(SUM(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS true_match,
+      |  CAST(SUM(CASE WHEN bloom_hit AND NOT true_hit THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS false_pos
+      |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    def pos1(h: org.apache.spark.sql.Column) = (lit(1299721L) * h + 7) % 4096
+    def pos2(h: org.apache.spark.sql.Column) = (lit(15485863L) * h + 11) % 4096
+    val vip = Tables.load(s, d, "customer")
+      .filter(col("c_acctbal") > 9000).select("c_custkey")
+    val vh = vip.select(TextHash.hash32(col("c_custkey").cast("string")).as("h"))
+    val bits = vh.select(pos1(col("h")).as("pos"))
+      .unionByName(vh.select(pos2(col("h")).as("pos"))).distinct()
+    Tables.load(s, d, "orders")
+      .select(col("o_orderpriority").as("priority"), col("o_custkey"),
+        TextHash.hash32(col("o_custkey").cast("string")).as("h"))
+      .withColumn("p1", pos1(col("h"))).withColumn("p2", pos2(col("h")))
+      .join(broadcast(bits.select(col("pos").as("b1"))),
+        col("p1") === col("b1"), "left")
+      .join(broadcast(bits.select(col("pos").as("b2"))),
+        col("p2") === col("b2"), "left")
+      .join(broadcast(vip.select(col("c_custkey").as("vk"))),
+        col("o_custkey") === col("vk"), "left")
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("b1").isNotNull && col("b2").isNotNull, 1).otherwise(0))
+          .cast("long").as("bloom_pass"),
+        sum(when(col("vk").isNotNull, 1).otherwise(0)).cast("long")
+          .as("true_match"),
+        sum(when(col("b1").isNotNull && col("b2").isNotNull &&
+            col("vk").isNull, 1).otherwise(0)).cast("long").as("false_pos"))
+      .orderBy("priority")
+  }
+
+  /** Skew-salted join, oracle-gated: [[graft.scale.Scale.saltedJoin]]
+    * replicates the dimension over 8 salt buckets so one hot customer
+    * key spreads over 8 reducers — and the aggregate is value-identical
+    * to the plain join, which is exactly what the oracle asserts (the
+    * salt column is internal; any salt assignment yields the same
+    * result). The spec-level equivalence guarantee from ScaleSpec is
+    * thereby also value-checked against a second engine. */
+  val qSaltedJoin: Q = Q("q_salted_join",
+    """SELECT c_mktsegment AS segment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.scale.Scale.saltedJoin(
+        Tables.load(s, d, "orders"),
+        Tables.load(s, d, "customer").select("c_custkey", "c_mktsegment"),
+        "o_custkey", "c_custkey", saltBuckets = 8)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), sum(cents).cast("long").as("cents"))
+      .orderBy("segment")
+  }
+
+  /** Unpivot / melt (the reshaping inverse of q_pivot_conditional):
+    * wide measure columns to long (key, measure, value) rows — the
+    * Spark-native generator form (one pass, no union of scans). Values
+    * are carried per-row doubles, never accumulated, so cross-engine
+    * equality is exact. */
+  val qUnpivot: Q = Q("q_unpivot",
+    """SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
+      |FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+      |FROM part
+      |ORDER BY p_partkey, measure""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "part")
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size").cast("double").as("p_size")),
+        "measure", "value")
+      .orderBy("p_partkey", "measure")
+  }
+
   val all: Seq[Q] = Seq(
     qHllDistinct, qFuzzyLinkage, qNationTiles, qGroupingSets, qSetOpsAll,
-    qScd2Priority, qReaggWeekly, qPosexplodeTokens)
+    qScd2Priority, qReaggWeekly, qPosexplodeTokens, qRolling7d, qBloomJoin,
+    qSaltedJoin, qUnpivot)
 }

@@ -192,6 +192,57 @@ object SqlTwins {
         |  AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
         |ORDER BY key_a, key_b""".stripMargin,
 
+    // Spark SQL has no IN-subquery in the SELECT list (predicate
+    // subqueries are filter-only) — membership flags become LEFT JOINs
+    // against the distinct bit/key sets; same md5 positions via the
+    // native expression
+    "q_bloom_join" ->
+      """WITH vip AS (SELECT c_custkey FROM customer
+        |             WHERE c_acctbal > 9000),
+        |vh AS (SELECT graft_md5_mod31(CAST(c_custkey AS STRING)) AS h
+        |       FROM vip),
+        |bits AS (SELECT DISTINCT pos FROM (
+        |  SELECT (1299721 * h + 7) % 4096 AS pos FROM vh
+        |  UNION ALL SELECT (15485863 * h + 11) % 4096 AS pos FROM vh)),
+        |probe AS (SELECT o_orderpriority AS priority, o_custkey,
+        |            graft_md5_mod31(CAST(o_custkey AS STRING)) AS h
+        |          FROM orders),
+        |flags AS (SELECT p.priority,
+        |            (b1.pos IS NOT NULL AND b2.pos IS NOT NULL) AS bloom_hit,
+        |            (v.c_custkey IS NOT NULL) AS true_hit
+        |          FROM probe p
+        |          LEFT JOIN bits b1 ON (1299721 * p.h + 7) % 4096 = b1.pos
+        |          LEFT JOIN bits b2 ON (15485863 * p.h + 11) % 4096 = b2.pos
+        |          LEFT JOIN vip v ON p.o_custkey = v.c_custkey)
+        |SELECT priority, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bloom_pass,
+        |  CAST(SUM(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS true_match,
+        |  CAST(SUM(CASE WHEN bloom_hit AND NOT true_hit THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS false_pos
+        |FROM flags GROUP BY priority ORDER BY priority""".stripMargin,
+
+    // Spark datediff is 2-arg (end, start); DuckDB's is ('day', start,
+    // end)
+    "q_rolling_7d" ->
+      """WITH daily AS (SELECT o_orderpriority AS pri,
+        |                 CAST(o_orderdate AS DATE) AS day,
+        |                 datediff(CAST(o_orderdate AS DATE),
+        |                          DATE '1990-01-01') AS dk,
+        |                 CAST(COUNT(*) AS BIGINT) AS n,
+        |                 CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+        |                      AS BIGINT) AS cents
+        |               FROM orders GROUP BY 1, 2, 3)
+        |SELECT pri, day, n, cents,
+        |       CAST(SUM(cents) OVER w AS BIGINT) AS cents_7d,
+        |       CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+        |       CAST(first_value(day) OVER w AS DATE) AS win_first_day
+        |FROM daily
+        |WINDOW w AS (PARTITION BY pri ORDER BY dk
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY pri, day""".stripMargin,
+
     // DuckDB's aligned multi-unnest → Spark's posexplode generator
     "q_posexplode_tokens" ->
       """SELECT doc_id, pos, token

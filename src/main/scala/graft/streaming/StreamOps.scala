@@ -82,9 +82,16 @@ object StreamOps {
     * holds at most watermark+interval of either side — the bounded-state
     * shape stream-stream joins require at scale (unbounded conditions
     * would accumulate state forever). Runs identically on a batch frame
-    * (plain range join). */
+    * (plain range join).
+    *
+    * `joinType = "leftOuter"` keeps unattributed purchases: in streaming
+    * mode the null-click row emits once the watermark proves no matching
+    * click can still arrive (purchase state expiry) — exactly the
+    * "campaign spend with no attributable click" report, emitted
+    * as-late-as-necessary but no later. */
   def attributePurchases(events: DataFrame,
-      watermarkDelay: String = "2 hours"): DataFrame = {
+      watermarkDelay: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("click_user"),
         col("event_id").as("click_id"), col("ts").as("click_ts"))
@@ -96,7 +103,8 @@ object StreamOps {
     purchases.join(clicks,
         col("user_id") === col("click_user") &&
           col("click_ts") <= col("purchase_ts") &&
-          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+        joinType)
       .select("user_id", "purchase_id", "purchase_ts", "click_id",
         "click_ts")
   }

@@ -126,6 +126,43 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("LEFT OUTER interval join emits unattributed purchases on expiry") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("user_id", "event_id", "ts", "event_type")
+    val query = StreamOps.attributePurchases(df, joinType = "leftOuter")
+      .writeStream.format("memory").queryName("attrib_outer_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, 10L, t("2024-01-01 10:00:00"), "click"),
+        (1L, 11L, t("2024-01-01 10:30:00"), "purchase"), // match
+        (3L, 30L, t("2024-01-01 11:25:00"), "purchase")) // no click at all
+      query.processAllAvailable()
+      // advance BOTH sides' watermarks (the global watermark is the MIN
+      // across the two withWatermark columns — clicks alone would leave
+      // the purchase side, and so the join state, pinned): user 3's
+      // purchase state then expires with no possible click left and the
+      // null-click row emits. Outer-join eviction runs while PROCESSING
+      // a batch under the already-advanced watermark, so a second batch
+      // follows the advancing one (same one-batch lag as event-time
+      // timeouts). Users 8/9 never overlap: no new matches.
+      mem.addData((8L, 90L, t("2024-01-01 17:00:00"), "click"),
+        (9L, 91L, t("2024-01-01 17:00:00"), "purchase"))
+      query.processAllAvailable()
+      mem.addData((8L, 92L, t("2024-01-01 18:00:00"), "click"),
+        (9L, 93L, t("2024-01-01 18:00:00"), "purchase"))
+      query.processAllAvailable()
+      val rows = spark.table("attrib_outer_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+          Option(r.getAs[java.lang.Long]("click_id")))).toSet
+      assert(rows == Set((1L, 11L, Some(10L: java.lang.Long)),
+        (3L, 30L, None)), rows)
+    } finally query.stop()
+  }
+
   test("foreachBatch sink lands micro-batches in day-partitioned parquet") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
