@@ -476,8 +476,27 @@ object ExtOps {
       .orderBy("p_partkey", "measure")
   }
 
+  /** Ordered string aggregation (group_concat / listagg): the sorted
+    * distinct source list per language as one delimited string. Sorting
+    * inside the aggregate is what makes the result deterministic —
+    * collect_set order is partition-dependent, sort_array fixes it, and
+    * both engines agree on ASCII ordering. The per-group set is bounded
+    * by the source-label domain, not by document count, so the
+    * collected arrays never data-scale. */
+  val qGroupConcat: Q = Q("q_group_concat",
+    """SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source)
+      |         AS sources,
+      |       COUNT(*) AS n
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "documents")
+      .groupBy("lang")
+      .agg(array_join(sort_array(collect_set("source")), ",").as("sources"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(
     qHllDistinct, qFuzzyLinkage, qNationTiles, qGroupingSets, qSetOpsAll,
     qScd2Priority, qReaggWeekly, qPosexplodeTokens, qRolling7d, qBloomJoin,
-    qSaltedJoin, qUnpivot)
+    qSaltedJoin, qUnpivot, qGroupConcat)
 }

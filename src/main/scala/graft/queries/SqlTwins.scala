@@ -243,6 +243,14 @@ object SqlTwins {
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY pri, day""".stripMargin,
 
+    // DuckDB's ordered string_agg(DISTINCT … ORDER BY) → deterministic
+    // sorted-set spelling
+    "q_group_concat" ->
+      """SELECT lang,
+        |       array_join(sort_array(collect_set(source)), ',') AS sources,
+        |       COUNT(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     // DuckDB's aligned multi-unnest → Spark's posexplode generator
     "q_posexplode_tokens" ->
       """SELECT doc_id, pos, token

@@ -58,6 +58,30 @@ object StreamOps {
       .agg(graft.functions.CountMinAgg.sketch(col("h")).as("sk"))
       .select(col("window.start").as("hour_start"), col("sk"))
 
+  /** Streaming hourly DISTINCT-count registers: the same HyperLogLog
+    * bucket/rank decomposition as the batch `q_hll_distinct` inside a
+    * watermarked window aggregate. Per open window the state store holds
+    * 64 register rows (max rank per bucket) — distinct users per hour
+    * with O(registers) state instead of O(users), and since max is
+    * idempotent and mergeable, a register row computed on the stream
+    * equals the one computed over the same rows at rest (spec-asserted,
+    * same symmetry as [[hourlySketch]]). Input: (ts, user_id). */
+  def hourlyDistinctSketch(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      // composed-builtins hash form: value-identical to the native
+      // expression but needs no session registration (streaming jobs may
+      // never call Tables.load)
+      .withColumn("hv",
+        graft.functions.TextHash.hash32Composed(col("user_id").cast("string")))
+      .select(col("ts"), (col("hv") % 64).as("bucket"),
+        expr("CASE WHEN hv div 64 = 0 THEN 26 " +
+          "ELSE 26 - length(bin(hv div 64)) END").cast("int").as("r"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("bucket"))
+      .agg(max("r").as("mr"))
+      .select(col("window.start").as("hour_start"), col("bucket"), col("mr"))
+
   /** Stream-static enrichment: the streaming fact joined to a static
     * dimension frame. No state store is involved (unlike stream-stream
     * joins) — Spark re-plans the static side per micro-batch, broadcast

@@ -284,6 +284,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming HLL registers equal the batch registers of the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (t("2024-01-01 10:05:00"), 7L), (t("2024-01-01 10:15:00"), 7L),
+      (t("2024-01-01 10:25:00"), 13L), (t("2024-01-01 10:40:00"), 999L),
+      (t("2024-01-01 11:05:00"), 7L), (t("2024-01-01 11:20:00"), 42L))
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val query = StreamOps
+      .hourlyDistinctSketch(mem.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(4): _*)
+      query.processAllAvailable()
+      mem.addData(rows.drop(4): _*)
+      query.processAllAvailable()
+      val got = spark.table("hll_stream")
+        .select(col("hour_start"), col("bucket"), col("mr"))
+        .as[(java.sql.Timestamp, Long, Int)].collect().toSet
+      // batch truth: identical decomposition over the same rows at rest
+      val batch = StreamOps
+        .hourlyDistinctSketch(rows.toDF("ts", "user_id"))
+        .as[(java.sql.Timestamp, Long, Int)].collect().toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+      // registers are per-user-set, not per-row: hour 10 has 3 distinct
+      // users, so at most 3 registers regardless of its 4 events
+      val hour10 = batch.filter(_._1 == t("2024-01-01 10:00:00"))
+      assert(hour10.nonEmpty && hour10.size <= 3, hour10)
+    } finally query.stop()
+  }
+
   test("slidingCounts: an event lands in size/slide overlapping windows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
