@@ -571,6 +571,22 @@ object SqlTwins {
         |  CAST(array_max(es) AS BIGINT) AS peak_energy
         |FROM e ORDER BY doc_id""".stripMargin,
 
+    "q_media_pixels" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 24 AS INT) AS width,
+        |  CAST(8 + doc_id % 16 AS INT) AS height,
+        |  CAST(aggregate(transform(
+        |    sequence(0, (8 + doc_id % 24) * (8 + doc_id % 16) - 1), j ->
+        |      CAST(ascii(substring(text,
+        |        CAST(j % length(text) + 1 AS INT), 1)) AS BIGINT)),
+        |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT) AS px_sum,
+        |  CAST(aggregate(transform(
+        |    sequence(0, (8 + doc_id % 24) * (8 + doc_id % 16) - 1), j ->
+        |      (j + 1) * CAST(ascii(substring(text,
+        |        CAST(j % length(text) + 1 AS INT), 1)) AS BIGINT)),
+        |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_media_resize" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 24 AS INT) AS in_w,
