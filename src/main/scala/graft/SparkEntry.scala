@@ -14,8 +14,9 @@ object SparkEntry {
   /** Every registered operator, in registration order. */
   def registry: Seq[Q] =
     RefQueries.all ++ RelOps.all ++ FuncOps.all ++ ExtOps.all ++
-      graft.text.TextOps.all ++ graft.dedup.Dedup.all ++
-      graft.similarity.Similarity.all ++ graft.multimodal.Multimodal.all
+      graft.text.TextOps.all ++ graft.text.IndexOps.all ++
+      graft.dedup.Dedup.all ++ graft.similarity.Similarity.all ++
+      graft.multimodal.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q2-shaped: scan → broadcast join → agg → top-k (SURVEY.md §7.2). */

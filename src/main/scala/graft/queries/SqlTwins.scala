@@ -571,6 +571,45 @@ object SqlTwins {
         |  CAST(array_max(es) AS BIGINT) AS peak_energy
         |FROM e ORDER BY doc_id""".stripMargin,
 
+    "q_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |         explode(sequence(CAST(0 AS BIGINT),
+        |           CAST((size(toks) - 1) div 24 AS BIGINT))) AS ci
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, ci,
+        |         slice(toks, CAST(ci * 24 + 1 AS INT), 32) AS ck
+        |  FROM c)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+        |  CAST(size(ck) AS BIGINT) AS n_tokens,
+        |  element_at(ck, 1) AS first_tok, element_at(ck, -1) AS last_tok,
+        |  CAST(graft_md5_mod31(array_join(ck, ' ')) AS BIGINT) AS fp
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_pmi_bigrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT explode(toks) AS tok FROM t),
+        |ux AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM u
+        |       GROUP BY 1),
+        |bg0 AS (SELECT explode(zip_with(
+        |          slice(toks, 1, size(toks) - 1),
+        |          slice(toks, 2, size(toks) - 1),
+        |          (a, b) -> named_struct('x', a, 'y', b))) AS bg FROM t),
+        |bg AS (SELECT bg.x AS x, bg.y AS y FROM bg0),
+        |bc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM bg
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |nb AS (SELECT CAST(SUM(size(toks) - 1) AS BIGINT) AS nb FROM t)
+        |SELECT b.x, b.y, b.n_xy, gx.n AS n_x, gy.n AS n_y,
+        |  CAST(b.n_xy * nb.nb AS DOUBLE) / CAST(gx.n * gy.n AS DOUBLE)
+        |    AS lift
+        |FROM bc b JOIN ux gx ON gx.tok = b.x JOIN ux gy ON gy.tok = b.y
+        |CROSS JOIN nb
+        |ORDER BY lift DESC, x, y LIMIT 20""".stripMargin,
+
     "q_media_pixels" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 24 AS INT) AS width,

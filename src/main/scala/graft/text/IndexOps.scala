@@ -1,0 +1,237 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+import graft.io.Tables
+import graft.queries.Q
+
+/** Indexing / retrieval preparation over the document corpus: context-
+  * window chunking, TF-IDF keyword extraction, term search, and PMI
+  * collocation mining — the operators that turn a cleaned corpus into
+  * retrieval units and index terms (RAG prep).
+  *
+  * Scale posture (100 TB): chunking is a pure per-row explode — no
+  * shuffle at all. TF-IDF and search are two hash aggregates plus an
+  * equi-join on the token key (df side is vocabulary-sized, far smaller
+  * than the corpus); the per-document windows partition on doc_id, the
+  * highest-cardinality key there is. Collocation mining prunes to
+  * bigrams with support ≥ MinSupport BEFORE any join, so the joined
+  * candidate set is collocation-sized, not corpus-sized; hot unigram
+  * keys are bounded because the bigram side was already aggregated.
+  * All scoring is exact: integer-scaled idf (micro-units, floor
+  * division) and a single per-row double division for lift — both
+  * bit-equal across engines (NOTES.md harness facts).
+  */
+object IndexOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** Chunk size / stride (tokens). 32/24 → 8-token overlap between
+    * consecutive chunks, the standard RAG window shape. */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Context-window chunking with overlap: one row per (doc, window
+    * start), windows starting every [[ChunkStride]] tokens, each
+    * [[ChunkSize]] tokens long (the tail windows shorter). The chunk
+    * fingerprint is the engine hash of the re-joined token span, so a
+    * off-by-one in any engine's slicing hash-mismatches. No shuffle:
+    * explode + projection only. */
+  val qChunkOverlap: Q = Q("q_chunk_overlap",
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |         unnest(range(0, (len(toks) - 1) // $ChunkStride + 1)) AS ci
+       |  FROM t),
+       |ch AS (
+       |  SELECT doc_id, ci,
+       |         toks[CAST(ci * $ChunkStride + 1 AS INT)
+       |              : CAST(ci * $ChunkStride + $ChunkSize AS INT)] AS ck
+       |  FROM c)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+       |  CAST(len(ck) AS BIGINT) AS n_tokens,
+       |  ck[1] AS first_tok, ck[-1] AS last_tok,
+       |  CAST(${TextHash.hash32Sql("array_to_string(ck, ' ')")} AS BIGINT)
+       |    AS fp
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    val ck = slice(col("toks"),
+      (col("ci") * ChunkStride + 1).cast("int"), lit(ChunkSize))
+    docs(s, d)
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          expr(s"CAST((size(toks) - 1) div $ChunkStride AS BIGINT)")))
+          .as("ci"))
+      .select(col("doc_id"), col("ci").as("chunk_id"), ck.as("ck"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ck")).cast("long").as("n_tokens"),
+        element_at(col("ck"), 1).as("first_tok"),
+        element_at(col("ck"), -1).as("last_tok"),
+        TextHash.hash32(concat_ws(" ", col("ck"))).as("fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** idf in integer micro-units: floor(N·10⁶ / df) — exact in both
+    * engines, no logarithm (ln implementations differ across engines;
+    * any monotone transform of 1/df ranks identically). */
+  private val IdfScale = 1000000L
+
+  /** (doc_id, token) term frequencies. */
+  private def termFreq(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(TextHash.tokens(col("text")))
+        .as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+
+  /** One-row document count, broadcast into the scoring join. */
+  private def docCount(s: SparkSession, d: String): DataFrame =
+    docs(s, d).agg(count(lit(1)).as("n_docs"))
+
+  /** TF-IDF keyword extraction: top-3 index terms per document by
+    * tf · floor(N·10⁶/df), ties by token. The window partitions on
+    * doc_id (data-scaled cardinality — parallelism grows with the
+    * corpus); df is a vocabulary-sized aggregate joined back on the
+    * token key. */
+  val qTfidfTerms: Q = Q("q_tfidf_terms",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |sc AS (
+       |  SELECT t.doc_id, t.token, t.tf, d.df,
+       |         t.tf * ((n.n_docs * $IdfScale) // d.df) AS score
+       |  FROM tf t JOIN df d ON d.token = t.token CROSS JOIN n),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+       |  FROM sc)
+       |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+       |  CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) {
+    (s, d) =>
+      val tf = termFreq(s, d)
+      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(df_, "token")
+        .crossJoin(broadcast(docCount(s, d)))
+        .withColumn("score",
+          col("tf") * expr(s"(n_docs * ${IdfScale}L) div df"))
+      scored
+        .withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(desc("score"), asc("token"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf").cast("long"),
+          col("df").cast("long"), col("score").cast("long"), col("rnk"))
+        .orderBy("doc_id", "rnk")
+  }
+
+  /** The standing search query for [[qKeywordSearch]]. */
+  val SearchTerms: Seq[String] = Seq("spark", "join", "window")
+
+  /** Term search over the corpus: score = Σ tf·idf over the query terms,
+    * top-10 documents. The token filter lands right after the explode,
+    * so only query-term postings survive into the aggregate; idf for
+    * the ≤3 terms is a broadcast; the final top-k is a
+    * TakeOrderedAndProject heap, never a global sort. */
+  val qKeywordSearch: Q = Q("q_keyword_search",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+       |  WHERE token IN ('spark', 'join', 'window') GROUP BY 1, 2),
+       |df AS (
+       |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+       |  WHERE token IN ('spark', 'join', 'window') GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT t.doc_id,
+       |  CAST(SUM(t.tf * ((n.n_docs * $IdfScale) // d.df)) AS BIGINT)
+       |    AS score,
+       |  CAST(COUNT(*) AS BIGINT) AS n_terms
+       |FROM tf t JOIN df d ON d.token = t.token CROSS JOIN n
+       |GROUP BY t.doc_id
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(TextHash.tokens(col("text")))
+        .as("token"))
+      .filter(col("token").isin(SearchTerms: _*))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = tok.groupBy("token")
+      .agg(countDistinct("doc_id").as("df"))
+    tf.join(broadcast(df_), "token")
+      .crossJoin(broadcast(docCount(s, d)))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * expr(s"(n_docs * ${IdfScale}L) div df"))
+        .cast("long").as("score"),
+        count(lit(1)).cast("long").as("n_terms"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
+  /** Minimum bigram support for collocation candidates: prunes the tail
+    * BEFORE any join, so the candidate set is collocation-sized. */
+  val MinSupport = 5
+
+  /** PMI-style collocation mining: top-20 adjacent-token bigrams by
+    * lift = n_xy·N / (n_x·n_y) (PMI = ln(lift), monotone — ranking is
+    * identical and ln is engine-divergent, so lift stays the score).
+    * The numerator/denominator products are exact BIGINTs and the one
+    * double division per row is bit-equal across engines. Bigrams come
+    * from zip_with over shifted slices (linear; never element_at over a
+    * re-inlinable transform — NOTES gotcha). */
+  val qPmiBigrams: Q = Q("q_pmi_bigrams",
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |u AS (SELECT unnest(toks) AS tok FROM t),
+       |ux AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM u
+       |       GROUP BY 1),
+       |bgi AS (SELECT unnest(range(1, len(toks))) AS i, toks FROM t),
+       |bg AS (SELECT toks[CAST(i AS INT)] AS x,
+       |              toks[CAST(i + 1 AS INT)] AS y FROM bgi),
+       |bc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM bg
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport),
+       |nb AS (SELECT CAST(SUM(len(toks) - 1) AS BIGINT) AS nb FROM t)
+       |SELECT b.x, b.y, b.n_xy, gx.n AS n_x, gy.n AS n_y,
+       |  CAST(b.n_xy * nb.nb AS DOUBLE) / CAST(gx.n * gy.n AS DOUBLE)
+       |    AS lift
+       |FROM bc b JOIN ux gx ON gx.tok = b.x JOIN ux gy ON gy.tok = b.y
+       |CROSS JOIN nb
+       |ORDER BY lift DESC, x, y LIMIT 20""".stripMargin) { (s, d) =>
+    val t = docs(s, d)
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("toks"))
+    val uni = t.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("n"))
+    val bigrams = t.select(explode(zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a: Column, b: Column) => struct(a.as("x"), b.as("y")))).as("bg"))
+      .select(col("bg.x").as("x"), col("bg.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).cast("long").as("n_xy"))
+      .filter(col("n_xy") >= MinSupport)
+    val nb = t.agg(sum(size(col("toks")) - 1).cast("long").as("nb"))
+    bigrams
+      .join(uni.withColumnRenamed("tok", "x")
+        .withColumnRenamed("n", "n_x"), "x")
+      .join(uni.withColumnRenamed("tok", "y")
+        .withColumnRenamed("n", "n_y"), "y")
+      .crossJoin(broadcast(nb))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        ((col("n_xy") * col("nb")).cast("double") /
+          (col("n_x") * col("n_y")).cast("double")).as("lift"))
+      .orderBy(desc("lift"), asc("x"), asc("y"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] =
+    Seq(qChunkOverlap, qTfidfTerms, qKeywordSearch, qPmiBigrams)
+}
