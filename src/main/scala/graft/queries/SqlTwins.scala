@@ -571,6 +571,21 @@ object SqlTwins {
         |  CAST(array_max(es) AS BIGINT) AS peak_energy
         |FROM e ORDER BY doc_id""".stripMargin,
 
+    "q_zorder_layout" ->
+      s"""WITH xy AS (
+         |  SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+         |         CAST(datediff(CAST(o_orderdate AS DATE),
+         |                DATE '1995-01-01') % 256 AS BIGINT) AS y
+         |  FROM orders),
+         |m AS (SELECT x, y,
+         |        (${graft.scale.Scale.mortonSql("x", "y")}) AS z FROM xy)
+         |SELECT CAST(z div 256 AS BIGINT) AS tile, COUNT(*) AS n,
+         |  CAST(MIN(x) AS BIGINT) AS min_x,
+         |  CAST(MAX(x) AS BIGINT) AS max_x,
+         |  CAST(MIN(y) AS BIGINT) AS min_y,
+         |  CAST(MAX(y) AS BIGINT) AS max_y
+         |FROM m GROUP BY 1 ORDER BY tile""".stripMargin,
+
     "q_chunk_overlap" ->
       """WITH t AS (
         |  SELECT doc_id, split(text, ' ') AS toks FROM documents),

@@ -47,6 +47,34 @@ object Scale {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Morton (Z-order) key: interleaves the low `bits` bits of two
+    * non-negative dimension keys — bit k of x lands at position 2k, bit k
+    * of y at 2k+1. Sorting a fact table by this key clusters rows that
+    * are close in BOTH dimensions into the same parquet row groups, so
+    * file/row-group min-max zone maps prune two-dimensional predicates
+    * (customer range × date range) from ONE physical layout — the
+    * standard lakehouse Z-ORDER story, here as a plain codegen-friendly
+    * column expression (a fold of shifts and masks, no UDF). */
+  def mortonKey(x: Column, y: Column, bits: Int = 8): Column = {
+    require(bits > 0 && bits <= 31)
+    (0 until bits).foldLeft(lit(0L)) { (acc, k) =>
+      acc
+        .bitwiseOR(shiftleft(
+          shiftright(x.cast("long"), k).bitwiseAND(lit(1L)), 2 * k))
+        .bitwiseOR(shiftleft(
+          shiftright(y.cast("long"), k).bitwiseAND(lit(1L)), 2 * k + 1))
+    }
+  }
+
+  /** The same interleave as [[mortonKey]], spelled as SQL text — the
+    * bitwise operators are identical in DuckDB and Spark SQL, so one
+    * generator serves the oracle and the SQL twin. */
+  def mortonSql(x: String, y: String, bits: Int = 8): String =
+    (0 until bits).flatMap { k =>
+      Seq(s"((($x >> $k) & 1) << ${2 * k})",
+        s"((($y >> $k) & 1) << ${2 * k + 1})")
+    }.mkString(" | ")
+
   /** Date-partitioned parquet layout: the 100 TB posture for fact tables —
     * writes land under `path/<partitionCol>=.../part-*.parquet` so date
     * filters prune whole directories (dynamic partition pruning applies to

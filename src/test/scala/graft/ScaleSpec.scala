@@ -96,6 +96,39 @@ class ScaleSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
   }
 
+  test("mortonKey is a bijection on the 32x32 grid") {
+    import spark.implicits._
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x, y)))
+      .toDF("x", "y")
+    val z = grid.select(Scale.mortonKey(col("x"), col("y")).as("z"))
+    val zs = z.as[Long].collect()
+    assert(zs.distinct.length == 1024, "collision: not a bijection")
+    assert(zs.forall(v => v >= 0 && v < 1024), "range: 10 bits exactly")
+    // spot-check the spec values: bit k of x at 2k, bit k of y at 2k+1
+    val one = grid.filter(col("x") === 5 && col("y") === 3)
+      .select(Scale.mortonKey(col("x"), col("y"))).collect()(0).getLong(0)
+    // x=101b -> bits 0,4; y=011b -> bits 1,3 => 1+2+8+16 = 27
+    assert(one == 27L)
+  }
+
+  test("z-order tiles bound both dimensions (16x16 rectangles)") {
+    val tiles = graft.queries.ExtOps.qZorderLayout.fn(spark, sf001)
+    val rows = tiles.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (minX, maxX) = (r.getAs[Long]("min_x"), r.getAs[Long]("max_x"))
+      val (minY, maxY) = (r.getAs[Long]("min_y"), r.getAs[Long]("max_y"))
+      assert(maxX - minX <= 15 && maxY - minY <= 15,
+        s"tile ${r.getAs[Long]("tile")} spread ${maxX - minX}/${maxY - minY}")
+      // ... and the tile really is an ALIGNED 16x16 cell: fixing
+      // z div 256 fixes bits 4..7 of both x and y, i.e. x div 16 and
+      // y div 16 are constant within the tile
+      val tile = r.getAs[Long]("tile")
+      assert(minX / 16 == maxX / 16 && minY / 16 == maxY / 16,
+        s"tile $tile crosses a 16-aligned cell boundary")
+    }
+  }
+
   test("all three native functions are SQL-callable after registration") {
     graft.io.Tables.load(spark, sf001, "nation") // triggers ensureRegistered
     val row = spark.sql(
