@@ -15,7 +15,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     RefQueries.all ++ RelOps.all ++ FuncOps.all ++ ExtOps.all ++
       graft.text.TextOps.all ++ graft.text.IndexOps.all ++
-      graft.dedup.Dedup.all ++ graft.similarity.Similarity.all ++
+      graft.dedup.Dedup.all ++ graft.graph.GraphOps.all ++
+      graft.similarity.Similarity.all ++
       graft.multimodal.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,116 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.queries.Q
+
+/** Graph analytics over relationship tables — here PageRank on the
+  * customer↔supplier interaction graph (an order links its customer to
+  * each supplier that filled a line item).
+  *
+  * PageRank is the canonical "iterate joins to a fixed point" workload;
+  * the engine's posture for it:
+  *   - the per-iteration step is ONE equi-join (edges ⋈ ranks on the
+  *     source key) + ONE aggregate (sum of contributions by destination)
+  *     — both hash-partitioned on data-scaled keys;
+  *   - the edge list (with out-degrees pre-attached) is loop-invariant
+  *     and `localCheckpoint`ed once, so no round re-runs the upstream
+  *     build (NOTES gotcha: lineage re-execution in iterative plans);
+  *   - ranks are scaled INTEGERS (units of 10⁻¹² of total mass) with
+  *     floor division everywhere, so three unrolled iterations are
+  *     bit-identical to the DuckDB oracle — no cross-engine float drift;
+  *   - the graph is symmetrized, so there are no dangling nodes and no
+  *     rank-mass leak term.
+  *
+  * At 100 TB the same loop holds: each round shuffles the rank table
+  * (nodes, not edges) and streams the edge side map-side; a damping sum
+  * in integers is associative, so partial aggregation applies. Rounds
+  * are driver-sequenced like the CC loops (`Dedup.components`).
+  */
+object GraphOps {
+
+  /** Total rank mass in fixed-point units (10¹²). */
+  val Mass = 1000000000000L
+
+  /** Damping factor 0.85 as an exact rational (85/100). */
+  val DampNum = 85L
+
+  val Iterations = 3
+
+  /** Symmetrized customer↔supplier edges with out-degrees: node ids are
+    * customers at key·2, suppliers at key·2+1 (disjoint id spaces). */
+  private def edgesWithDeg(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.load(s, d, "orders")
+      .join(Tables.load(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    e.join(deg, "src").localCheckpoint(true)
+  }
+
+  /** Fixed-point PageRank, [[Iterations]] rounds, top-20 nodes.
+    * r⁰(v) = ⌊Mass/N⌋; rᵏ⁺¹(v) = ⌊15·Mass/(100·N)⌋ +
+    * ⌊85·Σ_{u→v}⌊rᵏ(u)/deg(u)⌋/100⌋ — every division is a floor over
+    * integers, replicated exactly by the oracle's unrolled CTEs. */
+  val qPagerank: Q = Q("q_pagerank", {
+    val step = (k: Int) =>
+      s"""r${k + 1} AS (
+         |  SELECT e.dst AS node,
+         |    (15 * $Mass) // (100 * n.n)
+         |      + ($DampNum * SUM(r$k.r // deg.d)) // 100 AS r
+         |  FROM e JOIN r$k ON r$k.node = e.src
+         |         JOIN deg ON deg.src = e.src
+         |         CROSS JOIN n
+         |  GROUP BY e.dst, n.n)"""
+    s"""WITH ed AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM ed
+       |      UNION ALL SELECT b, a FROM ed),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e
+       |        GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+       |r0 AS (SELECT src AS node, $Mass // n.n AS r
+       |       FROM deg CROSS JOIN n),
+       |${(0 until Iterations).map(step).mkString(",\n")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |         AS kind,
+       |       CAST(node // 2 AS BIGINT) AS key,
+       |       CAST(r AS BIGINT) AS rank_pico
+       |FROM r$Iterations
+       |ORDER BY rank_pico DESC, kind, key LIMIT 20""".stripMargin
+  }) { (s, d) =>
+    val ec = edgesWithDeg(s, d)
+    val nRow = broadcast(ec.select("src").distinct()
+      .agg(count(lit(1)).as("n")))
+    var r: DataFrame = ec.select(col("src").as("node")).distinct()
+      .crossJoin(nRow)
+      .select(col("node"), expr(s"CAST(${Mass}L div n AS BIGINT)").as("r"))
+      .localCheckpoint(true)
+    for (_ <- 0 until Iterations) {
+      r = ec.join(r, ec("src") === r("node"))
+        .groupBy(ec("dst").as("node2"))
+        .agg(sum(expr("r div d")).as("s"))
+        .crossJoin(nRow)
+        .select(col("node2").as("node"),
+          expr(s"CAST((15 * ${Mass}L) div (100 * n) " +
+            s"+ ($DampNum * s) div 100 AS BIGINT)").as("r"))
+        .localCheckpoint(true)
+    }
+    r.select(
+        when(pmod(col("node"), lit(2)) === 0, "customer")
+          .otherwise("supplier").as("kind"),
+        expr("CAST(node div 2 AS BIGINT)").as("key"),
+        col("r").as("rank_pico"))
+      .orderBy(desc("rank_pico"), asc("kind"), asc("key"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(qPagerank)
+}
