@@ -173,6 +173,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Banded MinHash LSH keys for any frame carrying a shingle-set column
+    * `hs`: K signatures split into BANDS bands of R rows, one output row
+    * per (input row, band), all other columns preserved. Pure
+    * projections + one generator — STREAMING-SAFE, which is the point:
+    * the same index shape serves the batch self-join
+    * ([[qMinhashLsh]]'s inlined spelling) and the stream-static
+    * admission join ([[graft.streaming.StreamOps.nearDupAlerts]]). */
+  def lshBands(sh: DataFrame): DataFrame = {
+    val sig = array((0 until K).map(k => minhash(col("hs"), k)): _*)
+    val bandStructs = array((0 until Bands).map { b =>
+      val key = concat_ws("_",
+        (0 until R).map(r =>
+          col("__sig").getItem(b * R + r).cast("string")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }: _*)
+    sh.withColumn("__sig", sig)
+      .withColumn("__bk", explode(bandStructs))
+      .withColumn("band", col("__bk.band"))
+      .withColumn("key", col("__bk.key"))
+      .drop("__sig", "__bk")
+  }
+
   /** MinHash + banded LSH near-dup detection (threshold 0.8): K=16
     * signatures in BANDS=4 bands of R=4; only docs sharing a band key
     * become candidates (equi-join on the key — the sub-linear scale path),

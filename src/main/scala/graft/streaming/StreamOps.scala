@@ -100,6 +100,58 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming near-dup ADMISSION CONTROL: incoming documents checked
+    * against an indexed static corpus — the streaming face of the
+    * MinHash-LSH dedup family. The corpus is banded once
+    * ([[graft.dedup.Dedup.lshBands]]); each arriving doc computes its
+    * own band keys with pure projections (streaming-safe), stream-static
+    * equi-joins on (band, key) — candidates only, never a corpus scan —
+    * and candidates are verified with exact shingle Jaccard against the
+    * corpus shingle sets. Emits one alert row per (incoming doc,
+    * matched corpus doc) at or above `threshold`, deduplicated across
+    * bands within the watermark.
+    *
+    * At scale the static side is the posting-list-shaped LSH index
+    * (vocabulary of band keys → docs), re-broadcast or shuffled once per
+    * micro-batch by Spark's stream-static machinery; per-batch cost is
+    * proportional to the batch's candidates, not to the corpus.
+    *
+    * `stream` needs (doc_id, ts, text); `corpus` needs (doc_id, text).
+    */
+  def nearDupAlerts(stream: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.8, watermark: String = "1 hour"): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.functions.TextHash
+    // shingle hashing calls the native graft_md5_mod31 — install it for
+    // callers whose frames never went through Tables.load
+    graft.io.Tables.ensureSessionRegistered(stream.sparkSession)
+    val corpusSh = TextHash.addShingleHashes(corpus, col("text"))
+      .select(col("doc_id"), col("hs"))
+    val corpusIndex = Dedup.lshBands(corpusSh)
+      .select(col("band"), col("key"), col("doc_id").as("corpus_doc"))
+    val corpusHs = corpusSh
+      .select(col("doc_id").as("corpus_doc"), col("hs").as("corpus_hs"))
+    val inBands = Dedup.lshBands(
+        TextHash.addShingleHashes(stream.withWatermark("ts", watermark),
+          col("text")))
+      .select(col("doc_id").as("in_doc"), col("ts"), col("hs").as("in_hs"),
+        col("band"), col("key"))
+    val inter = size(array_intersect(col("in_hs"), col("corpus_hs")))
+      .cast("long")
+    val un = size(col("in_hs")).cast("long") +
+      size(col("corpus_hs")).cast("long") - col("inter")
+    inBands
+      .join(corpusIndex, Seq("band", "key"))
+      .join(corpusHs, Seq("corpus_doc"))
+      .withColumn("inter", inter)
+      .withColumn("un", un)
+      .withColumn("jaccard", col("inter").cast("double") / col("un"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicatesWithinWatermark("in_doc", "corpus_doc")
+      .select(col("in_doc"), col("ts"), col("corpus_doc").as("dup_of"),
+        col("jaccard"))
+  }
+
   /** Stream-stream interval join: each purchase attributed to the same
     * user's clicks within the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so the state store

@@ -383,4 +383,45 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows(1).getAs[String]("event_type") == "view")
     } finally query.stop()
   }
+
+  test("streaming near-dup admission flags corpus dups, admits novel docs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = "spark joins data at scale with hash partitioning every " +
+      "day using sorted buckets and broadcast tables for small dimension"
+    val corpus = Seq(
+      (1L, base + " sides"),
+      (2L, "a completely different corpus document about streaming state"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamOps.nearDupAlerts(stream, corpus).writeStream
+      .format("memory").queryName("admission_test").outputMode("append")
+      .start()
+    try {
+      mem.addData(
+        // verbatim copy of corpus doc 1 -> jaccard 1.0 alert
+        (10L, t("2024-01-01 10:00:00"), base + " sides"),
+        // novel text, no shared shingles -> admitted silently
+        (11L, t("2024-01-01 10:01:00"),
+          "nine orthogonal words nothing like either indexed text here"))
+      query.processAllAvailable()
+      val rows = spark.table("admission_test").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      assert(rows(0).getAs[Long]("in_doc") == 10L)
+      assert(rows(0).getAs[Long]("dup_of") == 1L)
+      assert(rows(0).getAs[Double]("jaccard") == 1.0)
+      // near-dup (one token changed, 17/19 shingles shared) in a later
+      // batch still alerts; a multi-band match deduplicates to ONE row
+      mem.addData((12L, t("2024-01-01 10:05:00"), base + " edges"))
+      query.processAllAvailable()
+      val after = spark.table("admission_test")
+        .orderBy("in_doc").collect()
+      assert(after.length == 2, after.mkString(";"))
+      assert(after(1).getAs[Long]("in_doc") == 12L)
+      assert(after(1).getAs[Long]("dup_of") == 1L)
+      assert(after(1).getAs[Double]("jaccard") >= 0.8)
+    } finally query.stop()
+  }
 }
