@@ -112,5 +112,67 @@ object GraphOps {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(qPagerank)
+  /** Butterfly (2×2 biclique) counting on the bipartite part–supplier
+    * graph — the bipartite analogue of triangle counting (bipartite
+    * graphs have no triangles, so 4-cycles are the clustering motif;
+    * Sanei-Mehri et al., "Butterfly Counting in Bipartite Networks",
+    * KDD 2018). Edges are the high-quantity supply backbone
+    * (l_quantity > 45, distinct pairs); the output is the top-20
+    * supplier pairs by butterflies = C(shared_parts, 2).
+    *
+    * Scale posture: butterflies are counted by WEDGES — join the edge
+    * list to itself on the part key and aggregate by supplier pair. The
+    * wedge count per part is C(deg, 2), quadratic in a hot part's
+    * degree, so parts above a degree cap (64) are EXCLUDED up front —
+    * the hot-vertex guard every scale treatment of butterfly counting
+    * uses (same role as the shingle df-cap in
+    * [[graft.dedup.Dedup]]): with the cap, wedge volume is ≤ 2016 ×
+    * #parts — linear. The self-join reuses one exchange via shuffle-hash
+    * hints on the SAME plan object (NOTES gotcha: broadcast would
+    * compute the subtree twice); the top-20 is a TakeOrderedAndProject
+    * heap, never a global sort. */
+  val qButterflyCount: Q = Q("q_butterfly_count",
+    """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      |           FROM lineitem WHERE l_quantity > 45),
+      |deg AS (SELECT p, COUNT(*)::BIGINT AS d FROM e GROUP BY 1),
+      |ec AS (SELECT e.p, e.s FROM e JOIN deg ON deg.p = e.p
+      |       WHERE deg.d <= 64),
+      |w AS (SELECT a.s AS s1, b.s AS s2, COUNT(*)::BIGINT AS shared_parts
+      |      FROM ec a JOIN ec b ON a.p = b.p AND a.s < b.s
+      |      GROUP BY 1, 2)
+      |SELECT s1, s2, shared_parts,
+      |       CAST(shared_parts * (shared_parts - 1) // 2 AS BIGINT)
+      |         AS butterflies
+      |FROM w
+      |ORDER BY butterflies DESC, s1, s2 LIMIT 20""".stripMargin) { (s, d) =>
+    butterflyPairs(
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+        .distinct(),
+      degCap = 64)
+      .orderBy(desc("butterflies"), asc("s1"), asc("s2"))
+      .limit(20)
+  }
+
+  /** Wedge-join butterfly aggregation behind [[qButterflyCount]], on any
+    * distinct (p, sup) edge frame: supplier pairs with shared-part counts
+    * and their butterfly contribution, parts above `degCap` excluded.
+    * Factored out so GraphOpsSpec can prove the hot-vertex guard on a
+    * synthetic star. */
+  private[graft] def butterflyPairs(
+      e: DataFrame, degCap: Int): DataFrame = {
+    val deg = e.groupBy("p").agg(count(lit(1)).as("deg"))
+    val ec = e.join(deg.filter(col("deg") <= degCap).select("p"), Seq("p"))
+    ec.as("a").hint("shuffle_hash")
+      .join(ec.as("b").hint("shuffle_hash"),
+        col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
+      .groupBy(col("a.sup").as("s1"), col("b.sup").as("s2"))
+      .agg(count(lit(1)).cast("long").as("shared_parts"))
+      .select(col("s1"), col("s2"), col("shared_parts"),
+        expr("CAST(shared_parts * (shared_parts - 1) div 2 AS BIGINT)")
+          .as("butterflies"))
+  }
+
+  val all: Seq[Q] = Seq(qPagerank, qButterflyCount)
 }

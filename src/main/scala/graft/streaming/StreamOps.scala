@@ -216,6 +216,67 @@ object StreamOps {
       .partitionBy("__day", "__batch")
       .parquet(path)
 
+  /** Streaming MERGE apply — the streaming twin of
+    * [[graft.queries.CdcOps.qMergeUpsert]]: each micro-batch's per-key
+    * delta (event count, value cents) is merged into a keyed state table
+    * by one full-outer join, and the state is EXACTLY-ONCE under batch
+    * replay because versions form a deterministic chain: batch N reads
+    * the newest state version `v < N` and overwrites `v=N` wholesale, so
+    * a replayed batch re-reads the same predecessor and rewrites exactly
+    * its own output (same idempotency-by-construction posture as
+    * [[sinkPartitionedByDay]], and the incremental generalisation of the
+    * reference's rebuild, reference src/job.py:296-299).
+    *
+    * The per-batch cost is one keyed shuffle join plus a state rewrite;
+    * at 100 TB the refinement is hash-bucketed state with per-bucket
+    * overwrite (only buckets containing delta keys rewrite) — the chain
+    * argument is unchanged, the rewrite bound drops from O(state) to
+    * O(touched buckets). */
+  def mergeUpsertSink(stream: DataFrame, statePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyMergeBatch(batch, batchId, statePath)
+    }
+
+  /** The per-batch merge behind [[mergeUpsertSink]], factored out so
+    * replay idempotence is testable directly. Input batch: (user_id,
+    * value); state row: (user_id, n, cents). */
+  private[graft] def applyMergeBatch(batch: DataFrame, batchId: Long,
+      statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val delta = batch.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("dn"),
+        sum(round(col("value") * 100, 0).cast("long")).as("dc"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath), spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val prevVersion =
+      if (!fs.exists(root)) None
+      else fs.listStatus(root).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+        .filter(_ < batchId) // replay must NOT read its own prior output
+        .sorted.lastOption
+    val prev = prevVersion match {
+      case Some(v) => spark.read.parquet(s"$statePath/v=$v")
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "user_id BIGINT, n BIGINT, cents BIGINT"))
+    }
+    prev.select(col("user_id").as("pk"), col("n"), col("cents"))
+      .join(delta, col("pk") === col("user_id"), "full_outer")
+      .select(
+        coalesce(col("pk"), col("user_id")).as("user_id"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .cast("long").as("n"),
+        (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .cast("long").as("cents"))
+      .write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
 
   final case class SessionState(

@@ -424,4 +424,50 @@ class StreamOpsSpec extends SparkSpec {
       assert(after(1).getAs[Double]("jaccard") >= 0.8)
     } finally query.stop()
   }
+
+  test("streaming merge apply: versioned state is exactly-once on replay") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_merge_state").toString
+    def state(v: Long): Map[Long, (Long, Long)] =
+      spark.read.parquet(s"$statePath/v=$v").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b0 = Seq((1L, 2.00), (1L, 3.00), (2L, 5.00)).toDF("user_id", "value")
+    val b1 = Seq((2L, 1.00), (3L, 4.50)).toDF("user_id", "value")
+    StreamOps.applyMergeBatch(b0, 0L, statePath)
+    assert(state(0) == Map(1L -> ((2L, 500L)), 2L -> ((1L, 500L))))
+    StreamOps.applyMergeBatch(b1, 1L, statePath)
+    val v1 = state(1)
+    assert(v1 == Map(
+      1L -> ((2L, 500L)), 2L -> ((2L, 600L)), 3L -> ((1L, 450L))))
+    // replay batch 1 (stable batch id, same data): state must NOT
+    // double-count — the chain reads v=0 again, never its own v=1 output
+    StreamOps.applyMergeBatch(b1, 1L, statePath)
+    assert(state(1) == v1)
+  }
+
+  test("streaming merge apply runs end-to-end over MemoryStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_merge_stream").toString
+    val mem = MemoryStream[(Long, Double)]
+    val query = StreamOps.mergeUpsertSink(
+      mem.toDF().toDF("user_id", "value"), statePath).start()
+    try {
+      mem.addData((7L, 1.25), (7L, 0.75))
+      query.processAllAvailable()
+      mem.addData((7L, 2.00), (8L, 9.99))
+      query.processAllAvailable()
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(statePath), spark.sessionState.newHadoopConf())
+      val latest = fs.listStatus(
+          new org.apache.hadoop.fs.Path(statePath)).toSeq
+        .map(_.getPath.getName.drop(2).toLong).max
+      val got = spark.read.parquet(s"$statePath/v=$latest").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == Map(7L -> ((3L, 400L)), 8L -> ((1L, 999L))))
+    } finally query.stop()
+  }
 }
