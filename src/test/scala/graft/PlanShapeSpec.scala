@@ -91,6 +91,18 @@ class PlanShapeSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("butterfly wedge self-join reuses the capped edge-list exchange") {
+    // both wedge sides are the same degree-capped edge subtree; the
+    // edge build + cap join must run once (qNgramJaccardPairs pattern)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(graft.graph.GraphOps.qButterflyCount.fn(spark, sf001))
+      assert(p.contains("ReusedExchange"), p)
+      assert(p.contains("TakeOrderedAndProject"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("stratified sample stacks a partial heap pass before the shuffle") {
     // lang is low-cardinality: without the map-side partial pass every
     // language funnels its full data through one reducer; with it, the
