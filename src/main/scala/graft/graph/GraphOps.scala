@@ -39,17 +39,23 @@ object GraphOps {
 
   val Iterations = 3
 
-  /** Symmetrized customer↔supplier edges with out-degrees: node ids are
-    * customers at key·2, suppliers at key·2+1 (disjoint id spaces). */
-  private def edgesWithDeg(s: SparkSession, d: String): DataFrame = {
+  /** Symmetrized customer↔supplier edges: node ids are customers at
+    * key·2, suppliers at key·2+1 (disjoint id spaces). */
+  private def symEdges(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.load(s, d, "orders")
       .join(Tables.load(s, d, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("a"),
         (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
-    val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+    pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** [[symEdges]] with out-degrees attached, checkpointed once for the
+    * PageRank loop. */
+  private def edgesWithDeg(s: SparkSession, d: String): DataFrame = {
+    val e = symEdges(s, d)
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     e.join(deg, "src").localCheckpoint(true)
   }
@@ -174,5 +180,55 @@ object GraphOps {
           .as("butterflies"))
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qButterflyCount)
+  val BfsRounds = 3
+
+  /** Multi-source BFS (min-hop labels): distance from the nation-0
+    * customer cohort through the customer↔supplier graph, [[BfsRounds]]
+    * expansion rounds, reported as a hop histogram (≤ rounds+1 rows —
+    * bounded output whatever the graph size).
+    *
+    * Per round: ONE equi-join (frontier ⋈ edges on the source key) +
+    * ONE min-aggregate by node — the same driver-sequenced shape as the
+    * CC loops and PageRank, with each round's label table
+    * `localCheckpoint`ed so lineage never replays earlier rounds (NOTES
+    * gotcha). Joining the full label table (not a delta frontier) keeps
+    * every round identical to the oracle's unrolled CTEs; the delta-
+    * frontier refinement halves traffic on deep graphs but changes no
+    * values. Hop counts are integers end to end. */
+  val qBfsHops: Q = Q("q_bfs_hops", {
+    val step = (k: Int) =>
+      s"""d${k + 1} AS (SELECT node, MIN(hop) AS hop FROM (
+         |  SELECT node, hop FROM d$k
+         |  UNION ALL
+         |  SELECT e.dst AS node, d$k.hop + 1 AS hop
+         |  FROM e JOIN d$k ON d$k.node = e.src) GROUP BY 1)"""
+    s"""WITH ed AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM ed
+       |      UNION ALL SELECT b, a FROM ed),
+       |d0 AS (SELECT c_custkey * 2 AS node, 0 AS hop FROM customer
+       |       WHERE c_nationkey = 0),
+       |${(0 until BfsRounds).map(step).mkString(",\n")}
+       |SELECT CAST(hop AS BIGINT) AS hop, COUNT(*) AS n_nodes
+       |FROM d$BfsRounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }) { (s, d) =>
+    val e = symEdges(s, d).localCheckpoint(true)
+    var labels: DataFrame = Tables.load(s, d, "customer")
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"), lit(0).as("hop"))
+      .localCheckpoint(true)
+    for (_ <- 0 until BfsRounds) {
+      labels = labels
+        .unionByName(e.join(labels, e("src") === labels("node"))
+          .select(e("dst").as("node"), (labels("hop") + 1).as("hop")))
+        .groupBy("node").agg(min("hop").as("hop"))
+        .localCheckpoint(true)
+    }
+    labels.groupBy(col("hop").cast("long").as("hop"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("hop")
+  }
+
+  val all: Seq[Q] = Seq(qPagerank, qButterflyCount, qBfsHops)
 }
