@@ -361,6 +361,35 @@ object RelOps {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Sliding (hopping) time window in BATCH — 1 h window every 15 min,
+    * so each event lands in exactly 4 windows (batch twin of
+    * [[graft.streaming.StreamOps.slidingCounts]], same `window()`
+    * generator expression). Window starts are emitted as integer epoch
+    * SECONDS: the generator's start timestamps pass through
+    * `unix_micros`, sidestepping any cross-engine timestamp rendering
+    * while staying value-exact. The oracle expands the 4 per-event
+    * window starts arithmetically — `(es div 900 − k)·900` for
+    * k ∈ 0..3 — which is the identity the generator implements; the
+    * replication factor is window/slide, a constant, so the expanded
+    * frame is 4× events, map-side combined before the shuffle. */
+  val qSlidingQuarter: Q = Q("q_sliding_quarter",
+    """WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es,
+      |             user_id FROM events),
+      |w AS (SELECT ((es // 900) - k.k) * 900 AS win_start_s, user_id
+      |      FROM ev CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k))
+      |SELECT CAST(win_start_s AS BIGINT) AS win_start_s, COUNT(*) AS n,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).cast("long").as("n_users"))
+      .select(expr("unix_micros(CAST(window.start AS TIMESTAMP))" +
+          " div 1000000").cast("long").as("win_start_s"),
+        col("n"), col("n_users"))
+      .orderBy("win_start_s")
+  }
+
   /** As-of join (time-series point-in-time lookup, absent from both the
     * reference and Spark's built-ins): for each purchase, the latest prior
     * click of the same user — expressed as an IGNORE NULLS last-value
@@ -687,7 +716,8 @@ object RelOps {
     qSemiJoin, qAntiJoin, qOuterJoinAgg, qUnionAllNames,
     qSetIntersectExcept, qWindowRank, qWindowRunning, qWindowLagDelta,
     qRollup, qCube, qDistinctAgg, qTopkOrders, qJsonExtract, qSessionize,
-    qSessionWindow, qTumblingHour, qAsofPriorClick, qAsofTolerance,
+    qSessionWindow, qTumblingHour, qSlidingQuarter, qAsofPriorClick,
+    qAsofTolerance,
     qPivotConditional, qTopkPerKeyCustom, qRangeJoinBands, qGapFill,
     qRecordLinkage, qFunnel, qRetentionCohorts)
 }
