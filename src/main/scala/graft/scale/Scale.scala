@@ -85,4 +85,41 @@ object Scale {
       .write.mode("overwrite")
       .partitionBy("__day")
       .parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * `ceil(bytes / targetBytes)` files, optionally range-sorted by a
+    * clustering key so zone maps survive the rewrite.
+    *
+    * Streaming sinks and incremental appends accrete files per
+    * micro-batch/run; at 100 TB the resulting listing + open-per-file
+    * overhead dominates scan cost long before data does (the classic
+    * lakehouse OPTIMIZE job). Sizing from the directory's actual bytes —
+    * not a fixed file count — keeps output files near `targetBytes`
+    * whatever the input history looked like. The rewrite lands in a
+    * temp directory first and swaps in with two renames, so a reader
+    * never sees a half-written directory (same idempotent-rebuild
+    * posture as the reference's wholesale reload,
+    * reference src/job.py:296-299). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      sortKeys: Seq[String] = Nil): Int = {
+    require(targetBytes > 0)
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(hadoopPath).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val out =
+      if (sortKeys.nonEmpty)
+        df.repartitionByRange(nFiles, sortKeys.map(col): _*)
+          .sortWithinPartitions(sortKeys.map(col): _*)
+      else df.coalesce(nFiles)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    fs.rename(hadoopPath, old)
+    fs.rename(tmp, hadoopPath)
+    fs.delete(old, true)
+    nFiles
+  }
 }

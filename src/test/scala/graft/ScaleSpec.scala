@@ -129,6 +129,41 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("compact folds a fragmented directory; sorted files stay disjoint") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString + "/t"
+    // 40 tiny files, as a streaming sink or incremental appends leave them
+    (1 to 4000).map(i => (i.toLong, i % 97))
+      .toDF("k", "v").repartition(40).write.mode("overwrite").parquet(path)
+    def parts = new java.io.File(path).listFiles
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts == 40)
+    val n = graft.scale.Scale.compact(spark, path,
+      targetBytes = 64L * 1024, sortKeys = Seq("k"))
+    assert(parts == n && n < 40, s"files=$parts target=$n")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 4000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("k")).head.getLong(0)
+      == 4000L * 4001 / 2)
+    // range-sorted rewrite: per-file [min, max] of the sort key must not
+    // overlap — the zone-map property that makes the compaction safe for
+    // clustered layouts
+    val ranges = new java.io.File(path).listFiles.toSeq
+      .filter(_.getName.startsWith("part-"))
+      .map { f =>
+        val d = spark.read.parquet(f.getAbsolutePath)
+          .agg(org.apache.spark.sql.functions.min("k"),
+            org.apache.spark.sql.functions.max("k")).head
+        (d.getLong(0), d.getLong(1))
+      }
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, ranges.toString)
+      case _ => ()
+    }
+  }
+
   test("all three native functions are SQL-callable after registration") {
     graft.io.Tables.load(spark, sf001, "nation") // triggers ensureRegistered
     val row = spark.sql(
