@@ -530,8 +530,67 @@ object ExtOps {
       .orderBy("tile")
   }
 
+  /** Pareto / ABC analysis: parts ranked by revenue with cumulative
+    * share and A/B/C class (top-80% / next-15% / tail) — the inventory
+    * "80/20" report. The cumulative sum runs in revenue-desc order over
+    * the per-part aggregate via the engine's two-level distributed scan
+    * (range slices → per-pid running sum → broadcast slice offsets), so
+    * no window ever sees more than a slice — the same posture as
+    * q_pack_chunks/q_global_rank, applied to a DESC money ordering.
+    *
+    * Exactness: share is ONE double division (cum/total — bit-equal
+    * cross-engine); class boundaries are small-rational integer
+    * comparisons (cum·5 ≤ total·4, cum·20 ≤ total·19), overflow-safe to
+    * ~4.6e17 cents. */
+  val qParetoShare: Q = Q("q_pareto_share",
+    """WITH rev AS (SELECT l_partkey,
+      |              CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+      |                   AS BIGINT) AS cents
+      |            FROM lineitem GROUP BY 1),
+      |c AS (SELECT l_partkey, cents,
+      |        CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) AS cum_cents,
+      |        (SELECT CAST(SUM(cents) AS BIGINT) FROM rev) AS total
+      |      FROM rev)
+      |SELECT l_partkey, cents, cum_cents,
+      |       CAST(cum_cents AS DOUBLE) / total AS share,
+      |       CASE WHEN cum_cents * 5 <= total * 4 THEN 'A'
+      |            WHEN cum_cents * 20 <= total * 19 THEN 'B'
+      |            ELSE 'C' END AS abc
+      |FROM c ORDER BY cents DESC, l_partkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.load(s, d, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long").as("cents"))
+    val parted = rev
+      .repartitionByRange(desc("cents"), asc("l_partkey"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid")
+      .orderBy(desc("cents"), asc("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("local_cum", sum("cents").over(wLocal))
+    // offsets over the bounded per-pid aggregate (#partitions rows)
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy("pid")
+      .agg(sum("cents").as("slice_sum"))
+      .withColumn("offset", coalesce(sum("slice_sum").over(wOff), lit(0L)))
+    val total = offsets.agg(sum("slice_sum").cast("long").as("total"))
+    local.join(broadcast(offsets.select("pid", "offset")), Seq("pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_cents", (col("local_cum") + col("offset")).cast("long"))
+      .select(col("l_partkey"), col("cents"), col("cum_cents"),
+        (col("cum_cents").cast("double") / col("total")).as("share"),
+        when(col("cum_cents") * 5 <= col("total") * 4, "A")
+          .when(col("cum_cents") * 20 <= col("total") * 19, "B")
+          .otherwise("C").as("abc"))
+      .orderBy(desc("cents"), asc("l_partkey"))
+  }
+
   val all: Seq[Q] = Seq(
     qHllDistinct, qFuzzyLinkage, qNationTiles, qGroupingSets, qSetOpsAll,
     qScd2Priority, qReaggWeekly, qPosexplodeTokens, qRolling7d, qBloomJoin,
-    qSaltedJoin, qUnpivot, qGroupConcat, qZorderLayout)
+    qSaltedJoin, qUnpivot, qGroupConcat, qZorderLayout, qParetoShare)
 }
