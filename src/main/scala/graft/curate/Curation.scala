@@ -68,4 +68,37 @@ object Curation {
     val bad = invalidMeasure(col(measure))
     CurationResult(dated.filter(!bad), dated.filter(bad), measure)
   }
+
+  /** The reference's before/after count verification (D5,
+    * src/job.py:249-258) as SINGLE-PASS pipeline telemetry: the clean
+    * frame comes back instrumented with a named `Observation` that
+    * accumulates total / invalid / null-measure counts WHILE the first
+    * action on the frame runs — no second scan, no separate COUNT
+    * queries, no driver-side collect. At 100 TB this is the difference
+    * between "verify" costing one extra full-table pass and costing
+    * nothing: the metrics ride the task completion events.
+    *
+    * Usage: run any action on `clean` (write it, count it), then read
+    * `observation.get` — keys `n_total`, `n_invalid`, `n_null_measure`
+    * satisfy `clean.count() == n_total - n_invalid` (spec-asserted). */
+  def curateObserved(df: DataFrame, dateColumn: Option[String] = None,
+      measureColumn: Option[String] = None)
+      : (DataFrame, org.apache.spark.sql.Observation, String) = {
+    val dated = dateColumn match {
+      case Some(d) => df.withColumn(d, parseSlashedDate(col(d)))
+      case None    => df
+    }
+    val measure = measureColumn
+      .orElse(Schemas.detectMeasureColumn(dated.schema))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no numeric column to curate in schema ${dated.schema.simpleString}"))
+    val bad = invalidMeasure(col(measure))
+    val obs = org.apache.spark.sql.Observation("curation")
+    val observed = dated.observe(obs,
+      count(lit(1)).as("n_total"),
+      sum(when(bad, 1L).otherwise(0L)).as("n_invalid"),
+      sum(when(col(measure).isNull, 1L).otherwise(0L))
+        .as("n_null_measure"))
+    (observed.filter(!bad), obs, measure)
+  }
 }

@@ -63,4 +63,29 @@ class CurationSpec extends SparkSpec {
         org.apache.spark.sql.types.IntegerType)))
     assert(Schemas.detectMeasureColumn(caps).contains("QUANTITY"))
   }
+
+  test("observed curation: D5 verify counts ride the clean pass (one scan)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(5L)), (2L, Some(-1L)), (3L, None),
+      (4L, Some(2000000L)), (5L, Some(7L)), (6L, Some(1L)))
+      .toDF("id", "quantity")
+    val (clean, obs, measure) =
+      graft.curate.Curation.curateObserved(df)
+    assert(measure == "quantity")
+    val nClean = clean.count() // the ONLY action — metrics ride it
+    val m = obs.get
+    assert(m("n_total") == 6L, m)
+    assert(m("n_invalid") == 3L, m) // -1, null, 2e6
+    assert(m("n_null_measure") == 1L, m)
+    // the reference's D5 invariant: after == before - deleted
+    assert(nClean == m("n_total").asInstanceOf[Long]
+      - m("n_invalid").asInstanceOf[Long])
+    // the filter must NOT have been pushed below the metrics barrier:
+    // n_total counts every input row, not just survivors
+    assert(m("n_total").asInstanceOf[Long] != nClean)
+    // parity with the two-frame split on the same input
+    val r = graft.curate.Curation.curate(df)
+    assert(r.quarantined.count() == m("n_invalid").asInstanceOf[Long])
+  }
 }
