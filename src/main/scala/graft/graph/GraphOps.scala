@@ -230,5 +230,64 @@ object GraphOps {
       .orderBy("hop")
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qButterflyCount, qBfsHops)
+  val CoreK = 8
+  val PeelRounds = 3
+
+  /** k-core peeling ([[PeelRounds]] rounds, k = [[CoreK]]): repeatedly
+    * drop nodes of degree < k and restrict the edge list to survivors —
+    * the standard dense-subgraph / spam-backbone extraction. Output is
+    * the per-kind census of survivors with their degree range after the
+    * last peel (2 rows — bounded regardless of graph size).
+    *
+    * Per round: one degree aggregate + two semi-joins (src and dst
+    * survivorship) — all hash-partitioned on node keys; rounds are
+    * driver-sequenced and each round's edge list is checkpointed (the
+    * iterative-plan posture shared with CC/PageRank/BFS). A fixed round
+    * budget keeps the operator oracle-exact (unrolled CTEs); full
+    * convergence is the same loop with a count-gated exit, as
+    * `Dedup.components` does. */
+  val qKcore: Q = Q("q_kcore", {
+    val round = (i: Int) =>
+      s"""d${i + 1} AS (SELECT src, COUNT(*) AS dg FROM e$i GROUP BY 1),
+         |k${i + 1} AS (SELECT src AS node, dg FROM d${i + 1}
+         |        WHERE dg >= $CoreK),
+         |e${i + 1} AS (SELECT e.src, e.dst FROM e$i e
+         |        JOIN k${i + 1} a ON a.node = e.src
+         |        JOIN k${i + 1} b ON b.node = e.dst)"""
+    s"""WITH ed AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |e0 AS (SELECT a AS src, b AS dst FROM ed
+       |       UNION ALL SELECT b, a FROM ed),
+       |${(0 until PeelRounds).map(round).mkString(",\n")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |         AS kind,
+       |       COUNT(*) AS n_nodes,
+       |       CAST(MIN(dg) AS BIGINT) AS min_deg,
+       |       CAST(MAX(dg) AS BIGINT) AS max_deg
+       |FROM k$PeelRounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }) { (s, d) =>
+    var e = symEdges(s, d).localCheckpoint(true)
+    var keep: DataFrame = null
+    for (_ <- 0 until PeelRounds) {
+      keep = e.groupBy("src").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= CoreK)
+        .select(col("src").as("node"), col("dg"))
+        .localCheckpoint(true)
+      e = e
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(true)
+    }
+    keep.groupBy(
+        when(pmod(col("node"), lit(2)) === 0, "customer")
+          .otherwise("supplier").as("kind"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min("dg").cast("long").as("min_deg"),
+        max("dg").cast("long").as("max_deg"))
+      .orderBy("kind")
+  }
+
+  val all: Seq[Q] = Seq(qPagerank, qButterflyCount, qBfsHops, qKcore)
 }
