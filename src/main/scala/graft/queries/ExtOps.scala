@@ -589,8 +589,46 @@ object ExtOps {
       .orderBy(desc("cents"), asc("l_partkey"))
   }
 
+  /** Single-pass data profiling (column-quality metrics, the
+    * deequ-style audit an ETL engine owes every ingested table): per
+    * column of `orders` — row count, null count, exact distinct count —
+    * emitted long-form. The Spark program computes ALL columns' metrics
+    * in ONE aggregate over ONE scan (Catalyst plans the multi-distinct
+    * via Expand: rows replicate per distinct-aggregate, partials
+    * combine map-side), then unpivots the 1-row wide result with a
+    * generator — at 100 TB that is 1 table pass vs the oracle's
+    * per-column UNION ALL spelling, which re-scans the table once per
+    * column. Extends the reference's count-only verification
+    * (src/job.py:249-258) to the per-column audit. */
+  val qProfileOrders: Q = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    Q("q_profile_orders",
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) { (s, d) =>
+      val wide = Tables.load(s, d, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+          count_distinct(col(c)).as(s"dist_$c"))): _*)
+      wide.select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col("n_rows"),
+            col(s"null_$c").cast("long").as("n_null"),
+            col(s"dist_$c").cast("long").as("n_distinct"))): _*))
+          .as("m"))
+        .select("m.col_name", "m.n_rows", "m.n_null", "m.n_distinct")
+        .orderBy("col_name")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     qHllDistinct, qFuzzyLinkage, qNationTiles, qGroupingSets, qSetOpsAll,
     qScd2Priority, qReaggWeekly, qPosexplodeTokens, qRolling7d, qBloomJoin,
-    qSaltedJoin, qUnpivot, qGroupConcat, qZorderLayout, qParetoShare)
+    qSaltedJoin, qUnpivot, qGroupConcat, qZorderLayout, qParetoShare,
+    qProfileOrders)
 }
