@@ -338,6 +338,53 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** REAL JPEG corpus: each doc's gray8 bitmap encoded as an actual
+    * entropy-coded baseline JPEG by the JDK's bundled codec
+    * ([[JpegCodec.encodeGray8]]). */
+  def jpegMediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    rawImageTable(s, d).map { img =>
+      MediaRow(img.doc_id, "image/jpeg",
+        JpegCodec.encodeGray8(img.in_w, img.in_h, img.pixels))
+    }
+  }
+
+  final case class JpegRoundTrip(
+      doc_id: Long, width: Int, height: Int, header_w: Int, header_h: Int,
+      max_err: Int, mean_err_x100: Long)
+
+  /** Distributed JPEG encode→decode round trip with error accounting:
+    * per partition, each bitmap is compressed by the real DCT+Huffman
+    * codec and decoded back; the row reports decode dimensions, the
+    * SOF dimensions [[HeaderCodec.jpegDims]] reads from the SAME bytes
+    * (two independent parsers must agree), and the max / mean absolute
+    * pixel error of the lossy round trip. Spec-gated
+    * (JpegCodecSpec) — lossy output has no value-exact SQL oracle; see
+    * [[JpegCodec]]. Same mapPartitions batch-loop plumbing as every
+    * other decode stage. */
+  def jpegRoundTrip(s: SparkSession, d: String): Dataset[JpegRoundTrip] = {
+    import s.implicits._
+    rawImageTable(s, d).mapPartitions { imgs =>
+      imgs.map { img =>
+        val jpg = JpegCodec.encodeGray8(img.in_w, img.in_h, img.pixels)
+        val (hw, hh) = HeaderCodec.jpegDims(jpg).getOrElse((-1, -1))
+        val (w, h, px) = JpegCodec.decodeGray8(jpg).getOrElse(
+          sys.error(s"undecodable JPEG for doc ${img.doc_id}"))
+        var maxErr = 0
+        var errSum = 0L
+        var k = 0
+        while (k < px.length && k < img.pixels.length) {
+          val e = math.abs((px(k) & 0xff) - (img.pixels(k) & 0xff))
+          if (e > maxErr) maxErr = e
+          errSum += e
+          k += 1
+        }
+        JpegRoundTrip(img.doc_id, w, h, hw, hh, maxErr,
+          errSum * 100 / math.max(1, px.length))
+      }
+    }
+  }
+
   final case class MediaEnergy(
       doc_id: Long, n_frames: Long, total_energy: Long, peak_frame: Long,
       peak_energy: Long)
