@@ -626,9 +626,39 @@ object ExtOps {
     }
   }
 
+  /** Join-key skew diagnostic — the question [[qSaltedJoin]]'s remedy
+    * presupposes: WHICH keys are hot, and by how much. Per-key counts
+    * on the lineitem supplier key, top-10 heaviest with their share of
+    * all rows and skew ratio vs the uniform mean (ratio 1.0 = perfectly
+    * even). One map-side-combined aggregate, a 1-row broadcast of
+    * (total, n_keys), and a heap top-10 — the whole diagnostic costs a
+    * single pass however large the fact is. Per-row FP chains
+    * (x·k / total) are deterministic in both engines; no multi-row FP
+    * accumulation. */
+  val qSkewReport: Q = Q("q_skew_report",
+    """WITH k AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |s AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+      |             CAST(COUNT(*) AS BIGINT) AS n_keys FROM k)
+      |SELECT k.l_suppkey, k.n,
+      |       CAST(k.n AS DOUBLE) / s.total AS share,
+      |       CAST(k.n AS DOUBLE) * s.n_keys / s.total AS skew
+      |FROM k CROSS JOIN s
+      |ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin) { (s, d) =>
+    val k = Tables.load(s, d, "lineitem")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+    val stats = k.agg(sum("n").cast("long").as("total"),
+      count(lit(1)).cast("long").as("n_keys"))
+    k.crossJoin(broadcast(stats))
+      .select(col("l_suppkey"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"),
+        (col("n").cast("double") * col("n_keys") / col("total")).as("skew"))
+      .orderBy(desc("n"), asc("l_suppkey"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(
     qHllDistinct, qFuzzyLinkage, qNationTiles, qGroupingSets, qSetOpsAll,
     qScd2Priority, qReaggWeekly, qPosexplodeTokens, qRolling7d, qBloomJoin,
     qSaltedJoin, qUnpivot, qGroupConcat, qZorderLayout, qParetoShare,
-    qProfileOrders)
+    qProfileOrders, qSkewReport)
 }
