@@ -289,5 +289,122 @@ object GraphOps {
       .orderBy("kind")
   }
 
+  /** Run-to-convergence k-core (VERDICT r4 #3): the [[qKcore]] peel loop
+    * with a COUNT-GATED exit instead of a fixed round budget — the
+    * `Dedup.components` loop shape. Peels until an entire round removes
+    * no edge (the surviving subgraph is then exactly the k-core: every
+    * remaining node has degree ≥ k within it), or `maxRounds` fires as a
+    * runaway guard.
+    *
+    * `edges` must be a symmetric (src, dst) frame, as from the
+    * customer↔supplier builder. Per round the driver pulls ONE long
+    * (the surviving edge count — already needed as the convergence
+    * scalar) and every frame is `localCheckpoint`ed, so lineage stays
+    * flat however many rounds the graph needs; edge-count equality is a
+    * sound exit because degrees are a function of the edge multiset.
+    * Returns surviving (node, dg) with the degree from the LAST peel,
+    * i.e. the node's degree within the core. */
+  private[graft] def kcoreConverged(edges: DataFrame, k: Int,
+      maxRounds: Int = 1000): DataFrame = {
+    var e = edges.localCheckpoint(true)
+    var n = e.count()
+    var keep: DataFrame = e.sparkSession.emptyDataFrame
+    var converged = n == 0L
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      keep = e.groupBy("src").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k)
+        .select(col("src").as("node"), col("dg"))
+        .localCheckpoint(true)
+      val e2 = e
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      converged = n2 == n
+      e = e2
+      n = n2
+      rounds += 1
+    }
+    keep
+  }
+
+  /** Run-to-convergence PageRank (VERDICT r4 #3): the [[qPagerank]]
+    * recurrence iterated until the largest per-node rank change is
+    * ≤ `tolPico` fixed-point units (or `maxRounds` fires). The
+    * convergence scalar is one long per round — max |Δrank| over an
+    * equi-join of consecutive rank tables on the node key — mirroring
+    * the `Dedup.components` exit; integer ranks make the test exact
+    * (tolPico = 0 demands a literal fixed point). The symmetrized graph
+    * has no dangling nodes, so consecutive rank tables share the same
+    * node set and the delta join is lossless. */
+  private[graft] def pagerankConverged(s: SparkSession, d: String,
+      tolPico: Long = 1000L, maxRounds: Int = 100): DataFrame = {
+    val ec = edgesWithDeg(s, d)
+    val nRow = broadcast(ec.select("src").distinct()
+      .agg(count(lit(1)).as("n")))
+    var r: DataFrame = ec.select(col("src").as("node")).distinct()
+      .crossJoin(nRow)
+      .select(col("node"), expr(s"CAST(${Mass}L div n AS BIGINT)").as("r"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val r2 = ec.join(r, ec("src") === r("node"))
+        .groupBy(ec("dst").as("node2"))
+        .agg(sum(expr("r div d")).as("s"))
+        .crossJoin(nRow)
+        .select(col("node2").as("node"),
+          expr(s"CAST((15 * ${Mass}L) div (100 * n) " +
+            s"+ ($DampNum * s) div 100 AS BIGINT)").as("r"))
+        .localCheckpoint(true)
+      val delta = r2.select(col("node"), col("r").as("r2"))
+        .join(r, "node")
+        .agg(coalesce(max(abs(col("r2") - col("r"))), lit(0L)))
+        .first().getLong(0)
+      converged = delta <= tolPico
+      r = r2
+      rounds += 1
+    }
+    r
+  }
+
+  /** Delta-frontier BFS (VERDICT r4 #6): the [[qBfsHops]] expansion
+    * joining only the nodes LABELED LAST ROUND instead of the whole
+    * label table. Sound because BFS hops are monotone: the first round
+    * that reaches a node assigns its minimal hop, so already-labeled
+    * nodes can never improve and re-joining them is pure waste — on a
+    * depth-D graph the full-table loop shuffles Σ|labels_i| ≈ D·|V|
+    * rows while the frontier loop shuffles each node exactly once.
+    * Terminates when a round labels nothing new (frontier count — the
+    * one driver scalar per round — hits zero), so depth needs no
+    * a-priori bound. Returns (labels with final min hops, per-round
+    * frontier sizes — the shuffle-volume witness GraphOpsSpec asserts
+    * against the full-table loop's label sizes). */
+  private[graft] def bfsDeltaFrontier(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 10000): (DataFrame, Seq[Long]) = {
+    val e = edges.localCheckpoint(true)
+    var labels = seeds.select(col("node"), col("hop")).localCheckpoint(true)
+    var frontier = labels
+    var fn = frontier.count()
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var rounds = 0
+    while (fn > 0 && rounds < maxRounds) {
+      sizes += fn
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(e("dst").as("node"), (frontier("hop") + 1).as("hop"))
+        .groupBy("node").agg(min("hop").as("hop"))
+        .join(labels.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        .localCheckpoint(true)
+      labels = labels.unionByName(next).localCheckpoint(true)
+      frontier = next
+      fn = next.count()
+      rounds += 1
+    }
+    (labels, sizes.toSeq)
+  }
+
   val all: Seq[Q] = Seq(qPagerank, qButterflyCount, qBfsHops, qKcore)
 }

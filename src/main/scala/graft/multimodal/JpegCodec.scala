@@ -48,7 +48,11 @@ object JpegCodec {
           if (img.getType == BufferedImage.TYPE_BYTE_GRAY) img
           else {
             val g = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-            g.getGraphics.drawImage(img, 0, 0, null)
+            // dispose() the Graphics: in the per-row mapPartitions decode
+            // loop an undisposed context leaks native resources until GC
+            val gg = g.createGraphics()
+            try gg.drawImage(img, 0, 0, null)
+            finally gg.dispose()
             g
           }
         val px = new Array[Byte](w * h)

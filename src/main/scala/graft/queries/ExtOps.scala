@@ -102,10 +102,12 @@ object ExtOps {
     * implied filters are what keep the name-level join linear-ish when
     * the name domain is genuinely large; the oracle spells only the
     * simple form since the result is unchanged. Both engines implement
-    * classic integer edit-distance DP, so scores are value-exact. The
-    * expansion joins broadcast the small side: name pairs, then the
-    * (pair × left-keys) intermediate — both bounded by the name domain,
-    * not the table. */
+    * classic integer edit-distance DP, so scores are value-exact. Only
+    * the name-pair frame (`sym`) is broadcast — it is bounded by the
+    * name DOMAIN. The second expansion join is a shuffle-hash join: its
+    * left input carries one row per (table row × matched pair), which
+    * scales with the DATA, so broadcasting it would OOM at fact-table
+    * scale (VERDICT r4 "What's wrong" #2 — guarded by PlanShapeSpec). */
   val qFuzzyLinkage: Q = Q("q_fuzzy_linkage",
     """WITH p AS (SELECT p_partkey, p_name,
       |             string_split(p_name, ' ')[1] AS blk FROM part)
@@ -143,7 +145,7 @@ object ExtOps {
     val left = parts
       .select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
       .join(broadcast(sym), col("name_a") === col("nx"))
-    broadcast(left)
+    left.hint("shuffle_hash")
       .join(parts.select(col("p_partkey").as("key_b"),
           col("p_name").as("name_b")),
         col("name_b") === col("ny") && col("key_a") < col("key_b"))

@@ -641,6 +641,28 @@ object SqlTwins {
         |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_gif_frames" ->
+      """WITH g AS (SELECT doc_id, text, length(text) AS n,
+        |    CAST(2 + doc_id % 3 AS INT) AS nf,
+        |    CAST(8 + doc_id % 8 AS INT) AS w,
+        |    CAST(8 + doc_id % 4 AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  w AS width, h AS height,
+        |  CAST(aggregate(transform(sequence(0, nf * w * h - 1), j ->
+        |    CAST(ascii(substring(text,
+        |      ((j div (w * h)) * 37 + (j % (w * h))) % n + 1, 1))
+        |      AS BIGINT)),
+        |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT) AS px_sum,
+        |  CAST(aggregate(transform(sequence(0, nf * w * h - 1), j ->
+        |    CAST((j div (w * h) + 1) AS BIGINT)
+        |      * CAST((j % (w * h)) + 1 AS BIGINT)
+        |      * CAST(ascii(substring(text,
+        |          ((j div (w * h)) * 37 + (j % (w * h))) % n + 1, 1))
+        |          AS BIGINT)),
+        |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT) AS checksum
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "q_media_resize" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 24 AS INT) AS in_w,

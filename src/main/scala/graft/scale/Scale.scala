@@ -36,6 +36,51 @@ object Scale {
       .drop("__salt")
   }
 
+  /** The keys [[autoSaltedJoin]] treats as hot: per-key row counts of
+    * `df(key)` whose skew ratio (count ÷ uniform mean) exceeds
+    * `skewRatio` — the same diagnostic `q_skew_report` surfaces, here as
+    * the operational input to salting (VERDICT r4 #7). Output is
+    * (key, n): by Markov's inequality at most #keys ÷ skewRatio rows,
+    * so it is safely broadcastable for any useful threshold. One
+    * map-side-combined aggregate + a 1-row broadcast — a single pass
+    * over the fact whatever its size. */
+  def hotKeys(df: DataFrame, key: String,
+      skewRatio: Double = 4.0): DataFrame = {
+    require(skewRatio > 1.0, "skewRatio must exceed 1 (the uniform mean)")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum("n").cast("double").as("total"),
+      count(lit(1)).cast("double").as("n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .filter(col("n") * col("n_keys") > lit(skewRatio) * col("total"))
+      .select(col(key), col("n"))
+  }
+
+  /** Diagnostic-driven salting — [[saltedJoin]] applied ONLY where the
+    * data says it must be: keys the [[hotKeys]] skew report flags join
+    * through the salted path (hot fact rows spread over `saltBuckets`
+    * reducers, only the HOT dim rows replicate), everything else joins
+    * plain. Against blanket salting this bounds the dim replication cost
+    * at (#hot keys × saltBuckets) rows instead of (|dim| × saltBuckets),
+    * and keeps the common-case shuffle untouched — the shape a 100 TB
+    * fact with a handful of melting keys wants. The hot-key frame rides
+    * a broadcast semi/anti-join split, so the fact is never shuffled to
+    * classify it.
+    *
+    * Equivalent to `fact.join(dim, factKey === dimKey, "inner")` for
+    * non-null keys (ScaleSpec proves equality on a skewed frame). */
+  def autoSaltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, saltBuckets: Int = 16,
+      skewRatio: Double = 4.0): DataFrame = {
+    val hot = broadcast(
+      hotKeys(fact, factKey, skewRatio).select(col(factKey).as("__hk")))
+    val factHot = fact.join(hot, fact(factKey) === hot("__hk"), "left_semi")
+    val factCold = fact.join(hot, fact(factKey) === hot("__hk"), "left_anti")
+    val dimHot = dim.join(hot, dim(dimKey) === hot("__hk"), "left_semi")
+    saltedJoin(factHot, dimHot, factKey, dimKey, saltBuckets)
+      .unionByName(
+        factCold.join(dim, factCold(factKey) === dim(dimKey)))
+  }
+
   /** Bucketed table layout: pre-shuffle the data once at write time so
     * every later equi-join/aggregation on the bucket key is co-located —
     * repeated joins pay zero exchanges (the dominant cost at 100 TB).
@@ -99,13 +144,36 @@ object Scale {
     * temp directory first and swaps in with two renames, so a reader
     * never sees a half-written directory (same idempotent-rebuild
     * posture as the reference's wholesale reload,
-    * reference src/job.py:296-299). */
+    * reference src/job.py:296-299).
+    *
+    * Crash safety (ADVICE r4 #1): Hadoop's `FileSystem.rename` reports
+    * failure by RETURN VALUE, not exception — ignoring it and deleting
+    * `__compact_old` anyway would destroy the only copy of the data if
+    * the second rename failed (stale dirs from a prior crash, or a
+    * concurrent writer recreating the path). Each rename is checked and
+    * the swap aborts — with the original restored if rename #2 failed —
+    * BEFORE any delete. Stale `__compact_tmp`/`__compact_old` dirs from
+    * a prior crash are cleaned at entry: tmp is always garbage (the
+    * original was still live when it was written); old is only present
+    * if a prior run crashed between its renames, in which case the data
+    * dir is absent and old IS the data — restore it, then proceed. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024,
       sortKeys: Seq[String] = Nil): Int = {
     require(targetBytes > 0)
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    // recover from a prior crash before touching anything
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) {
+      if (!fs.exists(hadoopPath)) {
+        // crashed between the two renames: old IS the data — restore it
+        require(fs.rename(old, hadoopPath),
+          s"compact: failed to restore $old to $hadoopPath")
+      } else fs.delete(old, true) // crashed after rename #2: old is stale
+    }
     val bytes = fs.getContentSummary(hadoopPath).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path)
@@ -114,11 +182,20 @@ object Scale {
         df.repartitionByRange(nFiles, sortKeys.map(col): _*)
           .sortWithinPartitions(sortKeys.map(col): _*)
       else df.coalesce(nFiles)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     out.write.mode("overwrite").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
-    fs.rename(hadoopPath, old)
-    fs.rename(tmp, hadoopPath)
+    if (!fs.rename(hadoopPath, old)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"compact: rename $hadoopPath -> $old failed; aborting (data intact)")
+    }
+    if (!fs.rename(tmp, hadoopPath)) {
+      // put the original back before failing — never leave the dir absent
+      val restored = fs.rename(old, hadoopPath)
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $hadoopPath failed; original " +
+          (if (restored) "restored" else s"LEFT AT $old (restore failed)"))
+    }
     fs.delete(old, true)
     nFiles
   }

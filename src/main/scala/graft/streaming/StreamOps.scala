@@ -231,13 +231,30 @@ object StreamOps {
     * at 100 TB the refinement is hash-bucketed state with per-bucket
     * overwrite (only buckets containing delta keys rewrite) — the chain
     * argument is unchanged, the rewrite bound drops from O(state) to
-    * O(touched buckets). */
-  def mergeUpsertSink(stream: DataFrame, statePath: String)
+    * O(touched buckets).
+    *
+    * `checkpointLocation` is REQUIRED (ADVICE r4 #2): the exactly-once
+    * chain depends on batch ids being monotone across restarts, which
+    * only a durable checkpoint guarantees. A restart with a fresh/temp
+    * checkpoint resets batchId to 0, so "newest v < 0" finds nothing and
+    * the v=0 write silently discards all accumulated state. Failing fast
+    * here turns that silent data loss into a constructor error. Versions
+    * older than the newest three are pruned after each successful write
+    * (three, not one: a checkpoint-replayed batch N re-reads newest
+    * v < N, so its predecessor must survive batch N's own prune). */
+  def mergeUpsertSink(stream: DataFrame, statePath: String,
+      checkpointLocation: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
-        org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      applyMergeBatch(batch, batchId, statePath)
-    }
+        org.apache.spark.sql.Row] = {
+    require(checkpointLocation.trim.nonEmpty,
+      "mergeUpsertSink requires a durable checkpointLocation: without one " +
+        "a restart resets batchId to 0 and discards all accumulated state")
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMergeBatch(batch, batchId, statePath)
+      }
+  }
 
   /** The per-batch merge behind [[mergeUpsertSink]], factored out so
     * replay idempotence is testable directly. Input batch: (user_id,
@@ -275,6 +292,15 @@ object StreamOps {
         (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
           .cast("long").as("cents"))
       .write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+    // prune: keep the newest 3 versions ≤ batchId (replay of batch N needs
+    // newest v < N alive); growth was one full state copy per micro-batch
+    val keep = fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .sorted.reverse
+    keep.drop(3).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v=$v"), true)
+    }
   }
 
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp)

@@ -112,14 +112,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal: stub features via mapPartitions are deterministic") {
+  test("multimodal: byte-stats features via mapPartitions are " +
+    "deterministic") {
     val a = Multimodal.qMultimodalFeatures.fn(spark, sf001).collect()
     val b = Multimodal.qMultimodalFeatures.fn(spark, sf001).collect()
     assert(a.sameElements(b))
     assert(a.forall(_.getAs[Long]("checksum") < 997))
     // frame sampling slices cover the payload head
-    val frames = Multimodal.StubDecoder.sampleFrames(
+    val frames = Multimodal.sampleFrames(
       Array.tabulate[Byte](100)(_.toByte), frameSize = 10, stride = 2)
     assert(frames.length == 5 && frames.head.length == 10)
+  }
+
+  test("decodeAny dispatches on real container signatures, not mime") {
+    // a GIF payload labeled text/plain must still decode as GIF: the
+    // checksum covers DECODED frame pixels, which differ from raw-byte
+    // stats because the container adds headers/LZW framing
+    val px = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    val gif = graft.multimodal.GifCodec.encodeGray8Frames(8, 8, Seq(px))
+    val viaDispatch = Multimodal.decodeAny(
+      Multimodal.MediaRow(1L, "text/plain", gif))
+    assert(viaDispatch.checksum ==
+      px.map(_.toLong & 0xff).sum % 997L)
+    assert(viaDispatch.n_bytes == gif.length.toLong)
+    // and a non-container payload takes the byte-stats fallback exactly
+    val txt = "hello world".getBytes("UTF-8")
+    val fb = Multimodal.decodeAny(Multimodal.MediaRow(2L, "text/plain", txt))
+    assert(fb == Multimodal.byteStats(
+      Multimodal.MediaRow(2L, "text/plain", txt)))
   }
 }

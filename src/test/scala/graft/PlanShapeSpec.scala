@@ -136,4 +136,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(dataWindows.forall(_.contains("pid#")),
       dataWindows.mkString("\n"))
   }
+
+  test("fuzzy linkage broadcasts only the name-pair domain, never rows") {
+    // round-4 verdict #2: the second expansion join used to broadcast the
+    // row-scaled (table × matched-pair) intermediate — an OOM at fact-table
+    // scale. Only `sym` (name pairs, domain-bounded) may be broadcast; the
+    // row-scaled expansion must go through a shuffled join.
+    val p = plan(graft.queries.ExtOps.qFuzzyLinkage.fn(spark, sf001))
+    val broadcastJoins = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcastJoins == 1, s"expected exactly 1 broadcast (sym): $p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    // the broadcast feeds the FIRST expansion (probe = bare part scan
+    // aliased key_a/name_a); the key_a<key_b join must not sit under a
+    // BroadcastExchange
+    val exch = p.linesIterator.filter(_.contains("BroadcastExchange")).toSeq
+    assert(exch.size == 1, s"expected 1 BroadcastExchange: $p")
+  }
 }

@@ -452,9 +452,17 @@ class StreamOpsSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val statePath = java.nio.file.Files
       .createTempDirectory("graft_merge_stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_merge_ckpt").toString
     val mem = MemoryStream[(Long, Double)]
+    // blank checkpoint must fail fast (ADVICE r4: a restart with a fresh
+    // checkpoint resets batchId to 0 and silently discards state)
+    intercept[IllegalArgumentException] {
+      StreamOps.mergeUpsertSink(
+        mem.toDF().toDF("user_id", "value"), statePath, "  ")
+    }
     val query = StreamOps.mergeUpsertSink(
-      mem.toDF().toDF("user_id", "value"), statePath).start()
+      mem.toDF().toDF("user_id", "value"), statePath, ckpt).start()
     try {
       mem.addData((7L, 1.25), (7L, 0.75))
       query.processAllAvailable()
