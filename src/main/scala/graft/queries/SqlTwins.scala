@@ -641,6 +641,30 @@ object SqlTwins {
         |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Spark SQL has no ASOF JOIN — the twin is the union + key-window
+    // carry-forward spelling (the same composition the DataFrame program
+    // uses, proving the SQL surface can express the operator too)
+    "q_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |              unix_micros(ts) AS t FROM events),
+        |c AS (SELECT user_id, t, MAX(event_id) AS click_id
+        |      FROM ev WHERE event_type = 'click' GROUP BY user_id, t),
+        |u AS (SELECT user_id, t, 0 AS side, click_id,
+        |        CAST(NULL AS BIGINT) AS event_id FROM c
+        |      UNION ALL
+        |      SELECT user_id, t, 1, CAST(NULL AS BIGINT), event_id
+        |      FROM ev WHERE event_type = 'purchase'),
+        |f AS (SELECT *,
+        |        last(CASE WHEN side = 0 THEN struct(t, click_id) END, true)
+        |          OVER (PARTITION BY user_id ORDER BY t, side, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cf
+        |      FROM u)
+        |SELECT user_id, event_id AS purchase_id, t AS purchase_us,
+        |       cf.click_id AS click_id, cf.t AS click_us,
+        |       t - cf.t AS gap_us
+        |FROM f WHERE side = 1 ORDER BY purchase_id""".stripMargin,
+
     "q_gif_frames" ->
       """WITH g AS (SELECT doc_id, text, length(text) AS n,
         |    CAST(2 + doc_id % 3 AS INT) AS nf,

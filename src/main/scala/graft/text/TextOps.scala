@@ -713,9 +713,52 @@ object TextOps {
     }
   }
 
+  /** Misra–Gries capacity for [[qHeavyHitters]]: 28 against the corpus's
+    * ~31-token vocabulary, so the summary genuinely cannot hold every
+    * token and the decrement/merge-subtract paths are exercised — the
+    * threshold N/(k+1) = N/29 then lands inside the frequency pack. */
+  val HhK = 28
+
+  /** EXACT heavy hitters through a sketch — the two-pass frequent-items
+    * pattern that makes "which tokens exceed φN?" a bounded-state query
+    * at any corpus size: pass 1 streams every token through the
+    * [[graft.functions.MisraGriesAgg]] summary (≤ k pairs per partition,
+    * map-side combined — the shuffle carries summaries, not tokens) and
+    * counts N in the same aggregate; pass 2 computes exact counts ONLY
+    * for the ≤ k surfaced candidates (broadcast semi-join, aggregate
+    * keyspace ≤ k) and keeps those with cnt·(k+1) > N. The MG guarantee
+    * — every token with true count > N/(k+1) survives the merged summary
+    * — makes the output EXACTLY the deterministic set the oracle's full
+    * GROUP BY computes: a sketch-accelerated query with a value-exact
+    * SQL oracle, no rows-only compromise ([[qCountminTokens]]'s sibling
+    * with membership instead of estimates). */
+  val qHeavyHitters: Q = Q("q_heavy_hitters",
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t)
+      |SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM t CROSS JOIN n
+      |GROUP BY tok, n.n_total
+      |HAVING CAST(COUNT(*) AS BIGINT) * ${HhK + 1} > n.n_total
+      |ORDER BY cnt DESC, tok""".stripMargin) { (s, d) =>
+    val toks = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val pass1 = toks.agg(
+      graft.functions.MisraGriesAgg.summary(col("tok"), HhK).as("cand"),
+      count(lit(1)).as("n_total"))
+    val cand = pass1.select(explode(map_keys(col("cand"))).as("tok"))
+    val exact = toks
+      .join(broadcast(cand), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    exact.crossJoin(broadcast(pass1.select("n_total")))
+      .filter(col("cnt") * (HhK + 1) > col("n_total"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(desc("cnt"), asc("tok"))
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCounts, qTokenBpe, qQualityScore, qRepetition,
     qLangId, qFingerprint, qCorpusClean, qVocabTopk, qPiiRedact,
     qPackChunks, qSplitHash, qMixtureSample, qTokenBudget, qGlobalRank,
-    qStratifiedSample, qCountminTokens)
+    qStratifiedSample, qCountminTokens, qHeavyHitters)
 }

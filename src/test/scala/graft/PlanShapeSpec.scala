@@ -137,6 +137,26 @@ class PlanShapeSpec extends SparkSpec {
       dataWindows.mkString("\n"))
   }
 
+  test("interval join buckets to an equi-join, never a nested loop") {
+    // the grid-cell key turns the range predicate into a hash join; a
+    // regression to the raw range join would plan BroadcastNestedLoopJoin
+    // (quadratic at scale)
+    val p = plan(graft.queries.TemporalOps.qIntervalJoin.fn(spark, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") && p.contains("cell"), p)
+  }
+
+  test("as-of join is one key-partitioned window, no self-join explosion") {
+    // exactly one Window over user_id, and no join at all — the union +
+    // carry-forward shape; a naive as-of would join purchases × clicks
+    val p = plan(graft.queries.TemporalOps.qAsofJoin.fn(spark, sf001))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition"))
+    assert(windows.forall(_.contains("user_id#")), windows.mkString("\n"))
+  }
+
   test("fuzzy linkage broadcasts only the name-pair domain, never rows") {
     // round-4 verdict #2: the second expansion join used to broadcast the
     // row-scaled (table × matched-pair) intermediate — an OOM at fact-table
