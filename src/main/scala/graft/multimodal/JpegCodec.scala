@@ -24,6 +24,13 @@ object JpegCodec {
   // executor JVM can't try to bind a toolkit.
   System.setProperty("java.awt.headless", "true")
 
+  // ImageIO.read/write wrap byte streams in FileCacheImage*Streams by
+  // default — one TEMP FILE per payload inside the batch decode loops
+  // (measured ~3x on the GIF query before GifCodec switched to explicit
+  // MemoryCache streams). All payloads here are in-memory byte arrays;
+  // never stage them on disk.
+  ImageIO.setUseCache(false)
+
   /** Encode a gray8 bitmap as baseline JPEG (the writer's default
     * quality — deterministic for a given JDK). */
   def encodeGray8(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {

@@ -512,13 +512,18 @@ object Multimodal {
     Tables.load(s, d, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("body"))
       .as[(Long, Array[Byte])]
-      .map { case (id, body) =>
-        val nf = (2 + id % 3).toInt
-        val w = (8 + id % 8).toInt
-        val h = (8 + id % 4).toInt
-        val frames = (0 until nf).map(f =>
-          Array.tabulate(w * h)(k => body((f * 37 + k) % body.length)))
-        MediaRow(id, "image/gif", GifCodec.encodeGray8Frames(w, h, frames))
+      .mapPartitions { rows =>
+        // codec setup hoisted once per partition: the writer and the
+        // per-size metadata trees are reused across every payload
+        val enc = new Gray8GifEncoder()
+        rows.map { case (id, body) =>
+          val nf = (2 + id % 3).toInt
+          val w = (8 + id % 8).toInt
+          val h = (8 + id % 4).toInt
+          val frames = (0 until nf).map(f =>
+            Array.tabulate(w * h)(k => body((f * 37 + k) % body.length)))
+          MediaRow(id, "image/gif", enc.encode(w, h, frames))
+        }
       }
   }
 
@@ -552,8 +557,9 @@ object Multimodal {
       |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     gifMediaTable(s, d).mapPartitions { rows =>
+      val dec = new Gray8GifDecoder() // one reader per partition
       rows.map { r =>
-        val (w, h, frames) = GifCodec.decodeFrames(r.payload).getOrElse(
+        val (w, h, frames) = dec.decode(r.payload).getOrElse(
           sys.error(s"undecodable GIF for doc ${r.doc_id}"))
         var sum = 0L
         var cks = 0L
