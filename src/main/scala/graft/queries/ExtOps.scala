@@ -658,9 +658,52 @@ object ExtOps {
       .limit(10)
   }
 
+  /** Distributed EXACT quantiles without a global sort: the five
+    * classic percentiles of order value (cents) read at their exact
+    * ranks ⌈p·N/100⌉ from the [[graft.text.TextOps.globalRankByRange]]
+    * machinery — range slices, per-slice local rank, broadcast slice
+    * offsets; no operator ever sees a data-scaled ordered partition.
+    * The 5 target ranks ride a broadcast join against the ranked frame.
+    * approx_percentile is the sketch answer; this is the exact one at
+    * the same shuffle shape a 100 TB sort-based percentile would need
+    * anyway, integer cents end to end (no interpolation semantics to
+    * disagree over — rank arithmetic is ⌈·⌉ in both engines by the
+    * (n·p + 99) div 100 spelling). */
+  val qExactQuantiles: Q = Q("q_exact_quantiles",
+    """WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      |             AS cents, o_orderkey
+      |           FROM orders),
+      |r AS (SELECT cents,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY cents, o_orderkey)
+      |          AS BIGINT) AS rnk,
+      |        CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |      FROM v),
+      |t AS (SELECT q, CAST(GREATEST(1, (n * q + 99) // 100) AS BIGINT)
+      |        AS rnk
+      |      FROM (SELECT DISTINCT n FROM r) nn
+      |      CROSS JOIN (VALUES (25), (50), (75), (90), (99)) AS qs(q))
+      |SELECT CAST(t.q AS BIGINT) AS pct, t.rnk AS rank, r.cents AS value
+      |FROM t JOIN r ON r.rnk = t.rnk
+      |ORDER BY pct""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val v = Tables.load(s, d, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+    val ranked = graft.text.TextOps.globalRankByRange(v,
+      Seq(col("cents").asc, col("o_orderkey").asc))
+    val targets = Seq(25L, 50L, 75L, 90L, 99L).toDF("pct")
+      .crossJoin(broadcast(ranked.select("n_total").limit(1)))
+      .select(col("pct"),
+        greatest(lit(1L), expr("(n_total * pct + 99) div 100"))
+          .as("rank"))
+    ranked.join(broadcast(targets), col("rnk") === col("rank"))
+      .select(col("pct"), col("rank"), col("cents").as("value"))
+      .orderBy("pct")
+  }
+
   val all: Seq[Q] = Seq(
     qHllDistinct, qFuzzyLinkage, qNationTiles, qGroupingSets, qSetOpsAll,
     qScd2Priority, qReaggWeekly, qPosexplodeTokens, qRolling7d, qBloomJoin,
     qSaltedJoin, qUnpivot, qGroupConcat, qZorderLayout, qParetoShare,
-    qProfileOrders, qSkewReport)
+    qProfileOrders, qSkewReport, qExactQuantiles)
 }

@@ -641,6 +641,29 @@ object SqlTwins {
         |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // DuckDB list_* higher-order spellings → Spark transform/aggregate
+    "q_ann_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v, array_max(transform(v, x -> abs(x)))
+        |        AS mx FROM e),
+        |c AS (SELECT vec_id,
+        |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+        |          AS c
+        |      FROM m),
+        |q AS (SELECT vec_id AS query_id, c AS qc FROM c
+        |      WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+        |    aggregate(zip_with(qc, b.c, (x, y) -> x * y),
+        |      CAST(0 AS BIGINT), (acc, x) -> acc + x) AS idot
+        |  FROM q JOIN c b ON b.vec_id != q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, idot,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY idot DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rnk, idot
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     // Spark SQL has no ASOF JOIN — the twin is the union + key-window
     // carry-forward spelling (the same composition the DataFrame program
     // uses, proving the SQL surface can express the operator too)

@@ -421,7 +421,66 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Int8 scalar quantization + integer-dot top-k — the memory tier of
+    * every production vector index (FAISS SQ8, Lucene/Elasticsearch
+    * int8_hnsw): per-vector scale mx = max|xᵢ|, code cᵢ =
+    * ⌊xᵢ·127/mx⌋ ∈ [-128, 127], similarity = Σ cᵢ·c'ᵢ in PURE INTEGER
+    * arithmetic. At 100 TB the point is 8× memory (64 doubles → 64
+    * bytes) and SIMD integer dots for the scan stage, with candidate
+    * generation still IVF/LSH ([[qAnnIvf]]/[[qAnnLsh]]); here the whole
+    * chain — quantize, integer scoring, top-k — is oracle-EXACT because
+    * no FP enters after the floor: the one FP step (xᵢ·127/mx) is a
+    * single multiply-divide both engines evaluate identically in IEEE
+    * doubles, and everything after is longs. Top-5 per query runs on
+    * the [[graft.plans.TopKPerKey]] partial-heap operator, not a
+    * data-scaled window ([[qCosineTopk]] keeps the documented
+    * brute-force window as the exact float baseline). */
+  val qAnnInt8: Q = Q("q_ann_int8",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |m AS (SELECT vec_id, v,
+       |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |c AS (SELECT vec_id,
+       |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+       |          AS c
+       |      FROM m),
+       |q AS (SELECT vec_id AS query_id, c AS qc FROM c
+       |      WHERE $QuerySet),
+       |scored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, 65), i -> qc[i] * b.c[i]))
+       |      AS BIGINT) AS idot
+       |  FROM q JOIN c b ON b.vec_id != q.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, idot,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY idot DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, idot
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) {
+    (s, d) =>
+      val codes = emb(s, d)
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .select(col("vec_id"),
+          transform(col("v"),
+            x => floor(x * lit(127) / col("mx")).cast("long")).as("c"))
+      val q = codes.filter(expr(QuerySet))
+        .select(col("vec_id").as("query_id"), col("c").as("qc"))
+      val scored = broadcast(q)
+        .join(codes, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          aggregate(zip_with(col("qc"), col("c"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).as("idot"))
+      val top = graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
+        Seq("idot" -> false, "neighbor_id" -> true), 5,
+        mapSideCombine = true)
+      // rank the ≤ 5·|queries| surviving rows — bounded output window
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("idot"), asc("neighbor_id"))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
+        .select("query_id", "neighbor_id", "rnk", "idot")
+        .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[Q] =
     Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup,
-      qSemdedup)
+      qSemdedup, qAnnInt8)
 }

@@ -82,6 +82,28 @@ object StreamOps {
       .agg(max("r").as("mr"))
       .select(col("window.start").as("hour_start"), col("bucket"), col("mr"))
 
+  /** Streaming hourly HEAVY-HITTER summaries: the
+    * [[graft.functions.MisraGriesAgg]] frequent-items sketch inside a
+    * watermarked window aggregate — per open window the state store
+    * holds ONE ≤ k-pair summary, not per-token counts (O(k) state for
+    * an unbounded token domain; the streaming face of
+    * q_heavy_hitters' pass 1). The summary is mergeable, so Spark's
+    * partial aggregation composes it across micro-batches and
+    * partitions the same way the batch aggregate composes it across
+    * tasks. NOTE the asymmetry with [[hourlyDistinctSketch]]: MG
+    * summaries are merge-ORDER-dependent in their residual values
+    * (membership guarantees hold regardless), so the spec asserts the
+    * GUARANTEE (every > N/(k+1) token of the window is in the streamed
+    * summary) rather than bit-equal state. Input: (ts, tok). */
+  def hourlyHeavyHitters(toks: DataFrame, k: Int = 16,
+      watermark: String = "2 hours"): DataFrame =
+    toks.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.MisraGriesAgg.summary(col("tok"), k).as("mg"),
+        count(lit(1)).as("n_total"))
+      .select(col("window.start").as("hour_start"), col("mg"),
+        col("n_total"))
+
   /** Stream-static enrichment: the streaming fact joined to a static
     * dimension frame. No state store is involved (unlike stream-stream
     * joins) — Spark re-plans the static side per micro-batch, broadcast

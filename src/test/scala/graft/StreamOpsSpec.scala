@@ -284,6 +284,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming hourly Misra-Gries summary keeps every heavy token " +
+    "with O(k) state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // hour 10: "hot" 6 of 14 tokens (> 14/(4+1)); 8 singleton decoys
+    // force evictions at k = 4. Split across two micro-batches so the
+    // partial-aggregation merge path runs on the state store.
+    val hot = (0 until 6).map(i => (t(s"2024-01-01 10:0$i:00"), "hot"))
+    val decoys = (0 until 8).map(i =>
+      (t(s"2024-01-01 10:3${i % 6}:00"), s"d$i"))
+    val rows = hot ++ decoys
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val query = StreamOps
+      .hourlyHeavyHitters(mem.toDF().toDF("ts", "tok"), k = 4)
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(7): _*)
+      query.processAllAvailable()
+      mem.addData(rows.drop(7): _*)
+      query.processAllAvailable()
+      val out = spark.table("mg_stream").collect()
+      assert(out.length == 1, out.mkString(";"))
+      val m = out(0).getMap[String, Long](1)
+      val n = out(0).getAs[Long]("n_total")
+      assert(n == 14L)
+      assert(m.size <= 4, m.toString) // O(k) state, not per-token counts
+      assert(6L * 5 > n) // the premise of the membership guarantee
+      assert(m.contains("hot"), m.toString)
+    } finally query.stop()
+  }
+
   test("streaming HLL registers equal the batch registers of the same rows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
