@@ -691,8 +691,10 @@ object ExtOps {
         col("o_orderkey"))
     val ranked = graft.text.TextOps.globalRankByRange(v,
       Seq(col("cents").asc, col("o_orderkey").asc))
+    // N from a plain narrow count — reading it off `ranked` (limit 1)
+    // would re-execute the whole range-partition + offsets subtree
     val targets = Seq(25L, 50L, 75L, 90L, 99L).toDF("pct")
-      .crossJoin(broadcast(ranked.select("n_total").limit(1)))
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("n_total"))))
       .select(col("pct"),
         greatest(lit(1L), expr("(n_total * pct + 99) div 100"))
           .as("rank"))

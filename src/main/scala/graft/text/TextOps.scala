@@ -756,9 +756,68 @@ object TextOps {
       .orderBy(desc("cnt"), asc("tok"))
   }
 
+  /** Train/val split DRIFT check — the distribution-shift /
+    * contamination sentinel a data pipeline runs after splitting: for
+    * each token, the EXACT integer cross-multiplied deviation
+    * |n_tr·M − n_va·N| between the train (N tokens) and val (M tokens)
+    * frequency profiles, top-10 most-drifted. The usual KL/χ² spellings
+    * accumulate per-token FP and diverge across engines; the
+    * cross-multiplied numerator is pure integers (the per-token term of
+    * total-variation distance scaled by N·M), and the reported `drift`
+    * rate is one division per row. Shuffle shape: two vocabulary-sized
+    * aggregates (map-side combined), a full-outer join on the token
+    * DOMAIN (bounded, not data-scaled), 1-row broadcast of (N, M), heap
+    * top-10. */
+  val qSplitDrift: Q = Q("q_split_drift",
+    s"""WITH h AS (SELECT text, ${TextHash.hash32Sql("text")} % 100
+       |             AS bucket FROM documents),
+       |tr AS (SELECT unnest(string_split(text, ' ')) AS tok FROM h
+       |       WHERE bucket < 80),
+       |va AS (SELECT unnest(string_split(text, ' ')) AS tok FROM h
+       |       WHERE bucket >= 80 AND bucket < 90),
+       |tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tr FROM tr
+       |       GROUP BY 1),
+       |vc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_va FROM va
+       |       GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS nn,
+       |               (SELECT CAST(COUNT(*) AS BIGINT) FROM va) AS mm),
+       |j AS (SELECT COALESCE(tc.tok, vc.tok) AS tok,
+       |        COALESCE(tc.n_tr, 0) AS n_tr,
+       |        COALESCE(vc.n_va, 0) AS n_va
+       |      FROM tc FULL OUTER JOIN vc ON vc.tok = tc.tok)
+       |SELECT j.tok, j.n_tr, j.n_va,
+       |  CAST(abs(j.n_tr * tot.mm - j.n_va * tot.nn) AS BIGINT)
+       |    AS drift_num,
+       |  CAST(abs(j.n_tr * tot.mm - j.n_va * tot.nn) AS DOUBLE)
+       |    / (tot.nn * tot.mm) AS drift
+       |FROM j CROSS JOIN tot
+       |ORDER BY drift_num DESC, tok LIMIT 10""".stripMargin) { (s, d) =>
+    val bucket = TextHash.hash32(col("text")) % 100
+    val base = docs(s, d).select(col("text"), bucket.as("bucket"))
+    def toks(cond: org.apache.spark.sql.Column) = base.filter(cond)
+      .select(explode(TextHash.tokens(col("text"))).as("tok"))
+    val tr = toks(col("bucket") < 80)
+    val va = toks(col("bucket") >= 80 && col("bucket") < 90)
+    val tc = tr.groupBy("tok").agg(count(lit(1)).as("n_tr"))
+    val vc = va.groupBy("tok").agg(count(lit(1)).as("n_va"))
+    val tot = tr.agg(count(lit(1)).as("nn"))
+      .crossJoin(va.agg(count(lit(1)).as("mm")))
+    val j = tc.join(vc, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("n_tr"), lit(0L)).as("n_tr"),
+        coalesce(col("n_va"), lit(0L)).as("n_va"))
+    val num = abs(col("n_tr") * col("mm") - col("n_va") * col("nn"))
+    j.crossJoin(broadcast(tot))
+      .select(col("tok"), col("n_tr"), col("n_va"),
+        num.cast("long").as("drift_num"),
+        (num.cast("double") / (col("nn") * col("mm"))).as("drift"))
+      .orderBy(desc("drift_num"), asc("tok"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCounts, qTokenBpe, qQualityScore, qRepetition,
     qLangId, qFingerprint, qCorpusClean, qVocabTopk, qPiiRedact,
     qPackChunks, qSplitHash, qMixtureSample, qTokenBudget, qGlobalRank,
-    qStratifiedSample, qCountminTokens, qHeavyHitters)
+    qStratifiedSample, qCountminTokens, qHeavyHitters, qSplitDrift)
 }

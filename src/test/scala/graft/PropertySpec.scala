@@ -35,6 +35,86 @@ class PropertySpec extends SparkSpec {
       sorted.map(_.toSeq).toSeq)
   }
 
+  test("as-of composition equals brute-force argmax on random streams") {
+    import spark.implicits._
+    // deterministic pseudo-random event stream: per user, interleaved
+    // left (purchases) and right (clicks) instants with collisions —
+    // including left.t == right.t (inclusive semantics) and duplicate
+    // right instants (pre-aggregation tiebreak)
+    val rnd = new scala.util.Random(11)
+    val users = 0L until 7L
+    val rights = users.flatMap(u => (0 until 30).map(i =>
+      (u, rnd.between(0L, 50L), 1000L + u * 100 + i)))
+    val lefts = users.flatMap(u => (0 until 20).map(i =>
+      (u, rnd.between(0L, 55L), 2000L + u * 100 + i)))
+    val rightsDf = rights.toDF("user_id", "t", "event_id")
+      .groupBy("user_id", "t").agg(max("event_id").as("click_id"))
+    val leftsDf = lefts.toDF("user_id", "t", "event_id")
+    // the operator's union + window composition
+    val tagged = rightsDf
+      .select(col("user_id"), col("t"), lit(0).as("side"),
+        col("click_id"), lit(null).cast("long").as("event_id"))
+      .unionByName(leftsDf.select(col("user_id"), col("t"),
+        lit(1).as("side"), lit(null).cast("long").as("click_id"),
+        col("event_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t", "side", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val got = tagged
+      .withColumn("cf", last(when(col("side") === 0,
+        struct(col("t").as("ct"), col("click_id"))), ignoreNulls = true)
+        .over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("cf.click_id").as("click_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // brute force: for each left row, the right row with max t <= left.t
+    // (inclusive), tie-broken by the pre-aggregated max event_id
+    val rightAgg = rights.groupBy(r => (r._1, r._2))
+      .map { case ((u, t), rs) => (u, t, rs.map(_._3).max) }.toSeq
+    val naive = lefts.map { case (u, lt, id) =>
+      val cands = rightAgg.filter(r => r._1 == u && r._2 <= lt)
+      id -> (if (cands.isEmpty) -1L
+             else cands.maxBy(r => (r._2, r._3))._3)
+    }.toMap
+    assert(got == naive)
+  }
+
+  test("grid-bucketed interval join equals the quadratic overlap join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // random intervals spanning 0..400 days with lengths 0..40 — many
+    // cross multiple 16-day cells, exercising the owner-cell dedup
+    val as = (0 until 120).map(i =>
+      (i.toLong, rnd.between(0L, 400L))).map { case (k, s0) =>
+      (k, s0, s0 + rnd.between(0L, 40L)) }
+    val bs = (0 until 120).map(i =>
+      (1000L + i, rnd.between(0L, 400L))).map { case (k, s0) =>
+      (k, s0, s0 + rnd.between(0L, 40L)) }
+    val g = 16L
+    def cells(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.toDF(s"${p}_key", s"${p}_s", s"${p}_e")
+        .select(col(s"${p}_key"), col(s"${p}_s"), col(s"${p}_e"),
+          explode(sequence(expr(s"${p}_s div $g"),
+            expr(s"${p}_e div $g"))).as("cell"))
+    val joined = cells(as.toDF(), "a").join(cells(bs.toDF(), "b"),
+        Seq("cell"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+        col("cell") === expr(s"greatest(a_s, b_s) div $g"))
+      .select("a_key", "b_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // owner-cell rule must dedup exactly: no pair twice, no pair missing
+    assert(joined.length == joined.distinct.length, "duplicate pairs")
+    val naive = for {
+      (ak, s1, e1) <- as; (bk, s2, e2) <- bs
+      if s1 <= e2 && s2 <= e1
+    } yield (ak, bk)
+    assert(joined.toSet == naive.toSet)
+    assert(joined.nonEmpty)
+  }
+
   test("to_date('yyyy/MM/dd') round-trips generated dates") {
     val rnd = new scala.util.Random(7)
     val dates = (1 to 200).map { _ =>

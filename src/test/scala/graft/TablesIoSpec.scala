@@ -122,6 +122,30 @@ class TablesIoSpec extends SparkSpec {
     assert(e.toString.toLowerCase.contains("driver"), e.toString)
   }
 
+  test("gzip archive dump: real .json.gz shards + manifest, reads back") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arch").toString
+    val root = Tables.dumpArchive(spark, sf001,
+      Seq("region", "nation"), tmp, shards = 2)
+    // genuinely gzip-compressed shards on disk (not plain json)
+    val parts = new java.io.File(s"$root/nation").listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(parts.length == 2, parts.mkString(","))
+    val head = new Array[Byte](2)
+    val in = new java.io.FileInputStream(parts.head)
+    try in.read(head) finally in.close()
+    assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b,
+      "missing gzip magic")
+    // Spark reads the compressed archive back losslessly
+    val back = spark.read.json(s"$root/nation")
+    assert(back.count() == Tables.load(spark, sf001, "nation").count())
+    // manifest carries the per-table row counts
+    val manifest = scala.io.Source.fromFile(s"$root/_manifest.json")
+      .getLines().toSeq
+    assert(manifest.exists(_.contains("\"table\":\"region\"")))
+    assert(manifest.exists(l => l.contains("nation") &&
+      l.contains(s""""rows":${back.count()}""")))
+  }
+
   test("jdbc round trip is LIVE against embedded Derby, partitioned read") {
     // VERDICT r4 "missing" #1: /opt/spark/jars ships the Derby embedded
     // engine, so the JDBC write→read path runs END TO END here — real
