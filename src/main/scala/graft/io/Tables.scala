@@ -39,6 +39,7 @@ object Tables {
   def ensureSessionRegistered(spark: SparkSession): Unit = synchronized {
     graft.functions.Md5Mod31.ensureRegistered(spark)
     graft.functions.GraftDot.ensureRegistered(spark)
+    graft.functions.GraftDotLong.ensureRegistered(spark)
     graft.functions.GraftSimhash.ensureRegistered(spark)
     graft.plans.GlobalRowNumberTopKRegistration.ensureRegistered(spark)
     // SQL-callable form of the incremental MinHash aggregator, so the

@@ -115,5 +115,79 @@ object SeqOps {
       .orderBy("from_type", "to_type")
   }
 
-  val all: Seq[Q] = Seq(qIntervalMerge, qMarkovTransitions)
+  /** Step deadline for [[qFunnelSteps]]: 3 days in epoch micros — sized
+    * to the corpus's per-user event cadence so each stage genuinely
+    * discriminates (150 → 115 → 81 users at sf0.01). */
+  val FunnelWindowUs: Long = 3L * 86400000000L
+
+  /** Ordered conversion FUNNEL with per-step deadlines — the
+    * event-analytics staple: first `view` per user, first `click`
+    * within 3 days AFTER that view, first `purchase` within 3 days
+    * after that click; per-step user counts and the end-to-end
+    * conversion rate.
+    *
+    * Order sensitivity is the point: a `click` BEFORE the first view
+    * does not advance the funnel, so the steps cannot collapse into
+    * one conditional aggregate — each stage is MIN-after-a-threshold,
+    * where the threshold is the previous stage's result. The spelling
+    * is a cascade of keyed aggregates + keyed joins on user_id: stage k
+    * filters its event type, joins the stage-(k−1) frame (shuffle on
+    * the data-scaled user key), and takes MIN(t) past the threshold.
+    * The candidate set shrinks monotonically stage over stage, and no
+    * window function ever orders a user's full history — at 100 TB
+    * each stage is one keyed shuffle of one event type's rows.
+    * Deadlines, thresholds and instants are integer epoch-micros; the
+    * conversion rate is a single division. */
+  val qFunnelSteps: Q = Q("q_funnel_steps",
+    s"""WITH e AS (SELECT user_id, event_type,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+       |s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+       |       WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e
+       |       JOIN s1 ON s1.user_id = e.user_id
+       |       WHERE e.event_type = 'click' AND e.t >= s1.t1
+       |         AND e.t < s1.t1 + $FunnelWindowUs GROUP BY 1),
+       |s3 AS (SELECT e.user_id, MIN(e.t) AS t3 FROM e
+       |       JOIN s2 ON s2.user_id = e.user_id
+       |       WHERE e.event_type = 'purchase' AND e.t >= s2.t2
+       |         AND e.t < s2.t2 + $FunnelWindowUs GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |      FROM e)
+       |SELECT n.n_users,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS viewed,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+       |    AS clicked_after_view,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+       |    AS purchased_after_click,
+       |  CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+       |    / (SELECT COUNT(*) FROM s1) AS view_to_purchase
+       |FROM n""".stripMargin) { (s, d) =>
+    val e = Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("t") >= col("t1") &&
+        col("t") < col("t1") + FunnelWindowUs)
+      .groupBy("user_id").agg(min("t").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("t") >= col("t2") &&
+        col("t") < col("t2") + FunnelWindowUs)
+      .groupBy("user_id").agg(min("t").as("t3"))
+    val n = e.agg(count_distinct(col("user_id")).cast("long").as("n_users"))
+    val c1 = s1.agg(count(lit(1)).as("viewed"))
+    val c2 = s2.agg(count(lit(1)).as("clicked_after_view"))
+    val c3 = s3.agg(count(lit(1)).as("purchased_after_click"))
+    n.crossJoin(broadcast(c1)).crossJoin(broadcast(c2))
+      .crossJoin(broadcast(c3))
+      .select(col("n_users"), col("viewed"), col("clicked_after_view"),
+        col("purchased_after_click"),
+        (col("purchased_after_click").cast("double") / col("viewed"))
+          .as("view_to_purchase"))
+  }
+
+  val all: Seq[Q] = Seq(qIntervalMerge, qMarkovTransitions, qFunnelSteps)
 }

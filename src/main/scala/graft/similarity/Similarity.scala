@@ -467,8 +467,8 @@ object Similarity {
       val scored = broadcast(q)
         .join(codes, col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          aggregate(zip_with(col("qc"), col("c"), (x, y) => x * y),
-            lit(0L), (acc, x) => acc + x).as("idot"))
+          call_function(graft.functions.GraftDotLong.FunctionName,
+            col("qc"), col("c")).as("idot"))
       val top = graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
         Seq("idot" -> false, "neighbor_id" -> true), 5,
         mapSideCombine = true)

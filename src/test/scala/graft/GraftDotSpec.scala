@@ -28,6 +28,28 @@ class GraftDotSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("integer dot (graft_dot_long) equals the HOF long fold exactly") {
+    graft.functions.GraftDotLong.ensureRegistered(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 300).map { _ =>
+      val n = rnd.nextInt(80)
+      (Seq.fill(n)(rnd.between(-128L, 128L)),
+        Seq.fill(n)(rnd.between(-128L, 128L)))
+    }
+    val diff = rows.toDF("a", "b")
+      .select(
+        call_function("graft_dot_long", col("a"), col("b")).as("fast"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0)
+    // and it stays inside whole-stage codegen in the int8 scoring plan
+    val plan = Similarity.qAnnInt8.fn(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dot_long"), plan)
+  }
+
   test("expression participates in codegen (no eval fallback in plan)") {
     val df = Tables.load(spark, sf001, "embeddings")
       .select(col("embedding").cast("array<double>").as("v"))
