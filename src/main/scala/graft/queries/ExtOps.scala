@@ -703,9 +703,44 @@ object ExtOps {
       .orderBy("pct")
   }
 
+  /** Per-group EXACT median without a per-group reducer: the lower
+    * median of order value per priority, read at rank (n_g + 1) div 2
+    * from [[graft.text.TextOps.groupedRankByRange]] — the grouped
+    * generalization of the q_exact_quantiles machinery. The oracle's
+    * `PARTITION BY prio` window would funnel each priority (20 TB at a
+    * 5-priority 100 TB fact) through one reducer; the engine's plan
+    * range-partitions on (prio, cents) so a fat group spans slices, and
+    * the per-group target ranks ride the same broadcast offsets frame
+    * that built the ranks. Integer cents and integer rank arithmetic
+    * end to end. */
+  val qGroupMedian: Q = Q("q_group_median",
+    """WITH v AS (SELECT o_orderpriority AS prio,
+      |        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+      |        o_orderkey
+      |      FROM orders),
+      |r AS (SELECT prio, cents,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY prio
+      |          ORDER BY cents, o_orderkey) AS BIGINT) AS rnk,
+      |        CAST(COUNT(*) OVER (PARTITION BY prio) AS BIGINT) AS n
+      |      FROM v)
+      |SELECT prio, n AS n_orders, rnk AS med_rank, cents AS median_cents
+      |FROM r WHERE rnk = (n + 1) // 2 ORDER BY prio""".stripMargin) {
+    (s, d) =>
+      val v = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+      graft.text.TextOps.groupedRankByRange(v, Seq("prio"),
+          Seq(col("cents").asc, col("o_orderkey").asc))
+        .filter(col("rnk") === expr("(n_group + 1) div 2"))
+        .select(col("prio"), col("n_group").as("n_orders"),
+          col("rnk").as("med_rank"), col("cents").as("median_cents"))
+        .orderBy("prio")
+  }
+
   val all: Seq[Q] = Seq(
     qHllDistinct, qFuzzyLinkage, qNationTiles, qGroupingSets, qSetOpsAll,
     qScd2Priority, qReaggWeekly, qPosexplodeTokens, qRolling7d, qBloomJoin,
     qSaltedJoin, qUnpivot, qGroupConcat, qZorderLayout, qParetoShare,
-    qProfileOrders, qSkewReport, qExactQuantiles)
+    qProfileOrders, qSkewReport, qExactQuantiles, qGroupMedian)
 }

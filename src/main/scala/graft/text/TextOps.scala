@@ -598,6 +598,48 @@ object TextOps {
       .drop("pid", "local_rnk", "offset")
   }
 
+  /** Per-GROUP generalization of [[globalRankByRange]]: rank within
+    * each group of `groupCols` under `sortCols`, without ever giving one
+    * reducer a whole group. The naive
+    * `row_number().over(partitionBy(group).orderBy(...))` funnels each
+    * group through ONE task — the q_vocab_topk anti-pattern when groups
+    * are few and fat (5 order priorities × 20 TB each). Here the range
+    * partitioner keys on (group, sortCols), so a fat group SPANS slices;
+    * ranks are slice-local windows keyed (pid, group) — group size
+    * bounded by the slice width — plus broadcast per-(group, preceding
+    * slices) offsets, a #slices×#groups frame. Sort keys must totally
+    * order rows within a group (unique tiebreak), same contract as the
+    * global variant. */
+  private[graft] def groupedRankByRange(
+      df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[org.apache.spark.sql.Column],
+      slices: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rangeKeys = groupCols.map(col(_).asc) ++ sortCols
+    val parted = slices.fold(df.repartitionByRange(rangeKeys: _*))(n =>
+      df.repartitionByRange(n, rangeKeys: _*))
+    val sliced = parted.withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(("pid" +: groupCols).map(col): _*)
+      .orderBy(sortCols: _*)
+    val local = sliced.withColumn("local_rnk",
+      row_number().over(wLocal).cast("long"))
+    val wOff = Window.partitionBy(groupCols.map(col): _*).orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(groupCols.map(col): _*)
+    // per-(pid, group) counts: #slices × #groups rows — broadcastable
+    val offsets = sliced.groupBy(("pid" +: groupCols).map(col): _*)
+      .agg(count(lit(1)).as("slice_n"))
+      .withColumn("offset", coalesce(sum("slice_n").over(wOff), lit(0L)))
+      .withColumn("n_group", sum("slice_n").over(wTot).cast("long"))
+    local.join(broadcast(offsets.select(
+        (("pid" +: groupCols).map(col) :+ col("offset") :+
+          col("n_group")): _*)),
+        "pid" +: groupCols)
+      .withColumn("rnk", col("local_rnk") + col("offset"))
+      .drop("pid", "local_rnk", "offset")
+  }
+
   /** Global quality ranking + decile binning over the whole corpus
     * (curriculum/quality-bucketing prep): every doc ranked by length
     * (longest first, doc_id tiebreak), then binned into 10 equal-depth

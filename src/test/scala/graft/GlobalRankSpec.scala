@@ -43,4 +43,38 @@ class GlobalRankSpec extends SparkSpec {
       .agg(countDistinct("pid")).head.getLong(0)
     assert(slices > 1, s"rows landed in $slices slice(s)")
   }
+
+  test("grouped rank equals the per-group window truth, fat groups " +
+    "spanning slices") {
+    import spark.implicits._
+    // TWO fat groups over 5000 rows and 8 slices: each group must span
+    // several slices (the whole point vs. a bare PARTITION BY group),
+    // with duplicate scores forcing the tiebreak across boundaries
+    val grouped = spark.range(0, 5000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, "even").otherwise("odd").as("grp"),
+        (col("id") % 211).cast("long").as("score"))
+    val got = TextOps.groupedRankByRange(grouped, Seq("grp"),
+        Seq(col("score").asc, col("doc_id").asc), slices = Some(8))
+      .select(col("grp"), col("doc_id"), col("rnk"), col("n_group"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val want = grouped
+      .withColumn("rnk", row_number().over(Window.partitionBy("grp")
+        .orderBy(asc("score"), asc("doc_id"))).cast("long"))
+      .withColumn("n_group", count(lit(1))
+        .over(Window.partitionBy("grp")).cast("long"))
+      .collect().map(r => (r.getString(1), r.getLong(0)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 5000)
+    assert(got == want)
+    // and each group genuinely spans > 1 slice under the range keys
+    val span = grouped
+      .repartitionByRange(8, col("grp").asc, col("score").asc,
+        col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .groupBy("grp").agg(countDistinct("pid").as("n_slices"))
+      .agg(min("n_slices")).head.getLong(0)
+    assert(span > 1, s"a group sat in $span slice(s)")
+  }
 }

@@ -137,6 +137,19 @@ class PlanShapeSpec extends SparkSpec {
       dataWindows.mkString("\n"))
   }
 
+  test("group median windows key on (pid, group), never a bare group") {
+    // a window partitioned ONLY by prio gives each priority one reducer
+    // (5 reducers for a 100 TB fact); the grouped-rank machinery must
+    // window sliced data on (pid, prio) and reserve bare-prio windows
+    // for the #slices×#groups offsets aggregate (slice_n rows)
+    val p = plan(graft.queries.ExtOps.qGroupMedian.fn(spark, sf001))
+    val dataWindows = p.linesIterator.filter(w =>
+      w.contains("windowspecdefinition(") && !w.contains("slice_n"))
+    assert(dataWindows.nonEmpty, p)
+    assert(dataWindows.forall(_.contains("pid#")),
+      dataWindows.mkString("\n"))
+  }
+
   test("interval join buckets to an equi-join, never a nested loop") {
     // the grid-cell key turns the range predicate into a hash join; a
     // regression to the raw range join would plan BroadcastNestedLoopJoin
