@@ -664,6 +664,37 @@ object SqlTwins {
         |SELECT query_id, neighbor_id, rnk, idot
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    "q_label_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |        array_max(transform(v, x -> abs(x))) AS mx FROM e),
+        |c AS (SELECT vec_id, label,
+        |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+        |          AS c
+        |      FROM m),
+        |x AS (SELECT vec_id, label, pos + 1 AS pos, val
+        |      FROM (SELECT vec_id, label,
+        |              posexplode(c) AS (pos, val) FROM c)),
+        |cent AS (SELECT label, pos, CAST(SUM(val) AS BIGINT) AS s
+        |         FROM x GROUP BY 1, 2),
+        |cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM c
+        |        GROUP BY 1),
+        |d AS (SELECT x.vec_id, x.label,
+        |        CAST(SUM((cnt.n * x.val - cent.s)
+        |                 * (cnt.n * x.val - cent.s)) AS BIGINT) AS d2
+        |      FROM x JOIN cent ON cent.label = x.label
+        |        AND cent.pos = x.pos
+        |      JOIN cnt ON cnt.label = x.label
+        |      GROUP BY 1, 2),
+        |r AS (SELECT label, vec_id, d2,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY label
+        |          ORDER BY d2 DESC, vec_id) AS BIGINT) AS rnk
+        |      FROM d)
+        |SELECT CAST(label AS BIGINT) AS label, vec_id, rnk, d2
+        |FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
+
     // Spark SQL has no ASOF JOIN — the twin is the union + key-window
     // carry-forward spelling (the same composition the DataFrame program
     // uses, proving the SQL surface can express the operator too)

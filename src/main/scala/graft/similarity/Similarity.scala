@@ -435,6 +435,15 @@ object Similarity {
     * the [[graft.plans.TopKPerKey]] partial-heap operator, not a
     * data-scaled window ([[qCosineTopk]] keeps the documented
     * brute-force window as the exact float baseline). */
+  /** Per-vector int8 scalar quantization (the [[qAnnInt8]] quantizer,
+    * label carried): scale mx = max|xᵢ|, code cᵢ = ⌊xᵢ·127/mx⌋. */
+  private def int8Codes(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"), col("label"),
+        transform(col("v"),
+          x => floor(x * lit(127) / col("mx")).cast("long")).as("c"))
+
   val qAnnInt8: Q = Q("q_ann_int8",
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
        |           FROM embeddings),
@@ -457,11 +466,7 @@ object Similarity {
        |SELECT query_id, neighbor_id, rnk, idot
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) {
     (s, d) =>
-      val codes = emb(s, d)
-        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-        .select(col("vec_id"),
-          transform(col("v"),
-            x => floor(x * lit(127) / col("mx")).cast("long")).as("c"))
+      val codes = int8Codes(s, d).select("vec_id", "c")
       val q = codes.filter(expr(QuerySet))
         .select(col("vec_id").as("query_id"), col("c").as("qc"))
       val scored = broadcast(q)
@@ -480,7 +485,72 @@ object Similarity {
         .orderBy("query_id", "rnk")
   }
 
+  /** Per-label centroid OUTLIER report — the cluster-quality / label-
+    * noise diagnostic of an embedding corpus: for every label, the 3
+    * vectors farthest from their label's centroid. All arithmetic is
+    * scale-free INTEGER: with int8 codes ([[int8Codes]]), the distance
+    * between vector v and the centroid s/n is compared via
+    * Σ_d (n·v_d − s_d)² — the squared distance scaled by n², which
+    * preserves the per-label ordering exactly and never leaves longs
+    * (|n·v − s| ≤ 2·127·n; squared × 64 dims ≲ 10¹³ at a million-vector
+    * label). FP centroid means would accumulate cross-row rounding that
+    * diverges across engines; this is oracle-EXACT.
+    *
+    * Shuffle shape: one posexplode → (label, dim) aggregate (map-side
+    * combined; output = #labels × dims, broadcastable), the per-vector
+    * re-aggregate keyed on the data-scaled vec_id, and a
+    * [[graft.plans.TopKPerKey]] heap per label — no window over a
+    * label's full membership. */
+  val qLabelOutliers: Q = Q("q_label_outliers",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |           FROM embeddings),
+      |m AS (SELECT vec_id, label, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |c AS (SELECT vec_id, label,
+      |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+      |          AS c
+      |      FROM m),
+      |x AS (SELECT vec_id, label, i AS pos, c[i] AS val
+      |      FROM c CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+      |cent AS (SELECT label, pos, CAST(SUM(val) AS BIGINT) AS s
+      |         FROM x GROUP BY 1, 2),
+      |cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM c
+      |        GROUP BY 1),
+      |d AS (SELECT x.vec_id, x.label,
+      |        CAST(SUM((cnt.n * x.val - cent.s)
+      |                 * (cnt.n * x.val - cent.s)) AS BIGINT) AS d2
+      |      FROM x JOIN cent ON cent.label = x.label AND cent.pos = x.pos
+      |      JOIN cnt ON cnt.label = x.label
+      |      GROUP BY 1, 2),
+      |r AS (SELECT label, vec_id, d2,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY label
+      |          ORDER BY d2 DESC, vec_id) AS BIGINT) AS rnk
+      |      FROM d)
+      |SELECT CAST(label AS BIGINT) AS label, vec_id, rnk, d2
+      |FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin) { (s, d) =>
+    val codes = int8Codes(s, d)
+    val x = codes
+      .select(col("vec_id"), col("label"),
+        posexplode(col("c")).as(Seq("pos0", "val")))
+      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"),
+        col("val"))
+    val cent = x.groupBy("label", "pos").agg(sum("val").as("s"))
+    val cnt = codes.groupBy("label").agg(count(lit(1)).as("n"))
+    val diff = col("n") * col("val") - col("s")
+    val d2 = x.join(broadcast(cent), Seq("label", "pos"))
+      .join(broadcast(cnt), Seq("label"))
+      .select(col("vec_id"), col("label"), (diff * diff).as("term"))
+      .groupBy("vec_id", "label").agg(sum("term").cast("long").as("d2"))
+    val top = graft.plans.TopKPerKey.topKPerKey(d2, Seq("label"),
+      Seq("d2" -> false, "vec_id" -> true), 3, mapSideCombine = true)
+    val w = Window.partitionBy("label").orderBy(desc("d2"), asc("vec_id"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        col("rnk"), col("d2"))
+      .orderBy("label", "rnk")
+  }
+
   val all: Seq[Q] =
     Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup,
-      qSemdedup, qAnnInt8)
+      qSemdedup, qAnnInt8, qLabelOutliers)
 }
