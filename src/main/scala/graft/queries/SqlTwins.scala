@@ -695,6 +695,60 @@ object SqlTwins {
         |SELECT CAST(label AS BIGINT) AS label, vec_id, rnk, d2
         |FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
 
+    // The DataFrame program drives Lloyd rounds with driver-collected
+    // literal centroids; the twin unrolls the same 3 rounds relationally
+    // (exploded (vec, dim) join per assignment — identical integers)
+    "q_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        array_max(transform(v, x -> abs(x))) AS mx FROM e),
+        |c AS (SELECT vec_id,
+        |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+        |          AS c
+        |      FROM m),
+        |x AS (SELECT vec_id, pos, val
+        |      FROM (SELECT vec_id, posexplode(c) AS (pos, val) FROM c)),
+        |cent0 AS (SELECT vec_id AS cl, pos, val AS m FROM x
+        |          WHERE vec_id < 8),
+        |d1 AS (SELECT x.vec_id, cent0.cl,
+        |         SUM((x.val - cent0.m) * (x.val - cent0.m)) AS d2
+        |       FROM x JOIN cent0 ON cent0.pos = x.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cl,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d1),
+        |s1 AS (SELECT vec_id, cl FROM a1 WHERE rn = 1),
+        |cent1 AS (SELECT s1.cl, x.pos,
+        |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+        |                 AS BIGINT) AS m
+        |          FROM x JOIN s1 ON s1.vec_id = x.vec_id GROUP BY 1, 2),
+        |d2r AS (SELECT x.vec_id, cent1.cl,
+        |          SUM((x.val - cent1.m) * (x.val - cent1.m)) AS d2
+        |        FROM x JOIN cent1 ON cent1.pos = x.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cl,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d2r),
+        |s2 AS (SELECT vec_id, cl FROM a2 WHERE rn = 1),
+        |cent2 AS (SELECT s2.cl, x.pos,
+        |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+        |                 AS BIGINT) AS m
+        |          FROM x JOIN s2 ON s2.vec_id = x.vec_id GROUP BY 1, 2),
+        |d3 AS (SELECT x.vec_id, cent2.cl,
+        |         SUM((x.val - cent2.m) * (x.val - cent2.m)) AS d2
+        |       FROM x JOIN cent2 ON cent2.pos = x.pos GROUP BY 1, 2),
+        |a3 AS (SELECT vec_id, cl, d2,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d3),
+        |s3 AS (SELECT vec_id, cl, d2 FROM a3 WHERE rn = 1)
+        |SELECT CAST(cl AS BIGINT) AS cluster,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(d2) AS BIGINT) AS inertia,
+        |       CAST(MIN(vec_id) AS BIGINT) AS min_vec
+        |FROM s3 GROUP BY cl ORDER BY cluster""".stripMargin,
+
     // Spark SQL has no ASOF JOIN — the twin is the union + key-window
     // carry-forward spelling (the same composition the DataFrame program
     // uses, proving the SQL surface can express the operator too)

@@ -550,7 +550,132 @@ object Similarity {
       .orderBy("label", "rnk")
   }
 
+  /** Distributed k-means (Lloyd's algorithm), 3 fixed rounds over the
+    * int8 codes ([[int8Codes]]) — the clustering primitive of
+    * training-data curation (cluster-balanced sampling, SemDeDup cell
+    * induction, topic bucketing). k = 8, seeded from the codes of
+    * vec_id 0..7 (deterministic, scale-independent).
+    *
+    * Every quantity both engines compute is INTEGER except one exactly-
+    * rounded IEEE division: centroids are FLOORED integer vectors
+    * m_d = ⌊s_d / n⌋ (double(s)/double(n) is the same double in any
+    * IEEE engine since s ≤ 127·N ≪ 2⁵³, and floor of it is exact), so
+    * assignment distances Σ(v_d − m_d)² are plain longs and the argmin
+    * (ties → smaller cluster id) is engine-independent. Empty clusters
+    * drop out of the centroid set (both engines GROUP BY the surviving
+    * assignments).
+    *
+    * 100 TB posture (the Spark MLlib k-means shape): per round the
+    * ASSIGNMENT is a pure projection — the k×64 centroid matrix rides
+    * the closure as literals, each row scores k zip_with folds and takes
+    * array_min, zero shuffle; the UPDATE is one (cluster, dim) aggregate
+    * with map-side combine (k×64 rows per partition pre-shuffle) whose
+    * k×64-long result is collected to the driver. Driver state per round
+    * is bounded by k, never by the data ([[graft.dedup.Dedup]] CC-loop
+    * precedent: one scalar per round). The final report is one
+    * #clusters-row aggregate. */
+  val qKmeans: Q = Q("q_kmeans",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |c AS (SELECT vec_id,
+      |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+      |          AS c
+      |      FROM m),
+      |cent0 AS (SELECT vec_id AS cl, c AS m FROM c WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, cl, c, d2,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+      |           AS rn
+      |       FROM (SELECT c.vec_id, cent0.cl, c.c,
+      |               list_sum(list_transform(range(1, 65),
+      |                 i -> (c.c[i] - cent0.m[i])
+      |                      * (c.c[i] - cent0.m[i]))) AS d2
+      |             FROM c CROSS JOIN cent0)),
+      |s1 AS (SELECT vec_id, cl, c FROM a1 WHERE rn = 1),
+      |cent1 AS (SELECT cl,
+      |            list_transform(range(1, 65),
+      |              i -> CAST(floor(CAST(list_sum(list_transform(list(c),
+      |                   cc -> cc[i])) AS DOUBLE) / COUNT(*)) AS BIGINT))
+      |              AS m
+      |          FROM s1 GROUP BY cl),
+      |a2 AS (SELECT vec_id, cl, c, d2,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+      |           AS rn
+      |       FROM (SELECT c.vec_id, cent1.cl, c.c,
+      |               list_sum(list_transform(range(1, 65),
+      |                 i -> (c.c[i] - cent1.m[i])
+      |                      * (c.c[i] - cent1.m[i]))) AS d2
+      |             FROM c CROSS JOIN cent1)),
+      |s2 AS (SELECT vec_id, cl, c FROM a2 WHERE rn = 1),
+      |cent2 AS (SELECT cl,
+      |            list_transform(range(1, 65),
+      |              i -> CAST(floor(CAST(list_sum(list_transform(list(c),
+      |                   cc -> cc[i])) AS DOUBLE) / COUNT(*)) AS BIGINT))
+      |              AS m
+      |          FROM s2 GROUP BY cl),
+      |a3 AS (SELECT vec_id, cl, d2,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+      |           AS rn
+      |       FROM (SELECT c.vec_id, cent2.cl,
+      |               list_sum(list_transform(range(1, 65),
+      |                 i -> (c.c[i] - cent2.m[i])
+      |                      * (c.c[i] - cent2.m[i]))) AS d2
+      |             FROM c CROSS JOIN cent2)),
+      |s3 AS (SELECT vec_id, cl, d2 FROM a3 WHERE rn = 1)
+      |SELECT CAST(cl AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(d2) AS BIGINT) AS inertia,
+      |       CAST(MIN(vec_id) AS BIGINT) AS min_vec
+      |FROM s3 GROUP BY cl ORDER BY cluster""".stripMargin) { (s, d) =>
+    val k = 8
+    val codes = int8Codes(s, d).select("vec_id", "c")
+
+    // Σ_d (c_d − m_d)² against ONE literal centroid — integer zip_with
+    // fold, whole-stage-codegen'd, no shuffle.
+    def d2(m: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("c"), typedlit(m), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+
+    // Assignment = projection: score every row against the k literal
+    // centroids, argmin = lexicographic array_min on (d2, cl).
+    def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+      val scored = array(cents.map { case (cl, m) =>
+        struct(d2(m).as("d2"), lit(cl).as("cl"))
+      }: _*)
+      codes.withColumn("best", array_min(scored))
+        .select(col("vec_id"), col("c"),
+          col("best.cl").as("cl"), col("best.d2").as("d2"))
+    }
+
+    // Update = one map-side-combined (cl, dim) aggregate; the k×64
+    // floored-mean matrix comes back to the driver (bounded by k).
+    def update(assigned: DataFrame): Seq[(Long, Seq[Long])] =
+      assigned
+        .select(col("cl"), posexplode(col("c")).as(Seq("pos", "val")))
+        .groupBy("cl", "pos")
+        .agg(sum("val").as("s"), count(lit(1)).as("n"))
+        .select(col("cl"), col("pos"),
+          floor(col("s").cast("double") / col("n")).cast("long").as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cl, rows) =>
+          cl -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+        .toSeq.sortBy(_._1)
+
+    val cent0 = codes.filter(col("vec_id") < k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+    val cent1 = update(assign(cent0))
+    val cent2 = update(assign(cent1))
+    assign(cent2)
+      .groupBy(col("cl").cast("long").as("cluster"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("d2").cast("long").as("inertia"),
+        min("vec_id").cast("long").as("min_vec"))
+      .orderBy("cluster")
+  }
+
   val all: Seq[Q] =
     Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup,
-      qSemdedup, qAnnInt8, qLabelOutliers)
+      qSemdedup, qAnnInt8, qLabelOutliers, qKmeans)
 }

@@ -178,6 +178,77 @@ object IndexOps {
       .limit(10)
   }
 
+  /** BM25 document search over the same standing query — the retrieval
+    * scorer tf·idf lacks: per-term diminishing returns (tf saturation at
+    * k1 = 1.2) and document-length normalization (b = 0.75 against the
+    * corpus mean length). This is the deterministic FIXED-POINT variant:
+    * with k1 = 6/5 and b = 3/4, per (doc, term)
+    *
+    *   score = idf · 22000·tf div (10·tf + 3 + nrm),
+    *   nrm   = (9·dl·N) div DL   (the ⌊9·dl/avgdl⌋ length penalty),
+    *
+    * idf the [[IdfScale]] micro-idf (the BM25 ln-idf is engine-divergent;
+    * any monotone inverse-df transform preserves the ranking), every
+    * division a floor over exact BIGINTs (max ≈ N·10⁶·22·tf·10³ ≈ 10¹⁶
+    * at sf0.1 — long-safe), and the per-doc total a SUM of integers — no
+    * FP anywhere, so the oracle hash-matches bit-for-bit.
+    *
+    * Scale shape = [[qKeywordSearch]] plus one per-doc length aggregate
+    * (map-side combined; dl joins the posting side, which the query
+    * terms already pruned): postings filter right after the explode, df
+    * and the (N, DL) totals broadcast, top-10 via the
+    * TakeOrderedAndProject heap. */
+  val qBm25Search: Q = Q("q_bm25_search",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok
+       |       GROUP BY 1),
+       |tf AS (
+       |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       |  WHERE token IN ('spark', 'join', 'window') GROUP BY 1, 2),
+       |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+       |       GROUP BY 1),
+       |tot AS (SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+       |    (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS dl_total),
+       |sc AS (SELECT t.doc_id,
+       |         (((n.n_docs * $IdfScale) // d.df) * 22 * t.tf * 1000)
+       |           // (10 * t.tf + 3 + (9 * l.dl * n.n_docs) // n.dl_total)
+       |           AS s,
+       |         l.dl AS dl
+       |       FROM tf t JOIN df d ON d.token = t.token
+       |       JOIN dl l ON l.doc_id = t.doc_id
+       |       CROSS JOIN tot n)
+       |SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score,
+       |       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |       CAST(MAX(dl) AS BIGINT) AS dl
+       |FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10"""
+      .stripMargin) { (s, d) =>
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(TextHash.tokens(col("text")))
+        .as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tok.filter(col("token").isin(SearchTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val tot = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum("dl").as("dl_total")))
+    tf.join(broadcast(df_), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        expr(s"(((n_docs * ${IdfScale}L) div df) * 22 * tf * 1000) div " +
+          "(10 * tf + 3 + (9 * dl * n_docs) div dl_total)").as("s"),
+        col("dl"))
+      .groupBy("doc_id")
+      .agg(sum("s").cast("long").as("score"),
+        count(lit(1)).cast("long").as("n_terms"),
+        max("dl").cast("long").as("dl"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
   /** Minimum bigram support for collocation candidates: prunes the tail
     * BEFORE any join, so the candidate set is collocation-sized. */
   val MinSupport = 5
@@ -233,5 +304,6 @@ object IndexOps {
   }
 
   val all: Seq[Q] =
-    Seq(qChunkOverlap, qTfidfTerms, qKeywordSearch, qPmiBigrams)
+    Seq(qChunkOverlap, qTfidfTerms, qKeywordSearch, qBm25Search,
+      qPmiBigrams)
 }
