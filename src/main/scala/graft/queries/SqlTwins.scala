@@ -749,6 +749,90 @@ object SqlTwins {
         |       CAST(MIN(vec_id) AS BIGINT) AS min_vec
         |FROM s3 GROUP BY cl ORDER BY cluster""".stripMargin,
 
+    // Same 3 unrolled Lloyd rounds as the q_kmeans twin, plus the
+    // (cluster, label) purity tail
+    "q_cluster_purity" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |        array_max(transform(v, x -> abs(x))) AS mx FROM e),
+        |c AS (SELECT vec_id, label,
+        |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+        |          AS c
+        |      FROM m),
+        |x AS (SELECT vec_id, pos, val
+        |      FROM (SELECT vec_id, posexplode(c) AS (pos, val) FROM c)),
+        |cent0 AS (SELECT vec_id AS cl, pos, val AS m FROM x
+        |          WHERE vec_id < 8),
+        |d1 AS (SELECT x.vec_id, cent0.cl,
+        |         SUM((x.val - cent0.m) * (x.val - cent0.m)) AS d2
+        |       FROM x JOIN cent0 ON cent0.pos = x.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cl,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d1),
+        |s1 AS (SELECT vec_id, cl FROM a1 WHERE rn = 1),
+        |cent1 AS (SELECT s1.cl, x.pos,
+        |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+        |                 AS BIGINT) AS m
+        |          FROM x JOIN s1 ON s1.vec_id = x.vec_id GROUP BY 1, 2),
+        |d2r AS (SELECT x.vec_id, cent1.cl,
+        |          SUM((x.val - cent1.m) * (x.val - cent1.m)) AS d2
+        |        FROM x JOIN cent1 ON cent1.pos = x.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cl,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d2r),
+        |s2 AS (SELECT vec_id, cl FROM a2 WHERE rn = 1),
+        |cent2 AS (SELECT s2.cl, x.pos,
+        |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+        |                 AS BIGINT) AS m
+        |          FROM x JOIN s2 ON s2.vec_id = x.vec_id GROUP BY 1, 2),
+        |d3 AS (SELECT x.vec_id, cent2.cl,
+        |         SUM((x.val - cent2.m) * (x.val - cent2.m)) AS d2
+        |       FROM x JOIN cent2 ON cent2.pos = x.pos GROUP BY 1, 2),
+        |a3 AS (SELECT vec_id, cl,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d3),
+        |s3 AS (SELECT a3.vec_id, a3.cl, c.label FROM a3
+        |       JOIN c ON c.vec_id = a3.vec_id WHERE a3.rn = 1),
+        |lab AS (SELECT cl, label, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM s3 GROUP BY 1, 2),
+        |mj AS (SELECT cl, label, cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY cl
+        |           ORDER BY cnt DESC, label) AS r,
+        |         SUM(cnt) OVER (PARTITION BY cl) AS n
+        |       FROM lab)
+        |SELECT CAST(cl AS BIGINT) AS cluster, CAST(n AS BIGINT) AS n,
+        |       CAST(label AS BIGINT) AS maj_label, cnt AS n_maj,
+        |       CAST((cnt * 1000) div n AS BIGINT) AS purity_pm
+        |FROM mj WHERE r = 1 ORDER BY cluster""".stripMargin,
+
+    // DuckDB indexes the token list; the Spark spelling builds bigrams
+    // with zip_with over shifted slices (the q_pmi_bigrams pattern)
+    "q_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS toks
+        |           FROM documents),
+        |bg AS (SELECT doc_id, bgs.x AS x, bgs.y AS y
+        |       FROM (SELECT doc_id, explode(zip_with(
+        |               slice(toks, 1, size(toks) - 1),
+        |               slice(toks, 2, size(toks) - 1),
+        |               (a, b) -> named_struct('x', a, 'y', b))) AS bgs
+        |             FROM t)),
+        |bc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM bg
+        |       GROUP BY 1, 2),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg),
+        |sc AS (SELECT g.doc_id,
+        |         CAST(SUM((nb.nb * 1000) div c.n_xy) AS BIGINT) AS s,
+        |         CAST(COUNT(*) AS BIGINT) AS n_bg
+        |       FROM bg g JOIN bc c ON c.x = g.x AND c.y = g.y
+        |       CROSS JOIN nb
+        |       GROUP BY 1)
+        |SELECT doc_id, (s div n_bg) AS surprisal, n_bg
+        |FROM sc ORDER BY surprisal DESC, doc_id LIMIT 20""".stripMargin,
+
     // Spark SQL has no ASOF JOIN — the twin is the union + key-window
     // carry-forward spelling (the same composition the DataFrame program
     // uses, proving the SQL surface can express the operator too)

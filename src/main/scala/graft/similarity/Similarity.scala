@@ -437,7 +437,7 @@ object Similarity {
     * brute-force window as the exact float baseline). */
   /** Per-vector int8 scalar quantization (the [[qAnnInt8]] quantizer,
     * label carried): scale mx = max|xᵢ|, code cᵢ = ⌊xᵢ·127/mx⌋. */
-  private def int8Codes(s: SparkSession, d: String): DataFrame =
+  private[graft] def int8Codes(s: SparkSession, d: String): DataFrame =
     emb(s, d)
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
       .select(col("vec_id"), col("label"),
@@ -574,6 +574,88 @@ object Similarity {
     * is bounded by k, never by the data ([[graft.dedup.Dedup]] CC-loop
     * precedent: one scalar per round). The final report is one
     * #clusters-row aggregate. */
+  // ---- Lloyd machinery (shared by q_kmeans / q_cluster_purity /
+  // kmeansConverged; all integer except the exactly-rounded ⌊s/n⌋) ----
+
+  /** Σ_d (c_d − m_d)² against ONE literal centroid — integer zip_with
+    * fold, whole-stage-codegen'd, no shuffle. */
+  private def lloydD2(m: Seq[Long]): Column =
+    aggregate(
+      zip_with(col("c"), typedlit(m), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Assignment = projection: score every row against the k literal
+    * centroids, argmin = lexicographic array_min on (d2, cl). Keeps
+    * every input column (label rides through for [[qClusterPurity]]). */
+  private[graft] def lloydAssign(
+      codes: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val scored = array(cents.map { case (cl, m) =>
+      struct(lloydD2(m).as("d2"), lit(cl).as("cl"))
+    }: _*)
+    codes.withColumn("best", array_min(scored))
+      .withColumn("cl", col("best.cl"))
+      .withColumn("d2", col("best.d2"))
+      .drop("best")
+  }
+
+  /** Update = one map-side-combined (cl, dim) aggregate; the k×64
+    * floored-mean matrix comes back to the driver (bounded by k —
+    * empty clusters drop out). */
+  private[graft] def lloydUpdate(
+      assigned: DataFrame): Seq[(Long, Seq[Long])] =
+    assigned
+      .select(col("cl"), posexplode(col("c")).as(Seq("pos", "val")))
+      .groupBy("cl", "pos")
+      .agg(sum("val").as("s"), count(lit(1)).as("n"))
+      .select(col("cl"), col("pos"),
+        floor(col("s").cast("double") / col("n")).cast("long").as("m"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (cl, rows) =>
+        cl -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+      .toSeq.sortBy(_._1)
+
+  /** Seed centroids: the codes of vec_id 0..k−1 (deterministic,
+    * scale-independent). */
+  private[graft] def lloydSeed(codes: DataFrame, k: Int): Seq[(Long, Seq[Long])] =
+    codes.filter(col("vec_id") < k).select("vec_id", "c").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+
+  /** Centroids the round-`rounds` assignment uses (rounds−1 updates
+    * after the seed). */
+  private[graft] def lloydCentroids(
+      codes: DataFrame, k: Int, rounds: Int): Seq[(Long, Seq[Long])] = {
+    var cents = lloydSeed(codes, k)
+    for (_ <- 1 until rounds) cents = lloydUpdate(lloydAssign(codes, cents))
+    cents
+  }
+
+  /** Run-to-convergence Lloyd (the convergence-gated sibling of the
+    * fixed-round [[qKmeans]], same shape as the graph family's
+    * `kcoreConverged`): iterate assign→update until the centroid
+    * matrix is a FIXED POINT — assignment is a deterministic function
+    * of the centroids, so stable centroids imply stable assignments
+    * with no extra comparison job; the convergence check is a driver
+    * equality over k×64 longs already collected by the update. Returns
+    * (stable centroids, rounds used). Lloyd monotonically decreases
+    * the (integer) objective, so termination is guaranteed; maxRounds
+    * is the operational bound. */
+  def kmeansConverged(s: SparkSession, d: String, k: Int = 8,
+      maxRounds: Int = 50): (Seq[(Long, Seq[Long])], Int) = {
+    val codes = int8Codes(s, d).select("vec_id", "c").localCheckpoint(true)
+    var cents = lloydSeed(codes, k)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val next = lloydUpdate(lloydAssign(codes, cents))
+      stable = next == cents
+      cents = next
+      rounds += 1
+    }
+    (cents, rounds)
+  }
+
   val qKmeans: Q = Q("q_kmeans",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |m AS (SELECT vec_id, v,
@@ -626,48 +708,8 @@ object Similarity {
       |       CAST(SUM(d2) AS BIGINT) AS inertia,
       |       CAST(MIN(vec_id) AS BIGINT) AS min_vec
       |FROM s3 GROUP BY cl ORDER BY cluster""".stripMargin) { (s, d) =>
-    val k = 8
-    val codes = int8Codes(s, d).select("vec_id", "c")
-
-    // Σ_d (c_d − m_d)² against ONE literal centroid — integer zip_with
-    // fold, whole-stage-codegen'd, no shuffle.
-    def d2(m: Seq[Long]): Column =
-      aggregate(
-        zip_with(col("c"), typedlit(m), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-
-    // Assignment = projection: score every row against the k literal
-    // centroids, argmin = lexicographic array_min on (d2, cl).
-    def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
-      val scored = array(cents.map { case (cl, m) =>
-        struct(d2(m).as("d2"), lit(cl).as("cl"))
-      }: _*)
-      codes.withColumn("best", array_min(scored))
-        .select(col("vec_id"), col("c"),
-          col("best.cl").as("cl"), col("best.d2").as("d2"))
-    }
-
-    // Update = one map-side-combined (cl, dim) aggregate; the k×64
-    // floored-mean matrix comes back to the driver (bounded by k).
-    def update(assigned: DataFrame): Seq[(Long, Seq[Long])] =
-      assigned
-        .select(col("cl"), posexplode(col("c")).as(Seq("pos", "val")))
-        .groupBy("cl", "pos")
-        .agg(sum("val").as("s"), count(lit(1)).as("n"))
-        .select(col("cl"), col("pos"),
-          floor(col("s").cast("double") / col("n")).cast("long").as("m"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cl, rows) =>
-          cl -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
-        }
-        .toSeq.sortBy(_._1)
-
-    val cent0 = codes.filter(col("vec_id") < k).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
-    val cent1 = update(assign(cent0))
-    val cent2 = update(assign(cent1))
-    assign(cent2)
+    val codes = int8Codes(s, d).select("vec_id", "c").localCheckpoint(true)
+    lloydAssign(codes, lloydCentroids(codes, 8, rounds = 3))
       .groupBy(col("cl").cast("long").as("cluster"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum("d2").cast("long").as("inertia"),
@@ -675,7 +717,93 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** Cluster-purity report — the embedding-space label-agreement audit:
+    * run the same 3 Lloyd rounds as [[qKmeans]], then per cluster report
+    * its size, majority label, and purity in integer per-mille
+    * (n_maj·1000 div n). Low purity across clusters means labels and
+    * embedding geometry disagree — the label-noise signal that decides
+    * whether [[qLabelOutliers]]'s per-label view can be trusted.
+    *
+    * Adds to the [[qKmeans]] plan: one (cluster, label) aggregate
+    * (#clusters × #labels rows) and a struct-min majority pick — both
+    * bounded by the domain, never by the data. */
+  val qClusterPurity: Q = Q("q_cluster_purity",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |           FROM embeddings),
+      |m AS (SELECT vec_id, label, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |c AS (SELECT vec_id, label,
+      |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+      |          AS c
+      |      FROM m),
+      |cent0 AS (SELECT vec_id AS cl, c AS m FROM c WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, cl, c,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+      |           AS rn
+      |       FROM (SELECT c.vec_id, cent0.cl, c.c,
+      |               list_sum(list_transform(range(1, 65),
+      |                 i -> (c.c[i] - cent0.m[i])
+      |                      * (c.c[i] - cent0.m[i]))) AS d2
+      |             FROM c CROSS JOIN cent0)),
+      |s1 AS (SELECT vec_id, cl, c FROM a1 WHERE rn = 1),
+      |cent1 AS (SELECT cl,
+      |            list_transform(range(1, 65),
+      |              i -> CAST(floor(CAST(list_sum(list_transform(list(c),
+      |                   cc -> cc[i])) AS DOUBLE) / COUNT(*)) AS BIGINT))
+      |              AS m
+      |          FROM s1 GROUP BY cl),
+      |a2 AS (SELECT vec_id, cl, c,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+      |           AS rn
+      |       FROM (SELECT c.vec_id, cent1.cl, c.c,
+      |               list_sum(list_transform(range(1, 65),
+      |                 i -> (c.c[i] - cent1.m[i])
+      |                      * (c.c[i] - cent1.m[i]))) AS d2
+      |             FROM c CROSS JOIN cent1)),
+      |s2 AS (SELECT vec_id, cl, c FROM a2 WHERE rn = 1),
+      |cent2 AS (SELECT cl,
+      |            list_transform(range(1, 65),
+      |              i -> CAST(floor(CAST(list_sum(list_transform(list(c),
+      |                   cc -> cc[i])) AS DOUBLE) / COUNT(*)) AS BIGINT))
+      |              AS m
+      |          FROM s2 GROUP BY cl),
+      |a3 AS (SELECT vec_id, cl,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+      |           AS rn
+      |       FROM (SELECT c.vec_id, cent2.cl,
+      |               list_sum(list_transform(range(1, 65),
+      |                 i -> (c.c[i] - cent2.m[i])
+      |                      * (c.c[i] - cent2.m[i]))) AS d2
+      |             FROM c CROSS JOIN cent2)),
+      |s3 AS (SELECT a3.vec_id, a3.cl, c.label FROM a3
+      |       JOIN c ON c.vec_id = a3.vec_id WHERE a3.rn = 1),
+      |lab AS (SELECT cl, label, CAST(COUNT(*) AS BIGINT) AS cnt
+      |        FROM s3 GROUP BY 1, 2),
+      |mj AS (SELECT cl, label, cnt,
+      |         ROW_NUMBER() OVER (PARTITION BY cl
+      |           ORDER BY cnt DESC, label) AS r,
+      |         SUM(cnt) OVER (PARTITION BY cl) AS n
+      |       FROM lab)
+      |SELECT CAST(cl AS BIGINT) AS cluster, CAST(n AS BIGINT) AS n,
+      |       CAST(label AS BIGINT) AS maj_label, cnt AS n_maj,
+      |       CAST((cnt * 1000) // n AS BIGINT) AS purity_pm
+      |FROM mj WHERE r = 1 ORDER BY cluster""".stripMargin) { (s, d) =>
+    val codes = int8Codes(s, d).localCheckpoint(true)
+    val a = lloydAssign(codes, lloydCentroids(codes, 8, rounds = 3))
+    val lab = a.groupBy("cl", "label").agg(count(lit(1)).as("cnt"))
+    lab.groupBy("cl")
+      .agg(sum("cnt").as("n"),
+        min(struct((-col("cnt")).as("neg"), col("label").as("lab")))
+          .as("mj"))
+      .select(col("cl").cast("long").as("cluster"),
+        col("n").cast("long").as("n"),
+        col("mj.lab").cast("long").as("maj_label"),
+        (-col("mj.neg")).cast("long").as("n_maj"),
+        expr("(-mj.neg * 1000) div n").cast("long").as("purity_pm"))
+      .orderBy("cluster")
+  }
+
   val all: Seq[Q] =
     Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup,
-      qSemdedup, qAnnInt8, qLabelOutliers, qKmeans)
+      qSemdedup, qAnnInt8, qLabelOutliers, qKmeans, qClusterPurity)
 }

@@ -303,7 +303,61 @@ object IndexOps {
       .limit(20)
   }
 
+  /** Bigram surprisal — the model-free perplexity proxy: a document's
+    * mean inverse-bigram-frequency, scored against the corpus's own
+    * bigram statistics. A fluent document reuses common bigrams; token
+    * salad (bad OCR, boilerplate splice, lorem noise) is built from
+    * rare ones, so the top of this ranking is exactly the "perplexity
+    * filter" cut of a curation pipeline — without a language model.
+    * Per bigram the rarity is the integer (NB·1000) div n_xy (NB =
+    * total corpus bigrams); the document score is the floor mean —
+    * integers end to end, hash-exact across engines.
+    *
+    * Scale shape: bigrams by zip_with over shifted slices (linear,
+    * never element_at over a re-inlinable transform — NOTES gotcha);
+    * the bigram-count table is vocabulary²-bounded and broadcast, the
+    * 1-row NB total broadcast; one (doc_id) aggregate and a top-20
+    * TakeOrderedAndProject heap. */
+  val qBigramSurprisal: Q = Q("q_bigram_surprisal",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bgi AS (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+      |        FROM t),
+      |bg AS (SELECT doc_id, toks[CAST(i AS INT)] AS x,
+      |              toks[CAST(i + 1 AS INT)] AS y FROM bgi),
+      |bc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM bg
+      |       GROUP BY 1, 2),
+      |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg),
+      |sc AS (SELECT g.doc_id,
+      |         CAST(SUM((nb.nb * 1000) // c.n_xy) AS BIGINT) AS s,
+      |         CAST(COUNT(*) AS BIGINT) AS n_bg
+      |       FROM bg g JOIN bc c ON c.x = g.x AND c.y = g.y
+      |       CROSS JOIN nb
+      |       GROUP BY 1)
+      |SELECT doc_id, (s // n_bg) AS surprisal, n_bg
+      |FROM sc ORDER BY surprisal DESC, doc_id LIMIT 20"""
+      .stripMargin) { (s, d) =>
+    val t = docs(s, d)
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("toks"))
+    val bg = t.select(col("doc_id"), explode(zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a: Column, b: Column) => struct(a.as("x"), b.as("y")))).as("bgs"))
+      .select(col("doc_id"), col("bgs.x").as("x"), col("bgs.y").as("y"))
+    val bc = bg.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    bg.join(broadcast(bc), Seq("x", "y"))
+      .crossJoin(broadcast(nb))
+      .groupBy("doc_id")
+      .agg(sum(expr("(nb * 1000) div n_xy")).cast("long").as("s"),
+        count(lit(1)).cast("long").as("n_bg"))
+      .select(col("doc_id"), expr("s div n_bg").as("surprisal"),
+        col("n_bg"))
+      .orderBy(desc("surprisal"), asc("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] =
     Seq(qChunkOverlap, qTfidfTerms, qKeywordSearch, qBm25Search,
-      qPmiBigrams)
+      qPmiBigrams, qBigramSurprisal)
 }
