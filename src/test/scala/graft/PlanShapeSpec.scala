@@ -170,6 +170,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows.forall(_.contains("user_id#")), windows.mkString("\n"))
   }
 
+  test("kmeans assignment is join-free (literal centroids, no shuffle)") {
+    // the Lloyd assignment must ride the closure as k×64 literals — a
+    // regression to a centroid crossJoin would shuffle k× the data per
+    // round; the only plan nodes after the checkpoint scan are the
+    // scoring projection and the final #clusters-row aggregate
+    val p = plan(Similarity.qKmeans.fn(spark, sf001))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+    val purity = plan(Similarity.qClusterPurity.fn(spark, sf001))
+    assert(!purity.contains("Join"), purity)
+  }
+
+  test("bm25 and surprisal broadcast their stats and heap-select") {
+    // df/(N, DL) and the vocab²-bounded bigram table are broadcast; the
+    // final top-k is a heap, never a global sort; no window anywhere
+    val bm = plan(graft.text.IndexOps.qBm25Search.fn(spark, sf001))
+    assert(bm.contains("BroadcastHashJoin"), bm)
+    assert(bm.contains("TakeOrderedAndProject"), bm)
+    assert(!bm.contains("Window"), bm)
+    val su = plan(graft.text.IndexOps.qBigramSurprisal.fn(spark, sf001))
+    assert(su.contains("BroadcastHashJoin"), su)
+    assert(su.contains("TakeOrderedAndProject"), su)
+    assert(!su.contains("Window"), su)
+  }
+
   test("fuzzy linkage broadcasts only the name-pair domain, never rows") {
     // round-4 verdict #2: the second expansion join used to broadcast the
     // row-scaled (table × matched-pair) intermediate — an OOM at fact-table
