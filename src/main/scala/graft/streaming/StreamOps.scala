@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -253,7 +253,8 @@ object StreamOps {
     * at 100 TB the refinement is hash-bucketed state with per-bucket
     * overwrite (only buckets containing delta keys rewrite) — the chain
     * argument is unchanged, the rewrite bound drops from O(state) to
-    * O(touched buckets).
+    * O(touched buckets). That refinement is implemented:
+    * [[mergeUpsertSinkBucketed]] / [[readBucketedState]].
     *
     * `checkpointLocation` is REQUIRED (ADVICE r4 #2): the exactly-once
     * chain depends on batch ids being monotone across restarts, which
@@ -282,11 +283,21 @@ object StreamOps {
     * replay idempotence is testable directly. Input batch: (user_id,
     * value); state row: (user_id, n, cents). */
   private[graft] def applyMergeBatch(batch: DataFrame, batchId: Long,
-      statePath: String): Unit = {
-    val spark = batch.sparkSession
-    val delta = batch.groupBy(col("user_id"))
+      statePath: String): Unit =
+    mergeDeltaInto(deltaOf(batch), batchId, statePath)
+
+  /** Per-key delta of one micro-batch: (user_id, dn, dc). */
+  private def deltaOf(batch: DataFrame): DataFrame =
+    batch.groupBy(col("user_id"))
       .agg(count(lit(1)).cast("long").as("dn"),
         sum(round(col("value") * 100, 0).cast("long")).as("dc"))
+
+  /** One version-chain merge step under `statePath`: read the newest
+    * state version < batchId, full-outer-merge the delta, overwrite
+    * v=batchId, prune to the newest 3 versions. */
+  private def mergeDeltaInto(delta: DataFrame, batchId: Long,
+      statePath: String): Unit = {
+    val spark = delta.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(statePath), spark.sessionState.newHadoopConf())
     val root = new org.apache.hadoop.fs.Path(statePath)
@@ -323,6 +334,73 @@ object StreamOps {
     keep.drop(3).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v=$v"), true)
     }
+  }
+
+  /** Hash-bucketed state — the 100 TB refinement promised in
+    * [[mergeUpsertSink]]'s scaladoc, now real: state lives in `buckets`
+    * hash partitions (`bucket=<b>/v=<n>`), each with its OWN version
+    * chain, and a micro-batch rewrites ONLY the buckets its delta keys
+    * hash into. The per-bucket replay argument is [[applyMergeBatch]]'s
+    * unchanged — a replayed batch re-reads each touched bucket's newest
+    * v < batchId and rewrites exactly its own v=batchId — and a bucket
+    * the batch does not touch keeps its newest version, which remains
+    * the read surface ([[readBucketedState]]). Rewrite cost per batch
+    * drops from O(|state|) to O(Σ touched-bucket sizes): with keys
+    * hashing uniformly and a micro-batch touching k distinct keys, that
+    * is ≤ min(k, buckets)/buckets of the state. */
+  private[graft] def applyMergeBatchBucketed(batch: DataFrame,
+      batchId: Long, statePath: String, buckets: Int): Unit = {
+    val delta = deltaOf(batch)
+      .withColumn("__b", pmod(col("user_id"), lit(buckets.toLong)))
+      .localCheckpoint(true) // one delta computation, reused per bucket
+    val touched = delta.select("__b").distinct().collect()
+      .map(_.getLong(0)).sorted // bounded by `buckets`
+    touched.foreach { b =>
+      mergeDeltaInto(delta.filter(col("__b") === b).drop("__b"),
+        batchId, s"$statePath/bucket=$b")
+    }
+  }
+
+  /** The bucketed sibling of [[mergeUpsertSink]] (same fail-fast
+    * checkpoint contract). */
+  def mergeUpsertSinkBucketed(stream: DataFrame, statePath: String,
+      checkpointLocation: String, buckets: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    require(checkpointLocation.trim.nonEmpty,
+      "mergeUpsertSinkBucketed requires a durable checkpointLocation: " +
+        "without one a restart resets batchId to 0 and discards all " +
+        "accumulated state")
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMergeBatchBucketed(batch, batchId, statePath, buckets)
+      }
+  }
+
+  /** Current state of a bucketed merge sink: per bucket, its newest
+    * version (buckets never touched by any batch are simply absent). */
+  def readBucketedState(spark: SparkSession, statePath: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath), spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val newest =
+      if (!fs.exists(root)) Seq.empty[String]
+      else fs.listStatus(root).toSeq
+        .map(_.getPath)
+        .filter(_.getName.startsWith("bucket="))
+        .flatMap { b =>
+          fs.listStatus(b).toSeq.map(_.getPath.getName)
+            .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+            .sorted.lastOption
+            .map(v => s"$b/v=$v")
+        }
+    if (newest.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n BIGINT, cents BIGINT"))
+    else spark.read.parquet(newest: _*)
   }
 
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp)

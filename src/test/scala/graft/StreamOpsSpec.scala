@@ -479,6 +479,52 @@ class StreamOpsSpec extends SparkSpec {
     assert(state(1) == v1)
   }
 
+  test("bucketed merge rewrites only touched buckets, replays clean") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_merge_bucketed").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath), spark.sessionState.newHadoopConf())
+    def versions(b: Long): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$statePath/bucket=$b")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }.sorted
+    }
+    def state(): Map[Long, (Long, Long)] =
+      StreamOps.readBucketedState(spark, statePath).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 4 buckets; batch 0 touches buckets {1, 2} (keys 1, 2, 5),
+    // batch 1 touches bucket {3} only (key 7)
+    val b0 = Seq((1L, 2.00), (5L, 3.00), (2L, 5.00))
+      .toDF("user_id", "value")
+    val b1 = Seq((7L, 4.50)).toDF("user_id", "value")
+    StreamOps.applyMergeBatchBucketed(b0, 0L, statePath, buckets = 4)
+    assert(versions(1) == Seq(0L) && versions(2) == Seq(0L))
+    assert(versions(0).isEmpty && versions(3).isEmpty)
+    StreamOps.applyMergeBatchBucketed(b1, 1L, statePath, buckets = 4)
+    // O(touched): batch 1 created NO new version in buckets 1 and 2
+    assert(versions(1) == Seq(0L) && versions(2) == Seq(0L))
+    assert(versions(3) == Seq(1L))
+    val expected = Map(
+      1L -> ((1L, 200L)), 5L -> ((1L, 300L)),
+      2L -> ((1L, 500L)), 7L -> ((1L, 450L)))
+    assert(state() == expected)
+    // replay batch 1: bucket 3's chain re-reads newest v < 1 (nothing)
+    // and rewrites exactly its own v=1 — state unchanged
+    StreamOps.applyMergeBatchBucketed(b1, 1L, statePath, buckets = 4)
+    assert(state() == expected)
+    // and the read surface equals the UNBUCKETED sink fed the same
+    // batches (bucketing is a pure layout refinement)
+    val flatPath = java.nio.file.Files
+      .createTempDirectory("graft_merge_flat").toString
+    StreamOps.applyMergeBatch(b0, 0L, flatPath)
+    StreamOps.applyMergeBatch(b1, 1L, flatPath)
+    val flat = spark.read.parquet(s"$flatPath/v=1").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(state() == flat)
+  }
+
   test("streaming merge apply runs end-to-end over MemoryStream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
