@@ -785,6 +785,86 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Winnowing k-gram width / window width. Guarantee: any shared run of
+    * ≥ WinnowW + WinnowK − 1 = 7 contiguous tokens produces at least one
+    * shared fingerprint; no fingerprint comes from a run shorter than
+    * [[WinnowK]] tokens. */
+  val WinnowK = 4
+  val WinnowW = 4
+
+  /** Position packing for winnowing selection: combined key
+    * hash·SHIFT + pos stays < 2³¹·10⁵ < 2⁶³ and makes "min by (hash,
+    * position)" ONE integer min — portable to any engine without
+    * struct-ordering syntax. */
+  private[graft] val WinnowShift = 100000L
+
+  /** Document fingerprinting by WINNOWING (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm): slide a [[WinnowW]]-wide window
+    * over the positional k-gram hashes and keep each window's minimum
+    * (ties to the leftmost position via the packed integer key); the
+    * distinct selected hashes are the document's fingerprint sketch.
+    * Winnowing guarantees a fingerprint in every window (density 2/(w+1)
+    * in expectation) AND that any sufficiently long shared substring
+    * yields a shared fingerprint — the properties that make it the
+    * plagiarism/near-dup sketch of record where MinHash's whole-document
+    * resemblance is too coarse.
+    *
+    * Plan shape: [[graft.functions.TextHash.addWindowHashes]] (per-token
+    * md5 once, per-window integer fold), posexplode, ONE frame-bounded
+    * sliding MIN over the doc_id partition (per-doc work linear, window
+    * state w rows; doc_id is the data-scaled key so parallelism grows
+    * with the corpus), then a per-doc distinct + aggregate. Nothing
+    * holds more than a document's hash sequence; at 100 TB the heavy
+    * lifting is the same per-doc map work as the substring-dedup
+    * pipeline it composes with. */
+  val qWinnowFingerprint: Q = Q("q_winnow_fingerprint",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+       |           FROM documents),
+       |th AS (SELECT doc_id,
+       |        list_transform(w, t -> ${hash32Sql("t")}) AS t FROM words),
+       |ws AS (SELECT doc_id, ${windowHashesSql("t", WinnowK)} AS ws
+       |       FROM th),
+       |px AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nh,
+       |         CAST(unnest(range(0, len(ws))) AS BIGINT) AS pos, ws
+       |       FROM ws),
+       |ck AS (SELECT doc_id, nh, pos,
+       |         ws[CAST(pos + 1 AS INT)] * $WinnowShift + pos AS ck
+       |       FROM px),
+       |mn AS (SELECT doc_id, nh, pos, MIN(ck) OVER (
+       |         PARTITION BY doc_id ORDER BY pos
+       |         ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+       |         AS fp
+       |       FROM ck),
+       |sel AS (SELECT DISTINCT doc_id, nh, fp FROM mn
+       |        WHERE pos <= greatest(nh - $WinnowW, 0))
+       |SELECT doc_id, MAX(nh) AS n_windows, COUNT(*)::BIGINT AS n_fp,
+       |       CAST(SUM(fp // $WinnowShift) AS BIGINT) AS fp_sum
+       |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    winnowSelect(docs(s, d))
+      .groupBy("doc_id")
+      .agg(max("nh").as("n_windows"),
+        count(lit(1)).cast("long").as("n_fp"),
+        sum(expr(s"fp div $WinnowShift")).cast("long").as("fp_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** The winnowing selection behind [[qWinnowFingerprint]]: distinct
+    * selected (doc_id, nh, fp) rows over any (doc_id, text) frame, where
+    * fp packs hash·[[WinnowShift]]+position. Factored out so PropertySpec
+    * can prove brute-force parity and the shared-run guarantee. */
+  private[graft] def winnowSelect(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val px = addWindowHashes(df, col("text"), WinnowK)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("nh"),
+        posexplode(col("ws")).as(Seq("pos", "h")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    px.withColumn("ck", col("h") * WinnowShift + col("pos"))
+      .withColumn("fp", min("ck").over(w))
+      .filter(col("pos") <= greatest(col("nh") - WinnowW, lit(0L)))
+      .select(col("doc_id"), col("nh"), col("fp")).distinct()
+  }
+
   /** Benchmark-contamination CONTAINMENT score (Broder containment,
     * |doc ∩ bench| / |doc| over distinct 3-gram shingles): where
     * [[qDecontaminate]] flags any overlap, this ranks HOW contaminated
@@ -829,5 +909,6 @@ object Dedup {
     qDedupExact, qNgramJaccardPairs, qMinhashLsh, qMinhashIncremental,
     qDedupNearRemoved, qSimhashDocs, qSimhashPairs, qSimhashWideDocs,
     qSimhashWidePairs, qDedupComponents, qDedupComponentsStar,
-    qDecontaminate, qSubstringDups, qDecontaminateContainment)
+    qDecontaminate, qSubstringDups, qWinnowFingerprint,
+    qDecontaminateContainment)
 }

@@ -180,6 +180,98 @@ object GraphOps {
           .as("butterflies"))
   }
 
+  /** Hot-vertex guard for [[qTriangles]] (same role as the butterfly
+    * cap): vertices above this co-purchase degree are excluded before
+    * wedge generation, bounding per-vertex wedge volume at cap². */
+  val TriDegCap = 64
+
+  /** Triangle counting on the co-purchase graph (parts appearing in the
+    * same high-quantity order, the [[qButterflyCount]] projection onto
+    * one node class): top-10 parts by triangle membership — the local
+    * clustering signal recommendation and community pipelines start
+    * from.
+    *
+    * The algorithm is the standard degree-ordered orientation: each
+    * undirected edge points from its (degree, id)-smaller endpoint to
+    * the larger (encoded as ONE integer ord = deg·10⁹ + id, so the
+    * comparison is portable to any engine without row-value syntax).
+    * Every triangle then has exactly ONE wedge rooted at its ord-minimum
+    * vertex, counted by a wedge equi-join on the root + a semi-join
+    * closure check on the (y, z) edge — never an all-pairs product, and
+    * per-vertex wedge volume is (out-degree ≤ cap)², the [[TriDegCap]]
+    * guard. Membership counts come from exploding each triangle's three
+    * vertices into a vertex-domain-bounded aggregate with map-side
+    * partials, then a heap top-10 (TakeOrderedAndProject). At 100 TB the
+    * shape holds: wedge volume is linear in edges under the cap, both
+    * joins are hash joins on integer keys, and no operator state exceeds
+    * the capped wedge set. */
+  val qTriangles: Q = Q("q_triangles",
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |           FROM lineitem WHERE l_quantity > 40),
+       |pp AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+       |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |deg AS (SELECT k, COUNT(*)::BIGINT AS dg FROM (
+       |          SELECT u AS k FROM pp UNION ALL SELECT v AS k FROM pp)
+       |        GROUP BY 1),
+       |ec AS (SELECT u, v, du.dg * 1000000000 + u AS ou,
+       |              dv.dg * 1000000000 + v AS ov
+       |       FROM pp JOIN deg du ON du.k = pp.u
+       |       JOIN deg dv ON dv.k = pp.v
+       |       WHERE du.dg <= $TriDegCap AND dv.dg <= $TriDegCap),
+       |dir AS (SELECT CASE WHEN ou < ov THEN u ELSE v END AS s,
+       |               CASE WHEN ou < ov THEN v ELSE u END AS t,
+       |               greatest(ou, ov) AS ot FROM ec),
+       |tri AS (SELECT a.s AS x, a.t AS y, b.t AS z
+       |        FROM dir a JOIN dir b ON b.s = a.s AND a.ot < b.ot
+       |        WHERE EXISTS (SELECT 1 FROM dir c
+       |                      WHERE c.s = a.t AND c.t = b.t)),
+       |ex AS (SELECT unnest([x, y, z]) AS p FROM tri)
+       |SELECT CAST(p AS BIGINT) AS p, COUNT(*)::BIGINT AS n_tri
+       |FROM ex GROUP BY 1
+       |ORDER BY n_tri DESC, p LIMIT 10""".stripMargin) { (s, d) =>
+    val li = Tables.load(s, d, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pp = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    trianglePartCounts(pp, TriDegCap)
+      .orderBy(desc("n_tri"), asc("p")).limit(10)
+  }
+
+  /** Degree-ordered triangle membership counts behind [[qTriangles]],
+    * on any distinct (u, v), u < v edge frame. Factored out so
+    * GraphOpsSpec can prove the orientation counts each triangle once
+    * and the cap excludes a synthetic hot vertex. */
+  private[graft] def trianglePartCounts(
+      pp: DataFrame, degCap: Int): DataFrame = {
+    val deg = pp.select(col("u").as("k"))
+      .unionByName(pp.select(col("v").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("dg"))
+    val ec = pp
+      .join(deg.as("du"), col("u") === col("du.k"))
+      .join(deg.as("dv"), col("v") === col("dv.k"))
+      .filter(col("du.dg") <= degCap && col("dv.dg") <= degCap)
+      .select(col("u"), col("v"),
+        (col("du.dg") * 1000000000L + col("u")).as("ou"),
+        (col("dv.dg") * 1000000000L + col("v")).as("ov"))
+    val dir = ec.select(
+      when(col("ou") < col("ov"), col("u")).otherwise(col("v")).as("s"),
+      when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("t"),
+      greatest(col("ou"), col("ov")).as("ot"))
+    val wedge = dir.as("a").hint("shuffle_hash")
+      .join(dir.as("b").hint("shuffle_hash"),
+        col("a.s") === col("b.s") && col("a.ot") < col("b.ot"))
+      .select(col("a.s").as("x"), col("a.t").as("y"), col("b.t").as("z"))
+    wedge
+      .join(dir.select(col("s").as("y"), col("t").as("z")),
+        Seq("y", "z"), "left_semi")
+      .select(explode(array(col("x"), col("y"), col("z"))).as("p"))
+      .groupBy(col("p").cast("long").as("p"))
+      .agg(count(lit(1)).cast("long").as("n_tri"))
+  }
+
   val BfsRounds = 3
 
   /** Multi-source BFS (min-hop labels): distance from the nation-0
@@ -406,5 +498,6 @@ object GraphOps {
     (labels, sizes.toSeq)
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qButterflyCount, qBfsHops, qKcore)
+  val all: Seq[Q] = Seq(qPagerank, qButterflyCount, qTriangles, qBfsHops,
+    qKcore)
 }

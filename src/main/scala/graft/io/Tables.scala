@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Source/sink surface of the engine (SURVEY.md §2.1).
   *
@@ -17,16 +17,26 @@ object Tables {
 
   /** Load one driver-testdata table from `sfDir` (S1/S2).
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for — it is read via the nanosAsLong escape hatch and normalized
-    * to a microsecond TimestampType here (integer `div`, not FP division:
-    * epoch-nanos exceed double's 2^53 exact range). */
+    * `events.ts` arrives in either of two parquet spellings depending on
+    * the writer: TIMESTAMP(NANOS) (no native Spark type — read via the
+    * nanosAsLong escape hatch; integer `div`, not FP division: epoch-nanos
+    * exceed double's 2^53 exact range) or TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark 4 infers as TIMESTAMP_NTZ. Both
+    * are normalized to a microsecond TimestampType here so every consumer
+    * (`unix_micros`, watermarking, window()) sees one type; the session
+    * timezone is pinned UTC engine-wide, so the NTZ→LTZ cast is
+    * value-identity on the epoch micros. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     ensureSessionRegistered(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType)
-      .fold(df)(_ => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Idempotently install the engine's session-level extras (native

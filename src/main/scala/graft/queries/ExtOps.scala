@@ -738,9 +738,80 @@ object ExtOps {
         .orderBy("prio")
   }
 
+  /** Robust outlier detection by median absolute deviation: per
+    * priority, the exact lower median of order cents, the exact MAD
+    * (lower median of |cents − med|), and the count of rows with
+    * |cents − med| > 3·MAD — the standard robust z-score screen, which
+    * unlike mean/stddev is not dragged by the outliers it is hunting.
+    *
+    * Both medians run on [[graft.text.TextOps.groupedRankByRange]] (the
+    * q_group_median machinery, twice): range slices keyed
+    * (prio, value, key), slice-local windows, broadcast offsets — no
+    * per-priority reducer ever holds a whole group (a 5-priority 100 TB
+    * fact is 20 TB per group; the oracle's PARTITION BY window spelling
+    * would funnel exactly that). The median/MAD frames are 5 rows each
+    * and ride broadcast joins; the deviation pass re-reads the value
+    * frame once per median, so the whole operator is two ranked passes +
+    * one counting aggregate. Integer cents end to end; the 3·MAD
+    * threshold is an integer comparison, so the oracle hash-matches
+    * bit-for-bit. */
+  val qMadOutliers: Q = Q("q_mad_outliers",
+    """WITH v AS (SELECT o_orderpriority AS prio,
+      |        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+      |        o_orderkey
+      |      FROM orders),
+      |r AS (SELECT prio, cents,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY prio
+      |          ORDER BY cents, o_orderkey) AS BIGINT) AS rk,
+      |        CAST(COUNT(*) OVER (PARTITION BY prio) AS BIGINT) AS n
+      |      FROM v),
+      |med AS (SELECT prio, n AS n_orders, cents AS med FROM r
+      |        WHERE rk = (n + 1) // 2),
+      |d AS (SELECT v.prio, abs(v.cents - m.med) AS dev, v.o_orderkey
+      |      FROM v JOIN med m ON m.prio = v.prio),
+      |r2 AS (SELECT prio, dev,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY prio
+      |          ORDER BY dev, o_orderkey) AS BIGINT) AS rk,
+      |        CAST(COUNT(*) OVER (PARTITION BY prio) AS BIGINT) AS n
+      |      FROM d),
+      |mad AS (SELECT prio, dev AS mad FROM r2 WHERE rk = (n + 1) // 2),
+      |o AS (SELECT d.prio,
+      |        CAST(COUNT(*) FILTER (WHERE d.dev > 3 * ma.mad) AS BIGINT)
+      |          AS n_out
+      |      FROM d JOIN mad ma ON ma.prio = d.prio GROUP BY 1)
+      |SELECT m.prio, m.n_orders, m.med AS med_cents, ma.mad AS mad_cents,
+      |       o.n_out
+      |FROM med m JOIN mad ma ON ma.prio = m.prio JOIN o ON o.prio = m.prio
+      |ORDER BY m.prio""".stripMargin) { (s, d) =>
+    val v = Tables.load(s, d, "orders")
+      .select(col("o_orderpriority").as("prio"), cents.as("cents"),
+        col("o_orderkey"))
+    val med = graft.text.TextOps.groupedRankByRange(v, Seq("prio"),
+        Seq(col("cents").asc, col("o_orderkey").asc))
+      .filter(col("rnk") === expr("(n_group + 1) div 2"))
+      .select(col("prio"), col("n_group").as("n_orders"),
+        col("cents").as("med"))
+    val dev = v.join(broadcast(med), Seq("prio"))
+      .select(col("prio"), abs(col("cents") - col("med")).as("dev"),
+        col("o_orderkey"))
+    val mad = graft.text.TextOps.groupedRankByRange(dev, Seq("prio"),
+        Seq(col("dev").asc, col("o_orderkey").asc))
+      .filter(col("rnk") === expr("(n_group + 1) div 2"))
+      .select(col("prio"), col("dev").as("mad"))
+    val nOut = dev.join(broadcast(mad), Seq("prio"))
+      .groupBy("prio")
+      .agg(count(when(col("dev") > col("mad") * 3, 1)).as("n_out"))
+    med.join(broadcast(mad), Seq("prio"))
+      .join(broadcast(nOut), Seq("prio"))
+      .select(col("prio"), col("n_orders"), col("med").as("med_cents"),
+        col("mad").as("mad_cents"), col("n_out"))
+      .orderBy("prio")
+  }
+
   val all: Seq[Q] = Seq(
     qHllDistinct, qFuzzyLinkage, qNationTiles, qGroupingSets, qSetOpsAll,
     qScd2Priority, qReaggWeekly, qPosexplodeTokens, qRolling7d, qBloomJoin,
     qSaltedJoin, qUnpivot, qGroupConcat, qZorderLayout, qParetoShare,
-    qProfileOrders, qSkewReport, qExactQuantiles, qGroupMedian)
+    qProfileOrders, qSkewReport, qExactQuantiles, qGroupMedian,
+    qMadOutliers)
 }

@@ -115,6 +115,41 @@ object SeqOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Top navigation paths: the 20 most frequent ordered event-type
+    * TRIGRAMS across all user timelines ([[qMarkovTransitions]] is the
+    * first-order view; three-step paths expose the flows a transition
+    * matrix marginalizes away — view→click→purchase vs view→click→view
+    * have identical bigram mass).
+    *
+    * One window pass per user (lead ×2 over the same user_id window —
+    * Spark plans both leads in a single WindowExec), then a
+    * type-domain³-bounded aggregate with map-side partial counts and a
+    * heap top-20 (TakeOrderedAndProject). The window partitions on the
+    * data-scaled entity key, so parallelism grows with users; no
+    * operator's state exceeds the type-domain cube. */
+  val qPathTrigrams: Q = Q("q_path_trigrams",
+    """WITH s AS (SELECT event_type AS e1,
+      |             lead(event_type, 1) OVER (
+      |               PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+      |             lead(event_type, 2) OVER (
+      |               PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      |           FROM events)
+      |SELECT e1, e2, e3, COUNT(*) AS n
+      |FROM s WHERE e3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("e1"), asc("e2"), asc("e3"))
+      .limit(20)
+  }
+
   /** Step deadline for [[qFunnelSteps]]: 3 days in epoch micros — sized
     * to the corpus's per-user event cadence so each stage genuinely
     * discriminates (150 → 115 → 81 users at sf0.01). */
@@ -189,5 +224,6 @@ object SeqOps {
           .as("view_to_purchase"))
   }
 
-  val all: Seq[Q] = Seq(qIntervalMerge, qMarkovTransitions, qFunnelSteps)
+  val all: Seq[Q] = Seq(qIntervalMerge, qMarkovTransitions, qPathTrigrams,
+    qFunnelSteps)
 }

@@ -489,6 +489,70 @@ object SqlTwins {
          |WHERE size(w.ws) > 0 ORDER BY w.doc_id""".stripMargin
     },
 
+    "q_winnow_fingerprint" -> {
+      val k = graft.dedup.Dedup.WinnowK
+      val w = graft.dedup.Dedup.WinnowW
+      val shift = graft.dedup.Dedup.WinnowShift
+      val fold = (1 until k).foldLeft("t[i]") { (acc, j) =>
+        s"(($acc * $B + t[i+$j]) % $P)"
+      }
+      s"""WITH words AS (SELECT doc_id, split(text, ' ') AS w
+         |               FROM documents),
+         |th AS (SELECT doc_id, transform(w, t -> graft_md5_mod31(t)) AS t
+         |       FROM words),
+         |ws AS (SELECT doc_id,
+         |  CASE WHEN size(t) >= $k THEN transform(
+         |    sequence(0, size(t) - $k), i -> $fold)
+         |  ELSE CAST(array() AS ARRAY<BIGINT>) END AS ws FROM th),
+         |px AS (SELECT doc_id, CAST(size(ws) AS BIGINT) AS nh,
+         |       posexplode(ws) AS (pos, h) FROM ws),
+         |ck AS (SELECT doc_id, nh, CAST(pos AS BIGINT) AS pos,
+         |       h * $shift + pos AS ck FROM px),
+         |mn AS (SELECT doc_id, nh, pos, MIN(ck) OVER (
+         |         PARTITION BY doc_id ORDER BY pos
+         |         ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+         |       FROM ck),
+         |sel AS (SELECT DISTINCT doc_id, nh, fp FROM mn
+         |        WHERE pos <= greatest(nh - $w, CAST(0 AS BIGINT)))
+         |SELECT doc_id, MAX(nh) AS n_windows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_fp,
+         |  CAST(SUM(fp div $shift) AS BIGINT) AS fp_sum
+         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_sim_weighted" -> {
+      val cap = graft.text.IndexOps.SimDfCap
+      val clamp = graft.text.IndexOps.SimTfClamp
+      val fold = (1 until 3).foldLeft("t[i]") { (acc, j) =>
+        s"(($acc * $B + t[i+$j]) % $P)"
+      }
+      s"""WITH words AS (SELECT doc_id, split(text, ' ') AS w
+         |               FROM documents),
+         |th AS (SELECT doc_id, transform(w, t -> graft_md5_mod31(t)) AS t
+         |       FROM words),
+         |ws AS (SELECT doc_id,
+         |  CASE WHEN size(t) >= 3 THEN transform(
+         |    sequence(0, size(t) - 3), i -> $fold)
+         |  ELSE CAST(array() AS ARRAY<BIGINT>) END AS ws FROM th),
+         |ex AS (SELECT doc_id, explode(ws) AS h FROM ws),
+         |tf AS (SELECT doc_id, h,
+         |         CAST(least(COUNT(*), $clamp) AS BIGINT) AS tf
+         |       FROM ex GROUP BY 1, 2),
+         |df AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+         |       GROUP BY 1 HAVING COUNT(*) <= $cap),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |wt AS (SELECT tf.doc_id, tf.h,
+         |         tf.tf * ((n.n_docs * 1000) div df.df) AS w
+         |       FROM tf JOIN df ON df.h = tf.h CROSS JOIN n),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_shared,
+         |         CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+         |       FROM wt a JOIN wt b ON b.h = a.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared, dot FROM pr
+         |ORDER BY dot DESC, doc_a, doc_b LIMIT 20""".stripMargin
+    },
+
     "q_fingerprint" ->
       s"""WITH $shingleCte
          |SELECT d.doc_id, md5(d.text) AS content_md5,

@@ -357,7 +357,144 @@ object IndexOps {
       .limit(20)
   }
 
+  /** Minimum posting-list length for [[qPostingGaps]] — the report is
+    * about index-worthy terms, and gaps need at least a handful of
+    * entries to mean anything. */
+  val MinDfGaps = 16L
+
+  /** Posting-list delta-gap statistics: per index term, the doc-id gap
+    * profile (max gap + mean gap ×100) of its sorted posting list — the
+    * quantity that decides delta-varint compression ratios and zone-map
+    * skip effectiveness when the index is laid out on disk.
+    *
+    * The scalable part is the LAG: per-term sorted adjacency via
+    * `lag().over(partitionBy(token))` would funnel each term's whole
+    * posting list through one reducer (a universal token's list IS the
+    * corpus). Instead the ranks come from
+    * [[graft.text.TextOps.groupedRankByRange]] (range slices keyed
+    * (token, doc_id) — a fat term spans slices) and the predecessor is
+    * recovered by an equi-join on (token, rank−1), hash-distributed on
+    * both keys. Mean gap needs no adjacency at all: consecutive gaps
+    * telescope, so mean = (max_doc − min_doc)/(df−1) — one plain
+    * aggregate. Integer floor arithmetic end to end. */
+  val qPostingGaps: Q = Q("q_posting_gaps",
+    s"""WITH post AS (SELECT DISTINCT doc_id, token FROM (
+       |         SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |         FROM documents)),
+       |r AS (SELECT token, doc_id,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY token
+       |          ORDER BY doc_id) AS BIGINT) AS rk,
+       |        CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS df
+       |      FROM post),
+       |g AS (SELECT a.token, a.df, a.doc_id - b.doc_id AS gap
+       |      FROM r a JOIN r b ON b.token = a.token AND b.rk = a.rk - 1),
+       |sp AS (SELECT token, MIN(doc_id) AS mind, MAX(doc_id) AS maxd
+       |       FROM post GROUP BY 1)
+       |SELECT g.token, g.df, CAST(MAX(g.gap) AS BIGINT) AS max_gap,
+       |       CAST(((sp.maxd - sp.mind) * 100) // (g.df - 1) AS BIGINT)
+       |         AS mean_gap_x100
+       |FROM g JOIN sp ON sp.token = g.token
+       |WHERE g.df >= $MinDfGaps
+       |GROUP BY g.token, g.df, sp.maxd, sp.mind
+       |ORDER BY g.df DESC, g.token LIMIT 20""".stripMargin) { (s, d) =>
+    val post = docs(s, d)
+      .select(col("doc_id"),
+        explode(TextHash.tokens(col("text"))).as("token"))
+      .distinct()
+    val ranked = graft.text.TextOps.groupedRankByRange(post, Seq("token"),
+      Seq(col("doc_id").asc))
+    val prev = ranked.select(col("token").as("tk"),
+      (col("rnk") + 1).as("rnk2"), col("doc_id").as("prev_doc"))
+    val gaps = ranked
+      .join(prev, col("token") === col("tk") && col("rnk") === col("rnk2"))
+      .select(col("token"), col("n_group").as("df"),
+        (col("doc_id") - col("prev_doc")).as("gap"))
+    val spans = post.groupBy("token")
+      .agg(min("doc_id").as("mind"), max("doc_id").as("maxd"))
+    gaps.groupBy("token", "df")
+      .agg(max("gap").cast("long").as("max_gap"))
+      .join(spans, Seq("token"))
+      .filter(col("df") >= MinDfGaps)
+      .select(col("token"), col("df"), col("max_gap"),
+        expr("CAST(((maxd - mind) * 100) div (df - 1) AS BIGINT)")
+          .as("mean_gap_x100"))
+      .orderBy(desc("df"), asc("token")).limit(20)
+  }
+
+  /** Hot-shingle guard for [[qDocSimWeighted]] — shingles in more docs
+    * than this are stopword-like and excluded before pair generation
+    * (the q_ngram_jaccard_pairs df-cap, reapplied). */
+  val SimDfCap = 64
+
+  /** Per-(doc, shingle) occurrence clamp: keeps every weight product
+    * comfortably inside long arithmetic whatever a pathological
+    * repeated-text document does (255 · milli-idf ≤ 2.5·10⁸ per side at
+    * web scale ⇒ products ≤ 6·10¹⁶, summed over ≤ a capped posting's
+    * shared shingles). */
+  val SimTfClamp = 255L
+
+  /** Weighted document-pair similarity via the inverted 3-gram shingle
+    * index: pairs ranked by the tf·idf dot product of their shingle
+    * occurrence profiles — where [[graft.dedup.Dedup]]'s Jaccard scores
+    * SET resemblance, this weights matches by rarity (idf) and
+    * repetition (tf), the sparse-vector similarity used for
+    * template/boilerplate discovery.
+    *
+    * Candidate generation is the inverted-index equi-join on the
+    * shingle hash — never an all-pairs product; [[SimDfCap]] bounds
+    * per-shingle fan-out at cap² pairs, the same linearity guard proven
+    * for the Jaccard pipeline. Weights are exact integers: tf clamped
+    * at [[SimTfClamp]] × milli-idf (N·1000 floor-div df; any shared
+    * shingle has df ≥ 2, so idf ≤ N·500). One aggregate per pair,
+    * heap top-20. */
+  val qDocSimWeighted: Q = Q("q_doc_sim_weighted",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+       |           FROM documents),
+       |th AS (SELECT doc_id,
+       |        list_transform(w, t -> ${TextHash.hash32Sql("t")}) AS t
+       |       FROM words),
+       |ws AS (SELECT doc_id, ${TextHash.windowHashesSql("t", 3)} AS ws
+       |       FROM th),
+       |ex AS (SELECT doc_id, unnest(ws) AS h FROM ws),
+       |tf AS (SELECT doc_id, h,
+       |         CAST(least(COUNT(*), $SimTfClamp) AS BIGINT) AS tf
+       |       FROM ex GROUP BY 1, 2),
+       |df AS (SELECT h, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+       |       HAVING COUNT(*) <= $SimDfCap),
+       |n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+       |wt AS (SELECT tf.doc_id, tf.h,
+       |         tf.tf * ((n.n_docs * 1000) // df.df) AS w
+       |       FROM tf JOIN df ON df.h = tf.h CROSS JOIN n),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_shared,
+       |         CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+       |       FROM wt a JOIN wt b ON b.h = a.h AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared, dot FROM pr
+       |ORDER BY dot DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, d) =>
+    val ex = TextHash.addWindowHashes(docs(s, d), col("text"), 3)
+      .select(col("doc_id"), explode(col("ws")).as("h"))
+    val tf = ex.groupBy("doc_id", "h")
+      .agg(least(count(lit(1)), lit(SimTfClamp)).cast("long").as("tf"))
+    val df_ = tf.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= SimDfCap)
+    val wt = tf.join(df_, "h")
+      .crossJoin(broadcast(docs(s, d).agg(count(lit(1)).as("n_docs"))))
+      .select(col("doc_id"), col("h"),
+        (col("tf") * expr("(n_docs * 1000) div df")).as("w"))
+    val a = wt.select(col("h"), col("doc_id").as("doc_a"),
+      col("w").as("wa"))
+    val b = wt.select(col("h"), col("doc_id").as("doc_b"),
+      col("w").as("wb"))
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"),
+        sum(col("wa") * col("wb")).cast("long").as("dot"))
+      .orderBy(desc("dot"), asc("doc_a"), asc("doc_b")).limit(20)
+  }
+
   val all: Seq[Q] =
     Seq(qChunkOverlap, qTfidfTerms, qKeywordSearch, qBm25Search,
-      qPmiBigrams, qBigramSurprisal)
+      qPmiBigrams, qBigramSurprisal, qPostingGaps, qDocSimWeighted)
 }

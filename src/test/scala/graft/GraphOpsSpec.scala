@@ -108,4 +108,51 @@ class GraphOpsSpec extends SparkSpec {
     val fullMap = full.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == fullMap)
   }
+
+  /** Undirected (u, v), u < v edge frame for the triangle specs. */
+  private def und(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("u", "v")
+  }
+
+  test("degree-ordered triangle counts match brute force on a " +
+    "pseudo-random graph") {
+    // deterministic edge set on 30 nodes; membership counts from a plain
+    // O(n³) closure check must equal the oriented wedge-join counts
+    val nodes = 0L until 30L
+    val pairs = for {
+      i <- nodes; j <- nodes if i < j
+      if (i * 31 + j * 17) % 7 == 0
+    } yield (i, j)
+    val es = pairs.toSet
+    val brute = collection.mutable.Map.empty[Long, Long]
+    for {
+      a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } Seq(a, b, c).foreach(v => brute(v) = brute.getOrElse(v, 0L) + 1L)
+    val got = GraphOps.trianglePartCounts(und(pairs), degCap = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute.toMap, s"got=$got brute=$brute")
+  }
+
+  test("triangle orientation counts each K4 triangle exactly once") {
+    // K4: 4 triangles, every vertex on 3 of them; a double-counting bug
+    // (wedge not rooted at the unique ord-minimum) would inflate these
+    val k4 = for { i <- 0L until 4L; j <- (i + 1) until 4L } yield (i, j)
+    val got = GraphOps.trianglePartCounts(und(k4 :+ (3L, 9L)), degCap = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangle degree cap excludes a synthetic hot vertex") {
+    // star center with degree 70 > cap, riding on a single leaf triangle:
+    // without the cap the center closes 70·69/2-wedge work and joins 3
+    // triangles; with it only the leaf triangle {1,2,3} survives
+    val star = (1L to 70L).map(leaf => (1000L, leaf))
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val got = GraphOps.trianglePartCounts(und(star ++ tri), degCap = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), got.toString)
+  }
 }

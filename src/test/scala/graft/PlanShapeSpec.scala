@@ -210,4 +210,64 @@ class PlanShapeSpec extends SparkSpec {
     val exch = p.linesIterator.filter(_.contains("BroadcastExchange")).toSeq
     assert(exch.size == 1, s"expected 1 BroadcastExchange: $p")
   }
+
+  test("triangle and weighted-sim pair generation is equi-join, never " +
+    "a product") {
+    // both candidate generators are inverted-index/wedge equi-joins with
+    // hot-key caps; a planner regression to a nested-loop product would
+    // be quadratic at scale
+    val tri = plan(graft.graph.GraphOps.qTriangles.fn(spark, sf001))
+    assert(!tri.contains("CartesianProduct"), tri)
+    assert(!tri.contains("BroadcastNestedLoopJoin"), tri)
+    assert(tri.contains("TakeOrderedAndProject"), tri)
+    val ds = plan(graft.text.IndexOps.qDocSimWeighted.fn(spark, sf001))
+    assert(!ds.contains("CartesianProduct"), ds)
+    // nested-loops may appear only as 1-row n_docs count cross-broadcasts
+    // (one per weighted side); the pair generation itself must be a
+    // shuffled equi-join on the shingle hash
+    assert(ds.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("Cross")), ds)
+    assert(ds.contains("ShuffledHashJoin") || ds.contains("SortMergeJoin"),
+      ds)
+    assert(ds.contains("TakeOrderedAndProject"), ds)
+  }
+
+  test("path trigrams plan ONE window pass for both leads") {
+    // lead(1) and lead(2) share a (user_id, ts, event_id) window spec —
+    // Spark must fuse them into a single WindowExec (one shuffle + sort),
+    // not one pass per lead
+    val p = plan(graft.queries.SeqOps.qPathTrigrams.fn(spark, sf001))
+    assert(p.linesIterator.count(_.contains("windowspecdefinition")) == 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("winnowing windows key on doc_id and the min is frame-bounded") {
+    // the sliding MIN partitions on the data-scaled doc_id key; a global
+    // (unpartitioned) window here would serialize the corpus
+    val p = plan(graft.dedup.Dedup.qWinnowFingerprint.fn(spark, sf001))
+    val winLines =
+      p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, p)
+    assert(winLines.forall(_.contains("doc_id")), winLines.mkString("\n"))
+  }
+
+  test("posting gaps and MAD outliers rank via slice windows, not " +
+    "per-group reducers") {
+    // both reuse groupedRankByRange: every data-scaled window partition
+    // key must include the slice pid — a bare PARTITION BY token/prio
+    // window would funnel a whole group through one task. (The offsets
+    // window partitions bare on the group but orders by pid over the
+    // #slices×#groups bounded frame — it carries pid in the spec too.)
+    for (df <- Seq(graft.text.IndexOps.qPostingGaps.fn(spark, sf001),
+        graft.queries.ExtOps.qMadOutliers.fn(spark, sf001))) {
+      val p = plan(df)
+      val winLines =
+        p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(winLines.nonEmpty, p)
+      // data-scaled windows carry pid; the only pid-free windows allowed
+      // are the bounded offsets-frame aggregates over slice_n counts
+      assert(winLines.forall(l => l.contains("pid") || l.contains("slice_n")),
+        winLines.mkString("\n"))
+    }
+  }
 }

@@ -133,4 +133,57 @@ class PropertySpec extends SparkSpec {
     val b = RefQueries.q4WeekdaySeasonality.fn(spark, sf001).collect()
     assert(a.sameElements(b))
   }
+
+  test("winnowing: brute-force parity and the shared-run guarantee") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val P = 2147483647L
+    val B = 131L
+    val k = Dedup.WinnowK
+    val w = Dedup.WinnowW
+    val shift = Dedup.WinnowShift
+    // deterministic token streams; doc pairs (2g, 2g+1) share a planted
+    // run of exactly w + k − 1 tokens (the guarantee threshold) at
+    // DIFFERENT offsets, surrounded by unrelated noise
+    def tok(seed: Long, j: Int): String = s"t${(seed * 31 + j * 17) % 23}"
+    val docsSeq = (0L until 20L).map { i =>
+      val base = (0 until 30).map(j => tok(i, j))
+      val planted = (0 until (w + k - 1)).map(j => s"s${i / 2}x$j")
+      val at = (i % 5).toInt + 3
+      (i, (base.take(at) ++ planted ++ base.drop(at)).mkString(" "))
+    }
+    val got = Dedup.winnowSelect(docsSeq.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (id, v) => id -> v.map(_._2).toSet }
+    // plain-Scala reimplementation of the whole chain
+    def hash32(s: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      val hex = md5.digest(s.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % P
+    }
+    val brute = docsSeq.map { case (id, text) =>
+      val th = text.split(" ").map(hash32)
+      val wh =
+        if (th.length < k) Array.empty[Long]
+        else th.sliding(k).map(_.reduceLeft((a, b) => (a * B + b) % P))
+          .toArray
+      val cks = wh.zipWithIndex.map { case (h, p) => h * shift + p }
+      val starts =
+        if (wh.length >= w) 0 to wh.length - w
+        else if (wh.nonEmpty) 0 to 0
+        else 1 to 0
+      id -> starts
+        .map(i => cks.slice(i, math.min(i + w, cks.length)).min).toSet
+    }.toMap
+    assert(got == brute)
+    // SIGMOD'03 guarantee: a shared token run of length ≥ w + k − 1 ⇒ a
+    // shared fingerprint HASH (positions differ across the pair; the
+    // hash part must intersect)
+    val hashes = brute.map { case (id, v) => id -> v.map(_ / shift) }
+    (0L until 10L).foreach { g =>
+      assert((hashes(2 * g) intersect hashes(2 * g + 1)).nonEmpty,
+        s"planted pair $g shares no fingerprint")
+    }
+  }
 }
