@@ -808,10 +808,74 @@ object ExtOps {
       .orderBy("prio")
   }
 
+  /** Equal-DEPTH histogram (10 buckets of ⌊N/10⌋-ish rows each, exact
+    * boundary values at ranks ⌊b·N/10⌋): where q_histogram's
+    * equal-width bins mirror the data's range, equi-depth bins mirror
+    * its MASS — the statistics an optimizer's selectivity estimator and
+    * a range-partitioner actually want, immune to outliers stretching
+    * the axis.
+    *
+    * Rides [[graft.text.TextOps.globalRankByRange]] (range slices →
+    * local rank → broadcast offsets; no global sort, no data-scaled
+    * window); the 20 boundary target ranks (lo/hi per bucket) ride ONE
+    * broadcast join against the ranked frame, then a 10-group
+    * aggregate. Integer rank arithmetic in both engines. */
+  val qEquidepthHist: Q = Q("q_equidepth_hist",
+    """WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      |             AS cents, o_orderkey
+      |           FROM orders),
+      |r AS (SELECT cents,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY cents, o_orderkey)
+      |          AS BIGINT) AS rnk,
+      |        CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |      FROM v),
+      |b AS (SELECT CAST(bucket AS BIGINT) AS bucket FROM (VALUES
+      |        (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) AS bs(bucket)),
+      |t AS (SELECT b.bucket,
+      |        (nn.n * (b.bucket - 1)) // 10 + 1 AS lo_rank,
+      |        (nn.n * b.bucket) // 10 AS hi_rank
+      |      FROM b CROSS JOIN (SELECT DISTINCT n FROM r) nn),
+      |j AS (SELECT t.bucket, t.lo_rank, t.hi_rank,
+      |        MAX(CASE WHEN r.rnk = t.lo_rank THEN r.cents END)
+      |          AS lo_cents,
+      |        MAX(CASE WHEN r.rnk = t.hi_rank THEN r.cents END)
+      |          AS hi_cents
+      |      FROM t JOIN r ON r.rnk = t.lo_rank OR r.rnk = t.hi_rank
+      |      GROUP BY 1, 2, 3)
+      |SELECT bucket, lo_rank, hi_rank,
+      |       hi_rank - lo_rank + 1 AS n_rows, lo_cents, hi_cents
+      |FROM j ORDER BY bucket""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val v = Tables.load(s, d, "orders")
+      .select(cents.as("cents"), col("o_orderkey"))
+    val ranked = graft.text.TextOps.globalRankByRange(v,
+      Seq(col("cents").asc, col("o_orderkey").asc))
+    val targets = (1L to 10L).toDF("bucket")
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("n_total"))))
+      .select(col("bucket"),
+        (expr("(n_total * (bucket - 1)) div 10") + 1L).as("lo_rank"),
+        expr("(n_total * bucket) div 10").as("hi_rank"))
+    val t = targets
+      .select(col("bucket"), lit("lo").as("which"),
+        col("lo_rank").as("rank"))
+      .unionByName(targets.select(col("bucket"), lit("hi").as("which"),
+        col("hi_rank").as("rank")))
+    ranked.join(broadcast(t), col("rnk") === col("rank"))
+      .groupBy("bucket")
+      .agg(max(when(col("which") === "lo", col("rnk"))).as("lo_rank"),
+        max(when(col("which") === "hi", col("rnk"))).as("hi_rank"),
+        max(when(col("which") === "lo", col("cents"))).as("lo_cents"),
+        max(when(col("which") === "hi", col("cents"))).as("hi_cents"))
+      .select(col("bucket"), col("lo_rank"), col("hi_rank"),
+        (col("hi_rank") - col("lo_rank") + 1).as("n_rows"),
+        col("lo_cents"), col("hi_cents"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(
     qHllDistinct, qFuzzyLinkage, qNationTiles, qGroupingSets, qSetOpsAll,
     qScd2Priority, qReaggWeekly, qPosexplodeTokens, qRolling7d, qBloomJoin,
     qSaltedJoin, qUnpivot, qGroupConcat, qZorderLayout, qParetoShare,
     qProfileOrders, qSkewReport, qExactQuantiles, qGroupMedian,
-    qMadOutliers)
+    qMadOutliers, qEquidepthHist)
 }

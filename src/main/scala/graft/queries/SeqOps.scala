@@ -224,6 +224,64 @@ object SeqOps {
           .as("view_to_purchase"))
   }
 
+  /** Time-to-convert distribution: per user, the lag from FIRST view to
+    * the first purchase at-or-after it; reported as the exact median and
+    * p90 lag at ranks ⌈p·N/100⌉ — the funnel family's "how long", where
+    * [[qFunnelSteps]] answers "how many".
+    *
+    * Per-user endpoints are two keyed MIN aggregates chained by ONE
+    * equi-join on user_id (no window ever orders a user's raw history);
+    * the lag quantiles ride
+    * [[graft.text.TextOps.globalRankByRange]] — range slices, local
+    * ranks, broadcast offsets; no global sort. All epoch-micro integer
+    * arithmetic; rank targets use the (n·p+99) div 100 ceiling spelling
+    * exact in both engines. */
+  val qConversionLag: Q = Q("q_conversion_lag",
+    """WITH ev AS (SELECT user_id, event_type,
+      |              epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+      |fv AS (SELECT user_id, MIN(t) AS view_t FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |bu AS (SELECT ev.user_id, fv.view_t, MIN(ev.t) AS buy_t
+      |       FROM ev JOIN fv ON fv.user_id = ev.user_id
+      |       WHERE ev.event_type = 'purchase' AND ev.t >= fv.view_t
+      |       GROUP BY 1, 2),
+      |lag AS (SELECT user_id, buy_t - view_t AS lag_us FROM bu),
+      |r AS (SELECT lag_us,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY lag_us, user_id)
+      |          AS BIGINT) AS rnk,
+      |        CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |      FROM lag),
+      |t AS (SELECT CAST(q AS BIGINT) AS pct, nn.n AS n_conv,
+      |        CAST(GREATEST(1, (nn.n * q + 99) // 100) AS BIGINT)
+      |          AS rank
+      |      FROM (SELECT DISTINCT n FROM r) nn
+      |      CROSS JOIN (VALUES (50), (90)) AS qs(q))
+      |SELECT t.pct, t.n_conv, t.rank, r.lag_us
+      |FROM t JOIN r ON r.rnk = t.rank ORDER BY t.pct""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("t").as("view_t"))
+      val lag = ev.filter(col("event_type") === "purchase")
+        .join(firstView, "user_id")
+        .filter(col("t") >= col("view_t"))
+        .groupBy("user_id", "view_t").agg(min("t").as("buy_t"))
+        .select(col("user_id"), (col("buy_t") - col("view_t")).as("lag_us"))
+      val ranked = graft.text.TextOps.globalRankByRange(lag,
+        Seq(col("lag_us").asc, col("user_id").asc))
+      val targets = Seq(50L, 90L).toDF("pct")
+        .crossJoin(broadcast(lag.agg(count(lit(1)).as("n_conv"))))
+        .select(col("pct"), col("n_conv"),
+          greatest(lit(1L), expr("(n_conv * pct + 99) div 100"))
+            .as("rank"))
+      ranked.join(broadcast(targets), col("rnk") === col("rank"))
+        .select(col("pct"), col("n_conv"), col("rank"), col("lag_us"))
+        .orderBy("pct")
+  }
+
   val all: Seq[Q] = Seq(qIntervalMerge, qMarkovTransitions, qPathTrigrams,
-    qFunnelSteps)
+    qFunnelSteps, qConversionLag)
 }

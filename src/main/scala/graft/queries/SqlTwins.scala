@@ -813,6 +813,69 @@ object SqlTwins {
         |       CAST(MIN(vec_id) AS BIGINT) AS min_vec
         |FROM s3 GROUP BY cl ORDER BY cluster""".stripMargin,
 
+    // Same 3 unrolled Lloyd rounds as the q_kmeans twin, then the
+    // trained-cell probe + in-cell integer-dot scoring (the engine's
+    // graft_dot_long kernel is SQL-callable, so the twin shares it)
+    "q_ann_ivf_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        array_max(transform(v, x -> abs(x))) AS mx FROM e),
+        |c AS (SELECT vec_id,
+        |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+        |          AS c
+        |      FROM m),
+        |x AS (SELECT vec_id, pos, val
+        |      FROM (SELECT vec_id, posexplode(c) AS (pos, val) FROM c)),
+        |cent0 AS (SELECT vec_id AS cl, pos, val AS m FROM x
+        |          WHERE vec_id < 8),
+        |d1 AS (SELECT x.vec_id, cent0.cl,
+        |         SUM((x.val - cent0.m) * (x.val - cent0.m)) AS d2
+        |       FROM x JOIN cent0 ON cent0.pos = x.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cl,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d1),
+        |s1 AS (SELECT vec_id, cl FROM a1 WHERE rn = 1),
+        |cent1 AS (SELECT s1.cl, x.pos,
+        |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+        |                 AS BIGINT) AS m
+        |          FROM x JOIN s1 ON s1.vec_id = x.vec_id GROUP BY 1, 2),
+        |d2r AS (SELECT x.vec_id, cent1.cl,
+        |          SUM((x.val - cent1.m) * (x.val - cent1.m)) AS d2
+        |        FROM x JOIN cent1 ON cent1.pos = x.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cl,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d2r),
+        |s2 AS (SELECT vec_id, cl FROM a2 WHERE rn = 1),
+        |cent2 AS (SELECT s2.cl, x.pos,
+        |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+        |                 AS BIGINT) AS m
+        |          FROM x JOIN s2 ON s2.vec_id = x.vec_id GROUP BY 1, 2),
+        |d3 AS (SELECT x.vec_id, cent2.cl,
+        |         SUM((x.val - cent2.m) * (x.val - cent2.m)) AS d2
+        |       FROM x JOIN cent2 ON cent2.pos = x.pos GROUP BY 1, 2),
+        |a3 AS (SELECT vec_id, cl, d2,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d3),
+        |cells AS (SELECT a3.vec_id, a3.cl, c.c FROM a3
+        |          JOIN c ON c.vec_id = a3.vec_id WHERE a3.rn = 1),
+        |probes AS (SELECT a3.vec_id AS query_id, c.c AS qc, a3.cl
+        |           FROM a3 JOIN c ON c.vec_id = a3.vec_id
+        |           WHERE a3.rn <= 2 AND a3.vec_id < 10),
+        |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+        |    CAST(graft_dot_long(p.qc, b.c) AS BIGINT) AS idot
+        |  FROM probes p JOIN cells b ON b.cl = p.cl
+        |                AND b.vec_id != p.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, idot,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY idot DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rnk, idot
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     // Same 3 unrolled Lloyd rounds as the q_kmeans twin, plus the
     // (cluster, label) purity tail
     "q_cluster_purity" ->

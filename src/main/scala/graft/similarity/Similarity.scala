@@ -717,6 +717,112 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** IVF ANN with a TRAINED coarse quantizer — the [[qAnnIvf]]
+    * architecture with [[qKmeans]]'s Lloyd centroids in place of the
+    * deterministic anchor cells: 3 Lloyd rounds train k=8 cells over the
+    * int8 codes, the corpus partitions into its nearest trained cell
+    * (zero-shuffle projection against literal centroids), each query
+    * probes its [[IvfProbe]] best cells, and only those cells' members
+    * are scored with the pure-integer [[qAnnInt8]] dot kernel
+    * (codegen'd `graft_dot_long`) on a [[graft.plans.TopKPerKey]] heap.
+    * This is the FAISS IVF-Flat composition (coarse k-means quantizer +
+    * exact in-cell scoring), and it is oracle-EXACT because training,
+    * assignment, probing, and scoring are all integer arithmetic after
+    * the one exactly-rounded centroid division.
+    *
+    * 100 TB posture: training cost is [[qKmeans]]'s (k×64 driver longs
+    * per round); the per-query candidate set is the probed cells'
+    * membership (corpus/k-ish per cell), met through ONE equi-join on
+    * the cell id — never all-pairs, and cells can be re-trained offline
+    * while the probe path stays this same join. */
+  val qAnnIvfKmeans: Q = Q("q_ann_ivf_kmeans",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (SELECT vec_id, v,
+       |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |c AS (SELECT vec_id,
+       |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+       |          AS c
+       |      FROM m),
+       |cent0 AS (SELECT vec_id AS cl, c AS m FROM c WHERE vec_id < 8),
+       |a1 AS (SELECT vec_id, cl, c, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+       |           AS rn
+       |       FROM (SELECT c.vec_id, cent0.cl, c.c,
+       |               list_sum(list_transform(range(1, 65),
+       |                 i -> (c.c[i] - cent0.m[i])
+       |                      * (c.c[i] - cent0.m[i]))) AS d2
+       |             FROM c CROSS JOIN cent0)),
+       |s1 AS (SELECT vec_id, cl, c FROM a1 WHERE rn = 1),
+       |cent1 AS (SELECT cl,
+       |            list_transform(range(1, 65),
+       |              i -> CAST(floor(CAST(list_sum(list_transform(list(c),
+       |                   cc -> cc[i])) AS DOUBLE) / COUNT(*)) AS BIGINT))
+       |              AS m
+       |          FROM s1 GROUP BY cl),
+       |a2 AS (SELECT vec_id, cl, c, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+       |           AS rn
+       |       FROM (SELECT c.vec_id, cent1.cl, c.c,
+       |               list_sum(list_transform(range(1, 65),
+       |                 i -> (c.c[i] - cent1.m[i])
+       |                      * (c.c[i] - cent1.m[i]))) AS d2
+       |             FROM c CROSS JOIN cent1)),
+       |s2 AS (SELECT vec_id, cl, c FROM a2 WHERE rn = 1),
+       |cent2 AS (SELECT cl,
+       |            list_transform(range(1, 65),
+       |              i -> CAST(floor(CAST(list_sum(list_transform(list(c),
+       |                   cc -> cc[i])) AS DOUBLE) / COUNT(*)) AS BIGINT))
+       |              AS m
+       |          FROM s2 GROUP BY cl),
+       |a3 AS (SELECT vec_id, cl, c, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+       |           AS rn
+       |       FROM (SELECT c.vec_id, cent2.cl, c.c,
+       |               list_sum(list_transform(range(1, 65),
+       |                 i -> (c.c[i] - cent2.m[i])
+       |                      * (c.c[i] - cent2.m[i]))) AS d2
+       |             FROM c CROSS JOIN cent2)),
+       |cells AS (SELECT vec_id, cl, c FROM a3 WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, c AS qc, cl FROM a3
+       |           WHERE rn <= $IvfProbe AND $QuerySet),
+       |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> p.qc[i] * b.c[i])) AS BIGINT) AS idot
+       |  FROM probes p JOIN cells b ON b.cl = p.cl
+       |                AND b.vec_id != p.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, idot,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY idot DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, idot
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) {
+    (s, d) =>
+      val codes = int8Codes(s, d).select("vec_id", "c").localCheckpoint(true)
+      val cents = lloydCentroids(codes, 8, rounds = 3)
+      val assigned = lloydAssign(codes, cents).select("vec_id", "c", "cl")
+      val scoredCells = array(cents.map { case (cl, m) =>
+        struct(lloydD2(m).as("d2"), lit(cl).as("cl"))
+      }: _*)
+      val probes = codes.filter(expr(QuerySet))
+        .withColumn("sc", array_sort(scoredCells))
+        .select(col("vec_id").as("query_id"), col("c").as("qc"),
+          explode(slice(col("sc"), 1, IvfProbe)).as("probe"))
+        .select(col("query_id"), col("qc"), col("probe.cl").as("cl"))
+      val scored = broadcast(probes).join(assigned, Seq("cl"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          call_function(graft.functions.GraftDotLong.FunctionName,
+            col("qc"), col("c")).as("idot"))
+      val top = graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
+        Seq("idot" -> false, "neighbor_id" -> true), 5,
+        mapSideCombine = true)
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("idot"), asc("neighbor_id"))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
+        .select("query_id", "neighbor_id", "rnk", "idot")
+        .orderBy("query_id", "rnk")
+  }
+
   /** Cluster-purity report — the embedding-space label-agreement audit:
     * run the same 3 Lloyd rounds as [[qKmeans]], then per cluster report
     * its size, majority label, and purity in integer per-mille
@@ -805,5 +911,6 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup,
-      qSemdedup, qAnnInt8, qLabelOutliers, qKmeans, qClusterPurity)
+      qSemdedup, qAnnInt8, qAnnIvfKmeans, qLabelOutliers, qKmeans,
+      qClusterPurity)
 }

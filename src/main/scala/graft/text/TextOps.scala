@@ -857,9 +857,44 @@ object TextOps {
       .limit(10)
   }
 
+  /** Lexical diversity by GINI IMPURITY of each document's token
+    * distribution: gini = 1 − Σp_i² = (n² − Σtf_i²)/n² — the
+    * entropy-family diversity signal WITHOUT the logarithm (ln is
+    * engine-divergent; Gini is an exact rational of two longs with one
+    * final double division, bit-equal everywhere). Low gini = token
+    * salad dominated by repeats (the q_repetition axis, distribution-
+    * wide); high gini = diverse vocabulary.
+    *
+    * Shape: one (doc, token) count aggregate, one per-doc aggregate —
+    * both keyed on data-scaled ids with map-side combine; nothing holds
+    * more than a document's distinct-token profile. */
+  val qTokenGini: Q = Q("q_token_gini",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM tok
+      |       GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |  COUNT(*)::BIGINT AS n_distinct,
+      |  CAST(SUM(tf) * SUM(tf) - SUM(tf * tf) AS DOUBLE)
+      |    / (SUM(tf) * SUM(tf)) AS gini
+      |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextHash.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        ((sum("tf") * sum("tf") - sum(col("tf") * col("tf")))
+          .cast("double") / (sum("tf") * sum("tf"))).as("gini"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCounts, qTokenBpe, qQualityScore, qRepetition,
     qLangId, qFingerprint, qCorpusClean, qVocabTopk, qPiiRedact,
     qPackChunks, qSplitHash, qMixtureSample, qTokenBudget, qGlobalRank,
-    qStratifiedSample, qCountminTokens, qHeavyHitters, qSplitDrift)
+    qStratifiedSample, qCountminTokens, qHeavyHitters, qSplitDrift,
+    qTokenGini)
 }

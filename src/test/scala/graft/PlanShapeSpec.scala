@@ -211,6 +211,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(exch.size == 1, s"expected 1 BroadcastExchange: $p")
   }
 
+  test("kmeans-IVF probes meet cells in an equi-join on the cell id") {
+    // training/assignment ride literal centroids (projections, no join);
+    // the candidate generation must be the broadcast-probe hash join on
+    // cl — a regression to scoring the whole corpus per query would be
+    // the brute-force product
+    val p = plan(Similarity.qAnnIvfKmeans.fn(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("triangle and weighted-sim pair generation is equi-join, never " +
     "a product") {
     // both candidate generators are inverted-index/wedge equi-joins with
