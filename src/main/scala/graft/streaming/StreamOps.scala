@@ -403,6 +403,104 @@ object StreamOps {
     else spark.read.parquet(newest: _*)
   }
 
+  final case class TypedEv(user_id: Long, event_type: String, ts: Timestamp)
+
+  /** [[conversionLag]] state: the user's earliest admitted view (epoch
+    * micros; MaxValue = none yet) plus every DISTINCT admitted purchase
+    * instant. All purchase instants must be held — a later-admitted
+    * EARLIER view (possible while the watermark trails it) can move the
+    * answer to a purchase that preceded the old first view, so no
+    * purchase can be discarded before the answer seals. The bound is the
+    * sessionize-class one: a user's distinct purchase instants inside
+    * the watermark horizon — entity activity, never corpus size. */
+  final case class ConvState(viewUs: Long, buys: List[Long])
+
+  final case class ConvOut(
+      user_id: Long, view_us: Long, buy_us: Long, lag_us: Long)
+
+  /** Streaming TIME-TO-CONVERT — the stateful twin of the batch
+    * q_conversion_lag endpoints: per user, the earliest view V and the
+    * earliest purchase B ≥ V, emitted exactly once with its lag.
+    *
+    * Finality argument (why emission is safe, no retraction needed):
+    * the candidate (V, B) is emitted only once the event-time watermark
+    * has passed B. Every event still admissible then has ts ≥ wm ≥ B:
+    * a new view cannot lower V below B (let alone below V), and a new
+    * purchase cannot beat B — so the pair is immutable. While the
+    * watermark trails B, an admitted out-of-order earlier view CAN
+    * lower V and re-elect an earlier purchase; that is exactly why the
+    * state keeps all distinct purchase instants until sealing.
+    *
+    * Non-converting users are garbage-collected `gcMinutes` of event
+    * time after their latest event (no emission) — the operational
+    * horizon every attribution system picks; a conversion landing past
+    * the horizon is attributed as a fresh state. In batch mode the same
+    * function computes each group's answer directly at end-of-group —
+    * the spec asserts batch ≡ streaming over the same admitted rows. */
+  def conversionLag(events: Dataset[TypedEv],
+      watermarkDelay: String = "0 seconds",
+      gcMinutes: Int = 7 * 24 * 60): Dataset[ConvOut] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def fold(st: ConvState, e: TypedEv): ConvState = e.event_type match {
+      case "view" => st.copy(viewUs = math.min(st.viewUs, us(e.ts)))
+      case "purchase" =>
+        val t = us(e.ts)
+        if (st.buys.contains(t)) st else st.copy(buys = t :: st.buys)
+      case _ => st
+    }
+
+    def answer(st: ConvState): Option[ConvOut] =
+      if (st.viewUs == Long.MaxValue) None
+      else st.buys.filter(_ >= st.viewUs).sorted.headOption
+        .map(b => ConvOut(-1L, st.viewUs, b, b - st.viewUs))
+
+    val input = if (streaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    input
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConvState, ConvOut](
+        OutputMode.Append, timeoutConf) {
+        (user: Long, evs: Iterator[TypedEv], state: GroupState[ConvState]) =>
+          val st = evs.foldLeft(
+            state.getOption.getOrElse(ConvState(Long.MaxValue, Nil)))(fold)
+          val ans = answer(st).map(_.copy(user_id = user))
+          if (!streaming) ans.iterator
+          else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            ans match {
+              case Some(out) if wmUs >= out.buy_us =>
+                // sealed: nothing admissible can change the pair
+                state.remove()
+                Iterator.single(out)
+              case _ if state.hasTimedOut && ans.isEmpty =>
+                // GC horizon reached with no conversion candidate
+                state.remove()
+                Iterator.empty
+              case _ =>
+                state.update(st)
+                // fire when the candidate seals, or at the GC horizon
+                // for users with no candidate yet (clamped above wm —
+                // a deadline at/before the watermark is rejected)
+                val deadlineMs = ans match {
+                  case Some(out) => Math.floorDiv(out.buy_us, 1000L) + 1L
+                  case None =>
+                    state.getCurrentWatermarkMs() + gcMinutes * 60000L
+                }
+                state.setTimeoutTimestamp(
+                  math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
+                Iterator.empty
+            }
+          }
+      }
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
 
   final case class SessionState(

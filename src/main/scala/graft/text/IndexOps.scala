@@ -478,19 +478,20 @@ object IndexOps {
       .agg(least(count(lit(1)), lit(SimTfClamp)).cast("long").as("tf"))
     val df_ = tf.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= SimDfCap)
+    // both pair-join sides are this same subtree: dataset aliases (not
+    // column renames) keep the two sides canonicalization-identical so
+    // ReuseExchange runs the explode→tf→df→weight pipeline ONCE
+    // (the jaccard/butterfly pattern, plan-spec-guarded)
     val wt = tf.join(df_, "h")
       .crossJoin(broadcast(docs(s, d).agg(count(lit(1)).as("n_docs"))))
       .select(col("doc_id"), col("h"),
         (col("tf") * expr("(n_docs * 1000) div df")).as("w"))
-    val a = wt.select(col("h"), col("doc_id").as("doc_a"),
-      col("w").as("wa"))
-    val b = wt.select(col("h"), col("doc_id").as("doc_b"),
-      col("w").as("wb"))
-    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+      .hint("shuffle_hash")
+    wt.as("a").join(wt.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).cast("long").as("n_shared"),
-        sum(col("wa") * col("wb")).cast("long").as("dot"))
+        sum(col("a.w") * col("b.w")).cast("long").as("dot"))
       .orderBy(desc("dot"), asc("doc_a"), asc("doc_b")).limit(20)
   }
 

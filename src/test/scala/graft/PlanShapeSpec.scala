@@ -241,6 +241,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(ds.contains("ShuffledHashJoin") || ds.contains("SortMergeJoin"),
       ds)
     assert(ds.contains("TakeOrderedAndProject"), ds)
+    // and the two pair-join sides are ONE reused exchange — without it
+    // the explode→tf→df→weight pipeline runs twice (AQE off for a
+    // reliable plan-string check, as in the dedup reuse tests)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(graft.text.IndexOps.qDocSimWeighted.fn(spark, sf001))
+      assert(p.contains("ReusedExchange"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("path trigrams plan ONE window pass for both leads") {

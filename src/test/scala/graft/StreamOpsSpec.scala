@@ -557,4 +557,65 @@ class StreamOpsSpec extends SparkSpec {
       assert(got == Map(7L -> ((3L, 400L)), 8L -> ((1L, 999L))))
     } finally query.stop()
   }
+
+  test("batch conversionLag matches the q_conversion_lag endpoint frame") {
+    import spark.implicits._
+    val evs = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[StreamOps.TypedEv]
+    val got = StreamOps.conversionLag(evs).toDF()
+      .select("user_id", "lag_us")
+    // independent endpoint computation (the q_conversion_lag core)
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("view_t"))
+    val want = ev.filter(col("event_type") === "purchase")
+      .join(fv, "user_id").filter(col("t") >= col("view_t"))
+      .groupBy("user_id", "view_t").agg(min("t").as("buy_t"))
+      .select(col("user_id"), (col("buy_t") - col("view_t")).as("lag_us"))
+    assert(got.count() == want.count())
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
+  test("streaming conversionLag seals exactly once, honoring a late " +
+    "EARLIER view") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = t(s).getTime * 1000L
+    val mem = MemoryStream[StreamOps.TypedEv]
+    val query = StreamOps.conversionLag(mem.toDS(), "30 minutes").toDF()
+      .writeStream.format("memory").queryName("conv_test")
+      .outputMode("append").start()
+    try {
+      // user 1: purchase BEFORE its view arrives, then view@10:00,
+      // purchase@10:20. The 09:55 purchase precedes the 10:00 view.
+      mem.addData(
+        StreamOps.TypedEv(1L, "purchase", t("2024-01-01 09:55:00")),
+        StreamOps.TypedEv(1L, "view", t("2024-01-01 10:00:00")),
+        StreamOps.TypedEv(1L, "purchase", t("2024-01-01 10:20:00")))
+      query.processAllAvailable()
+      // candidate (10:00, 10:20) but watermark (10:20 − 30m = 09:50)
+      // trails the buy — nothing emitted, state still open
+      assert(spark.table("conv_test").isEmpty)
+      // a LATE EARLIER view@09:51 is still admissible (above the 09:50
+      // watermark): it must re-elect the 09:55 purchase as the answer
+      mem.addData(StreamOps.TypedEv(1L, "view", t("2024-01-01 09:51:00")))
+      query.processAllAvailable()
+      // advance the watermark past the (new) buy with another user
+      mem.addData(StreamOps.TypedEv(9L, "view", t("2024-01-01 11:00:00")))
+      query.processAllAvailable()
+      mem.addData(StreamOps.TypedEv(9L, "click", t("2024-01-01 11:30:00")))
+      query.processAllAvailable()
+      val rows = spark.table("conv_test").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      val r = rows.head
+      assert(r.getAs[Long]("user_id") == 1L)
+      assert(r.getAs[Long]("view_us") == us("2024-01-01 09:51:00"))
+      assert(r.getAs[Long]("buy_us") == us("2024-01-01 09:55:00"))
+      assert(r.getAs[Long]("lag_us") == 4L * 60L * 1000000L)
+    } finally query.stop()
+  }
 }
