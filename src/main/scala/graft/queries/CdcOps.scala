@@ -157,6 +157,65 @@ object CdcOps {
       .orderBy("custkey")
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE, proven against full recompute: a
+    * bucketed aggregate view (customers, orders, cents per custkey-mod-10
+    * bucket) over the keyed customer state is maintained from the OLD
+    * snapshot's view plus the [[qCdcLog]] change rows — never touching
+    * the new snapshot wholesale — and the oracle computes the NEW
+    * snapshot's view directly. The hash gate is therefore the
+    * self-maintainability theorem for count/sum aggregates (Gupta &
+    * Mumick's materialized-view maintenance): view(old) ⊎ δ(changes) ≡
+    * view(new), bit for bit.
+    *
+    * At 100 TB this is the difference between reading yesterday's 100 TB
+    * again and reading a day's delta: the maintenance side touches only
+    * the view (bucket-sized) and the change rows (activity-sized). Per
+    * change row the adjustment is +new−old (update), +new (insert),
+    * −old (delete) — pure integer sums with map-side combine; the merge
+    * is a full-outer join on the bounded bucket key. */
+  val qMvMaintain: Q = Q("q_mv_maintain",
+    """WITH b AS (SELECT o_custkey AS custkey, COUNT(*)::BIGINT AS n,
+      |        CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |          AS cents
+      |      FROM orders
+      |      WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      |        AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |      GROUP BY 1)
+      |SELECT custkey % 10 AS bucket, COUNT(*)::BIGINT AS n_customers,
+      |       CAST(SUM(n) AS BIGINT) AS total_n,
+      |       CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    def view(state: org.apache.spark.sql.DataFrame) =
+      state.groupBy((col("custkey") % 10).as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          sum("n").cast("long").as("total_n"),
+          sum("cents").cast("long").as("total_cents"))
+    val oldView = view(custState(s, d,
+      Some("1996-01-01"), Some("1997-01-01")))
+    // the qCdcLog change rows (derived delta), re-aggregated per bucket
+    val delta = qCdcLog.fn(s, d)
+      .groupBy((col("custkey") % 10).as("bucket"))
+      .agg(
+        sum(when(col("op") === "insert", 1L)
+          .when(col("op") === "delete", -1L).otherwise(0L))
+          .as("d_customers"),
+        sum(coalesce(col("new_n"), lit(0L))
+          - coalesce(col("old_n"), lit(0L))).as("d_n"),
+        sum(coalesce(col("new_cents"), lit(0L))
+          - coalesce(col("old_cents"), lit(0L))).as("d_cents"))
+    oldView.join(delta, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (coalesce(col("n_customers"), lit(0L))
+          + coalesce(col("d_customers"), lit(0L))).as("n_customers"),
+        (coalesce(col("total_n"), lit(0L))
+          + coalesce(col("d_n"), lit(0L))).cast("long").as("total_n"),
+        (coalesce(col("total_cents"), lit(0L))
+          + coalesce(col("d_cents"), lit(0L))).cast("long")
+          .as("total_cents"))
+      .filter(col("n_customers") > 0)
+      .orderBy("bucket")
+  }
+
   /** Weighted sampling without replacement — sequential Poisson sampling
     * (Ohlsson 1998): each part draws a deterministic uniform u from the
     * engine hash, its priority is ξ = u / w (weight = retail price in
@@ -258,5 +317,5 @@ object CdcOps {
   }
 
   val all: Seq[Q] =
-    Seq(qMergeUpsert, qCdcLog, qWeightedSample, qSkyline)
+    Seq(qMergeUpsert, qCdcLog, qMvMaintain, qWeightedSample, qSkyline)
 }

@@ -495,7 +495,69 @@ object IndexOps {
       .orderBy(desc("dot"), asc("doc_a"), asc("doc_b")).limit(20)
   }
 
+  /** Distinctive vocabulary per corpus slice (the c-TF-IDF / "what makes
+    * this source different" report): for every source, the top-5 tokens
+    * by smoothed RATE RATIO — how much more often the token occurs in
+    * the source than in the rest of the corpus. The slice-profiling
+    * diagnostic a curation run reads before reweighting sources.
+    *
+    * Score is an integer milli-ratio with +1 smoothing on the
+    * complement: lift = (n_st·(N−N_s)·1000) div ((n_t−n_st+1)·N_s) —
+    * floor divisions of longs, no FP accumulation. Overflow headroom:
+    * the numerator is ≤ n_st·N·1000, safe in longs to N ≈ 10⁹ tokens
+    * per hot (token, source) cell; a trillion-token corpus widens the
+    * product to DECIMAL(38,0) (the q_anomaly_days HUGEINT discipline) —
+    * same plan, wider type. Shapes: one
+    * (source, token) aggregate (data-scaled keys, map-side combine);
+    * token totals and source totals are vocab/domain-bounded frames
+    * joined back (token equi-join + broadcast source totals + 1-row N);
+    * the final window ranks within the vocab×sources-bounded aggregate,
+    * never over corpus rows. */
+  val qSourceTerms: Q = Q("q_source_terms",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |st AS (SELECT source, tok, COUNT(*)::BIGINT AS n_st FROM tok
+      |       GROUP BY 1, 2),
+      |tt AS (SELECT tok, CAST(SUM(n_st) AS BIGINT) AS n_t FROM st
+      |       GROUP BY 1),
+      |ns AS (SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s FROM st
+      |       GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(n_st) AS BIGINT) AS n FROM st),
+      |sc AS (SELECT st.source, st.tok, st.n_st,
+      |         (st.n_st * (nn.n - ns.n_s) * 1000)
+      |           // ((tt.n_t - st.n_st + 1) * ns.n_s) AS lift_milli
+      |       FROM st JOIN tt ON tt.tok = st.tok
+      |       JOIN ns ON ns.source = st.source CROSS JOIN nn),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |        ORDER BY lift_milli DESC, tok) AS BIGINT) AS rnk
+      |      FROM sc)
+      |SELECT source, tok, n_st, CAST(lift_milli AS BIGINT) AS lift_milli,
+      |       rnk
+      |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin) { (s, d) =>
+    val st = docs(s, d)
+      .select(col("source"),
+        explode(TextHash.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("n_st"))
+    val tt = st.groupBy("tok").agg(sum("n_st").as("n_t"))
+    val ns = st.groupBy(col("source").as("src"))
+      .agg(sum("n_st").as("n_s"))
+    val nn = st.agg(sum("n_st").as("n"))
+    val sc = st.join(tt, "tok")
+      .join(broadcast(ns), col("source") === col("src"))
+      .crossJoin(broadcast(nn))
+      .select(col("source"), col("tok"), col("n_st").cast("long").as("n_st"),
+        expr("(n_st * (n - n_s) * 1000) div ((n_t - n_st + 1) * n_s)")
+          .as("lift_milli"))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("lift_milli"), asc("tok"))
+    sc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy("source", "rnk")
+  }
+
   val all: Seq[Q] =
     Seq(qChunkOverlap, qTfidfTerms, qKeywordSearch, qBm25Search,
-      qPmiBigrams, qBigramSurprisal, qPostingGaps, qDocSimWeighted)
+      qPmiBigrams, qBigramSurprisal, qPostingGaps, qDocSimWeighted,
+      qSourceTerms)
 }
