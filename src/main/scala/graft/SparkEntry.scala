@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{CdcOps, ExtOps, FuncOps, Q, RefQueries, RelOps,
-  SeqOps, TemporalOps}
+  SeqOps, TemporalOps, TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module registers its operators as [[graft.queries.Q]] values
@@ -15,7 +15,7 @@ object SparkEntry {
   /** Every registered operator, in registration order. */
   def registry: Seq[Q] =
     RefQueries.all ++ RelOps.all ++ FuncOps.all ++ ExtOps.all ++
-      CdcOps.all ++ SeqOps.all ++ TemporalOps.all ++
+      CdcOps.all ++ SeqOps.all ++ TemporalOps.all ++ TypedOps.all ++
       graft.text.TextOps.all ++ graft.text.IndexOps.all ++
       graft.dedup.Dedup.all ++ graft.graph.GraphOps.all ++
       graft.similarity.Similarity.all ++
