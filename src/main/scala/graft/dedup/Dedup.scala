@@ -793,10 +793,12 @@ object Dedup {
   val WinnowW = 4
 
   /** Position packing for winnowing selection: combined key
-    * hash·SHIFT + pos stays < 2³¹·10⁵ < 2⁶³ and makes "min by (hash,
-    * position)" ONE integer min — portable to any engine without
-    * struct-ordering syntax. */
-  private[graft] val WinnowShift = 100000L
+    * hash·2³² + pos makes "min by (hash, position)" ONE integer min —
+    * portable to any engine without struct-ordering syntax. The packing
+    * is exact as long as pos < 2³² (4.3 billion k-gram windows PER
+    * DOCUMENT — far past any real document) and never overflows:
+    * hash ≤ P−1 = 2³¹−2 keeps hash·2³²+pos < 2⁶³. */
+  private[graft] val WinnowShift = 4294967296L
 
   /** Document fingerprinting by WINNOWING (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03 — the MOSS algorithm): slide a [[WinnowW]]-wide window

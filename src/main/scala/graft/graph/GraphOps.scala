@@ -193,8 +193,10 @@ object GraphOps {
     *
     * The algorithm is the standard degree-ordered orientation: each
     * undirected edge points from its (degree, id)-smaller endpoint to
-    * the larger (encoded as ONE integer ord = deg·10⁹ + id, so the
-    * comparison is portable to any engine without row-value syntax).
+    * the larger (encoded as ONE integer ord = deg·2⁴⁰ + id, so the
+    * comparison is portable to any engine without row-value syntax;
+    * injective while ids < 2⁴⁰ ≈ 1.1·10¹² — two hundred TPC-H sf-10⁵
+    * part domains — and deg ≤ the cap keeps ord < 2⁴⁷).
     * Every triangle then has exactly ONE wedge rooted at its ord-minimum
     * vertex, counted by a wedge equi-join on the root + a semi-join
     * closure check on the (y, z) edge — never an all-pairs product, and
@@ -213,8 +215,8 @@ object GraphOps {
        |deg AS (SELECT k, COUNT(*)::BIGINT AS dg FROM (
        |          SELECT u AS k FROM pp UNION ALL SELECT v AS k FROM pp)
        |        GROUP BY 1),
-       |ec AS (SELECT u, v, du.dg * 1000000000 + u AS ou,
-       |              dv.dg * 1000000000 + v AS ov
+       |ec AS (SELECT u, v, du.dg * 1099511627776 + u AS ou,
+       |              dv.dg * 1099511627776 + v AS ov
        |       FROM pp JOIN deg du ON du.k = pp.u
        |       JOIN deg dv ON dv.k = pp.v
        |       WHERE du.dg <= $TriDegCap AND dv.dg <= $TriDegCap),
@@ -254,8 +256,8 @@ object GraphOps {
       .join(deg.as("dv"), col("v") === col("dv.k"))
       .filter(col("du.dg") <= degCap && col("dv.dg") <= degCap)
       .select(col("u"), col("v"),
-        (col("du.dg") * 1000000000L + col("u")).as("ou"),
-        (col("dv.dg") * 1000000000L + col("v")).as("ov"))
+        (col("du.dg") * 1099511627776L + col("u")).as("ou"),
+        (col("dv.dg") * 1099511627776L + col("v")).as("ov"))
     val dir = ec.select(
       when(col("ou") < col("ov"), col("u")).otherwise(col("v")).as("s"),
       when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("t"),

@@ -856,15 +856,17 @@ object ExtOps {
         (expr("(n_total * (bucket - 1)) div 10") + 1L).as("lo_rank"),
         expr("(n_total * bucket) div 10").as("hi_rank"))
     val t = targets
-      .select(col("bucket"), lit("lo").as("which"),
-        col("lo_rank").as("rank"))
-      .unionByName(targets.select(col("bucket"), lit("hi").as("which"),
-        col("hi_rank").as("rank")))
+      .select(col("bucket"), col("lo_rank"), col("hi_rank"),
+        lit("lo").as("which"), col("lo_rank").as("rank"))
+      .unionByName(targets.select(col("bucket"), col("lo_rank"),
+        col("hi_rank"), lit("hi").as("which"), col("hi_rank").as("rank")))
+    // ranks come from the TARGET frame (not the matched rows), so a
+    // degenerate sub-10-row input — where bucket 1's hi_rank is 0 and
+    // matches nothing — still reports (lo_rank, hi_rank, n_rows) exactly
+    // as the oracle's join does, with NULL boundary values
     ranked.join(broadcast(t), col("rnk") === col("rank"))
-      .groupBy("bucket")
-      .agg(max(when(col("which") === "lo", col("rnk"))).as("lo_rank"),
-        max(when(col("which") === "hi", col("rnk"))).as("hi_rank"),
-        max(when(col("which") === "lo", col("cents"))).as("lo_cents"),
+      .groupBy("bucket", "lo_rank", "hi_rank")
+      .agg(max(when(col("which") === "lo", col("cents"))).as("lo_cents"),
         max(when(col("which") === "hi", col("cents"))).as("hi_cents"))
       .select(col("bucket"), col("lo_rank"), col("hi_rank"),
         (col("hi_rank") - col("lo_rank") + 1).as("n_rows"),

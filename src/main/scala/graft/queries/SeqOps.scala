@@ -265,11 +265,16 @@ object SeqOps {
           unix_micros(col("ts")).as("t"))
       val firstView = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("t").as("view_t"))
+      // materialized once (converting-user-sized): both consumers below
+      // — the rank subtree and the n_conv count — would otherwise each
+      // re-run the whole endpoint pipeline (their exchanges do not
+      // canonicalize together, so ReuseExchange cannot fold them)
       val lag = ev.filter(col("event_type") === "purchase")
         .join(firstView, "user_id")
         .filter(col("t") >= col("view_t"))
         .groupBy("user_id", "view_t").agg(min("t").as("buy_t"))
         .select(col("user_id"), (col("buy_t") - col("view_t")).as("lag_us"))
+        .localCheckpoint(true)
       val ranked = graft.text.TextOps.globalRankByRange(lag,
         Seq(col("lag_us").asc, col("user_id").asc))
       val targets = Seq(50L, 90L).toDF("pct")

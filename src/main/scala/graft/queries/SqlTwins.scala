@@ -540,10 +540,10 @@ object SqlTwins {
          |       FROM ex GROUP BY 1, 2),
          |df AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM tf
          |       GROUP BY 1 HAVING COUNT(*) <= $cap),
-         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
          |wt AS (SELECT tf.doc_id, tf.h,
-         |         tf.tf * ((n.n_docs * 1000) div df.df) AS w
-         |       FROM tf JOIN df ON df.h = tf.h CROSS JOIN n),
+         |         tf.tf * (${graft.text.IndexOps.SimIdfScale} div df.df)
+         |           AS w
+         |       FROM tf JOIN df ON df.h = tf.h),
          |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         CAST(COUNT(*) AS BIGINT) AS n_shared,
          |         CAST(SUM(a.w * b.w) AS BIGINT) AS dot
@@ -817,7 +817,7 @@ object SqlTwins {
     // trained-cell probe + in-cell integer-dot scoring (the engine's
     // graft_dot_long kernel is SQL-callable, so the twin shares it)
     "q_ann_ivf_kmeans" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
         |           FROM embeddings),
         |m AS (SELECT vec_id, v,
         |        array_max(transform(v, x -> abs(x))) AS mx FROM e),
@@ -864,7 +864,8 @@ object SqlTwins {
         |          JOIN c ON c.vec_id = a3.vec_id WHERE a3.rn = 1),
         |probes AS (SELECT a3.vec_id AS query_id, c.c AS qc, a3.cl
         |           FROM a3 JOIN c ON c.vec_id = a3.vec_id
-        |           WHERE a3.rn <= 2 AND a3.vec_id < 10),
+        |           WHERE a3.rn <= ${graft.similarity.Similarity.IvfProbe}
+        |             AND a3.${graft.similarity.Similarity.QuerySet}),
         |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
         |    CAST(graft_dot_long(p.qc, b.c) AS BIGINT) AS idot
         |  FROM probes p JOIN cells b ON b.cl = p.cl

@@ -77,7 +77,7 @@ object Similarity {
     df.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** Queries = vec_id < 10 (fixed, scale-independent probe set). */
-  private val QuerySet = "vec_id < 10"
+  private[graft] val QuerySet = "vec_id < 10"
 
   /** Brute-force cosine top-5 per query vector. */
   val qCosineTopk: Q = Q("q_cosine_topk",

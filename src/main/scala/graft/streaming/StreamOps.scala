@@ -413,7 +413,8 @@ object StreamOps {
     * purchase can be discarded before the answer seals. The bound is the
     * sessionize-class one: a user's distinct purchase instants inside
     * the watermark horizon — entity activity, never corpus size. */
-  final case class ConvState(viewUs: Long, buys: List[Long])
+  final case class ConvState(
+      viewUs: Long, buys: List[Long], lastUs: Long)
 
   final case class ConvOut(
       user_id: Long, view_us: Long, buy_us: Long, lag_us: Long)
@@ -446,12 +447,15 @@ object StreamOps {
     def us(t: Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
-    def fold(st: ConvState, e: TypedEv): ConvState = e.event_type match {
-      case "view" => st.copy(viewUs = math.min(st.viewUs, us(e.ts)))
-      case "purchase" =>
-        val t = us(e.ts)
-        if (st.buys.contains(t)) st else st.copy(buys = t :: st.buys)
-      case _ => st
+    def fold(st0: ConvState, e: TypedEv): ConvState = {
+      val st = st0.copy(lastUs = math.max(st0.lastUs, us(e.ts)))
+      e.event_type match {
+        case "view" => st.copy(viewUs = math.min(st.viewUs, us(e.ts)))
+        case "purchase" =>
+          val t = us(e.ts)
+          if (st.buys.contains(t)) st else st.copy(buys = t :: st.buys)
+        case _ => st
+      }
     }
 
     def answer(st: ConvState): Option[ConvOut] =
@@ -468,8 +472,8 @@ object StreamOps {
       .flatMapGroupsWithState[ConvState, ConvOut](
         OutputMode.Append, timeoutConf) {
         (user: Long, evs: Iterator[TypedEv], state: GroupState[ConvState]) =>
-          val st = evs.foldLeft(
-            state.getOption.getOrElse(ConvState(Long.MaxValue, Nil)))(fold)
+          val st = evs.foldLeft(state.getOption
+            .getOrElse(ConvState(Long.MaxValue, Nil, Long.MinValue)))(fold)
           val ans = answer(st).map(_.copy(user_id = user))
           if (!streaming) ans.iterator
           else {
@@ -485,13 +489,14 @@ object StreamOps {
                 Iterator.empty
               case _ =>
                 state.update(st)
-                // fire when the candidate seals, or at the GC horizon
-                // for users with no candidate yet (clamped above wm —
-                // a deadline at/before the watermark is rejected)
+                // fire when the candidate seals, or — for users with no
+                // candidate yet — gcMinutes of EVENT time after the
+                // user's own latest event (clamped above wm — a deadline
+                // at/before the watermark is rejected)
                 val deadlineMs = ans match {
                   case Some(out) => Math.floorDiv(out.buy_us, 1000L) + 1L
                   case None =>
-                    state.getCurrentWatermarkMs() + gcMinutes * 60000L
+                    Math.floorDiv(st.lastUs, 1000L) + gcMinutes * 60000L
                 }
                 state.setTimeoutTimestamp(
                   math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))

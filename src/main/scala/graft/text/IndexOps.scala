@@ -426,12 +426,21 @@ object IndexOps {
     * (the q_ngram_jaccard_pairs df-cap, reapplied). */
   val SimDfCap = 64
 
-  /** Per-(doc, shingle) occurrence clamp: keeps every weight product
-    * comfortably inside long arithmetic whatever a pathological
-    * repeated-text document does (255 · milli-idf ≤ 2.5·10⁸ per side at
-    * web scale ⇒ products ≤ 6·10¹⁶, summed over ≤ a capped posting's
-    * shared shingles). */
-  val SimTfClamp = 255L
+  /** Per-(doc, shingle) occurrence clamp (tf saturation, the BM25
+    * posture). With the corpus-size-INDEPENDENT idf below, a weight is
+    * ≤ 31·(10⁶/2) ≈ 1.55·10⁷ on any shared shingle (shared ⇒ df ≥ 2),
+    * so a pair term is ≤ 2.4·10¹⁴ and a pair's dot overflows long only
+    * past ~38,000 max-weight shared shingles — no real document pair
+    * gets there (a pair's shared-shingle count is bounded by its
+    * shorter document's window count, and those are boilerplate, not
+    * max-rarity, shingles). */
+  val SimTfClamp = 31L
+
+  /** Inverse-df weight in micro-units: 10⁶ div df — deliberately NOT
+    * scaled by corpus size (idf's N numerator is one corpus-wide
+    * constant, so dropping it preserves the rarity ordering up to floor
+    * rounding — and keeps every weight bounded at ANY corpus size). */
+  val SimIdfScale = 1000000L
 
   /** Weighted document-pair similarity via the inverted 3-gram shingle
     * index: pairs ranked by the tf·idf dot product of their shingle
@@ -443,10 +452,10 @@ object IndexOps {
     * Candidate generation is the inverted-index equi-join on the
     * shingle hash — never an all-pairs product; [[SimDfCap]] bounds
     * per-shingle fan-out at cap² pairs, the same linearity guard proven
-    * for the Jaccard pipeline. Weights are exact integers: tf clamped
-    * at [[SimTfClamp]] × milli-idf (N·1000 floor-div df; any shared
-    * shingle has df ≥ 2, so idf ≤ N·500). One aggregate per pair,
-    * heap top-20. */
+    * for the Jaccard pipeline. Weights are exact integers bounded at
+    * ANY corpus size: tf clamped at [[SimTfClamp]] × inverse-df micro
+    * units ([[SimIdfScale]] floor-div df — overflow analysis on the
+    * clamp). One aggregate per pair, heap top-20. */
   val qDocSimWeighted: Q = Q("q_doc_sim_weighted",
     s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
        |           FROM documents),
@@ -461,10 +470,9 @@ object IndexOps {
        |       FROM ex GROUP BY 1, 2),
        |df AS (SELECT h, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
        |       HAVING COUNT(*) <= $SimDfCap),
-       |n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
        |wt AS (SELECT tf.doc_id, tf.h,
-       |         tf.tf * ((n.n_docs * 1000) // df.df) AS w
-       |       FROM tf JOIN df ON df.h = tf.h CROSS JOIN n),
+       |         tf.tf * ($SimIdfScale // df.df) AS w
+       |       FROM tf JOIN df ON df.h = tf.h),
        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         CAST(COUNT(*) AS BIGINT) AS n_shared,
        |         CAST(SUM(a.w * b.w) AS BIGINT) AS dot
@@ -483,9 +491,8 @@ object IndexOps {
     // ReuseExchange runs the explode→tf→df→weight pipeline ONCE
     // (the jaccard/butterfly pattern, plan-spec-guarded)
     val wt = tf.join(df_, "h")
-      .crossJoin(broadcast(docs(s, d).agg(count(lit(1)).as("n_docs"))))
       .select(col("doc_id"), col("h"),
-        (col("tf") * expr("(n_docs * 1000) div df")).as("w"))
+        (col("tf") * expr(s"${SimIdfScale}L div df")).as("w"))
       .hint("shuffle_hash")
     wt.as("a").join(wt.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
