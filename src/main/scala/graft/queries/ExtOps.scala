@@ -80,6 +80,123 @@ object ExtOps {
         col("n_true"))
   }
 
+  /** Per-group EXACT quantiles {25, 50, 75, 90} — the multi-target
+    * generalization of [[qGroupMedian]]: one [[graft.text.TextOps.
+    * groupedRankByRange]] pass ranks within each priority, and the
+    * per-group target ranks ⌈p·n_g/100⌉ arrive by a BROADCAST join on
+    * (group, rank) — the target frame is #groups × #percentiles rows,
+    * built from the bounded per-group count frame. No per-group reducer,
+    * no global sort; one ranked pass serves all four percentiles (vs
+    * four window passes in the naive spelling). */
+  val qGroupQuantiles: Q = Q("q_group_quantiles",
+    """WITH v AS (SELECT o_orderpriority AS prio,
+      |        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+      |        o_orderkey
+      |      FROM orders),
+      |r AS (SELECT prio, cents,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY prio
+      |          ORDER BY cents, o_orderkey) AS BIGINT) AS rk,
+      |        CAST(COUNT(*) OVER (PARTITION BY prio) AS BIGINT) AS n
+      |      FROM v),
+      |t AS (SELECT nn.prio, nn.n, CAST(q AS BIGINT) AS pct,
+      |        CAST(GREATEST(1, (nn.n * q + 99) // 100) AS BIGINT)
+      |          AS rank
+      |      FROM (SELECT DISTINCT prio, n FROM r) nn
+      |      CROSS JOIN (VALUES (25), (50), (75), (90)) AS qs(q))
+      |SELECT t.prio, t.pct, t.n AS n_orders, t.rank, r.cents AS value
+      |FROM t JOIN r ON r.prio = t.prio AND r.rk = t.rank
+      |ORDER BY t.prio, t.pct""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val v = Tables.load(s, d, "orders")
+      .select(col("o_orderpriority").as("prio"), cents.as("cents"),
+        col("o_orderkey"))
+    val ranked = graft.text.TextOps.groupedRankByRange(v, Seq("prio"),
+      Seq(col("cents").asc, col("o_orderkey").asc))
+    // #groups-row count frame → #groups × #pcts broadcastable targets
+    val counts = v.groupBy(col("prio").as("tp"))
+      .agg(count(lit(1)).as("n"))
+    val targets = counts
+      .crossJoin(Seq(25L, 50L, 75L, 90L).toDF("pct"))
+      .select(col("tp"), col("pct"), col("n"),
+        greatest(lit(1L), expr("(n * pct + 99) div 100")).as("rank"))
+    ranked.join(broadcast(targets),
+        col("prio") === col("tp") && col("rnk") === col("rank"))
+      .select(col("prio"), col("pct"), col("n").as("n_orders"),
+        col("rank"), col("cents").as("value"))
+      .orderBy("prio", "pct")
+  }
+
+  /** Hourly-windowed HLL distinct-user sketch — the BATCH, oracle-gated
+    * face of `StreamOps.hourlyDistinctSketch` (that one is spec-gated:
+    * streaming has no DuckDB oracle). Same oracle-exact register
+    * decomposition as [[qHllDistinct]], keyed by the event-time hour:
+    * per (hour, bucket) MAX rank (map-side combined; duplicates are
+    * free because max is idempotent), empty buckets filled from an
+    * hours×64 grid (bounded — the calendar, not the data), harmonic sum
+    * and estimate per hour with ONE double division. Reported next to
+    * the exact per-hour distinct so the estimate's error is visible and
+    * value-gated.
+    *
+    * At 100 TB this is the shape of "daily/hourly active users" over an
+    * unbounded id domain: per window the state is 64 registers, the
+    * shuffle carries registers (not ids), and windows merge by register
+    * max — the same mergeability the streaming twin exercises across
+    * micro-batches. */
+  val qHllHourly: Q = Q("q_hll_hourly",
+    """WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+      |              AS hour, user_id
+      |            FROM events),
+      |b AS (SELECT hour, hv % 64 AS bucket,
+      |        CASE WHEN hv // 64 = 0 THEN 26
+      |             ELSE 26 - length(bin(hv // 64)) END AS r
+      |      FROM (SELECT hour,
+      |              ('0x'||substring(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT
+      |                % 2147483647 AS hv
+      |            FROM ev)),
+      |mx AS (SELECT hour, bucket, MAX(r) AS mr FROM b GROUP BY 1, 2),
+      |hrs AS (SELECT DISTINCT hour FROM ev),
+      |g AS (SELECT h.hour, gg.bucket FROM hrs h
+      |      CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) gg),
+      |reg AS (SELECT g.hour, COALESCE(mx.mr, 0) AS mj
+      |        FROM g LEFT JOIN mx ON mx.hour = g.hour
+      |                           AND mx.bucket = g.bucket),
+      |agg AS (SELECT hour,
+      |          CAST(SUM(1::BIGINT << (26 - mj)) AS BIGINT) AS s_scaled
+      |        FROM reg GROUP BY 1),
+      |nt AS (SELECT hour, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+      |         AS n_true
+      |       FROM ev GROUP BY 1)
+      |SELECT a.hour, a.s_scaled,
+      |       194908456023.296 / CAST(a.s_scaled AS DOUBLE) AS est,
+      |       nt.n_true
+      |FROM agg a JOIN nt ON nt.hour = a.hour
+      |ORDER BY a.hour""".stripMargin) { (s, d) =>
+    val ev = Tables.load(s, d, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("hour"),
+        col("user_id"))
+    val b = ev
+      .select(col("hour"),
+        TextHash.hash32(col("user_id").cast("string")).as("hv"))
+      .select(col("hour"), (col("hv") % 64).as("bucket"),
+        expr("CASE WHEN hv div 64 = 0 THEN 26 " +
+          "ELSE 26 - length(bin(hv div 64)) END").cast("int").as("r"))
+    val mx = b.groupBy("hour", "bucket").agg(max("r").as("mr"))
+    val grid = ev.select("hour").distinct()
+      .crossJoin(broadcast(s.range(0, 64).select(col("id").as("bucket"))))
+    val agg = grid.join(mx, Seq("hour", "bucket"), "left")
+      .select(col("hour"), coalesce(col("mr"), lit(0)).as("mj"))
+      .groupBy("hour")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 26 - mj)")).cast("long")
+        .as("s_scaled"))
+    val nTrue = ev.groupBy("hour")
+      .agg(count_distinct(col("user_id")).cast("long").as("n_true"))
+    agg.join(nTrue, Seq("hour"))
+      .select(col("hour"), col("s_scaled"),
+        (lit(194908456023.296) / col("s_scaled").cast("double")).as("est"),
+        col("n_true"))
+      .orderBy("hour")
+  }
+
   /** Edit-distance similarity join (fuzzy record linkage on part names),
     * structured as DEDUP-BEFORE-DP: the O(|a|·|b|) Levenshtein dynamic
     * program runs over DISTINCT names only, and the qualifying name
@@ -879,5 +996,5 @@ object ExtOps {
     qScd2Priority, qReaggWeekly, qPosexplodeTokens, qRolling7d, qBloomJoin,
     qSaltedJoin, qUnpivot, qGroupConcat, qZorderLayout, qParetoShare,
     qProfileOrders, qSkewReport, qExactQuantiles, qGroupMedian,
-    qMadOutliers, qEquidepthHist)
+    qMadOutliers, qEquidepthHist, qGroupQuantiles, qHllHourly)
 }

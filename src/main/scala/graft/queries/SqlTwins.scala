@@ -180,6 +180,37 @@ object SqlTwins {
         |         AS n_true
         |FROM agg""".stripMargin,
 
+    // the q_hll_distinct register spelling, keyed by hour
+    "q_hll_hourly" ->
+      """WITH ev AS (SELECT unix_micros(ts) div 3600000000 AS hour,
+        |              user_id
+        |            FROM events),
+        |b AS (SELECT hour, hv % 64 AS bucket,
+        |        CASE WHEN hv div 64 = 0 THEN 26
+        |             ELSE 26 - length(bin(hv div 64)) END AS r
+        |      FROM (SELECT hour,
+        |              graft_md5_mod31(CAST(user_id AS STRING)) AS hv
+        |            FROM ev)),
+        |mx AS (SELECT hour, bucket, MAX(r) AS mr FROM b GROUP BY 1, 2),
+        |hrs AS (SELECT DISTINCT hour FROM ev),
+        |g AS (SELECT h.hour, gg.bucket FROM hrs h
+        |      CROSS JOIN (SELECT explode(sequence(0, 63)) AS bucket) gg),
+        |reg AS (SELECT g.hour, COALESCE(mx.mr, 0) AS mj
+        |        FROM g LEFT JOIN mx ON mx.hour = g.hour
+        |                           AND mx.bucket = g.bucket),
+        |agg AS (SELECT hour,
+        |          CAST(SUM(shiftleft(CAST(1 AS BIGINT), 26 - mj))
+        |               AS BIGINT) AS s_scaled
+        |        FROM reg GROUP BY hour),
+        |nt AS (SELECT hour, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |         AS n_true
+        |       FROM ev GROUP BY hour)
+        |SELECT a.hour, a.s_scaled,
+        |       194908456023.296 / CAST(a.s_scaled AS DOUBLE) AS est,
+        |       nt.n_true
+        |FROM agg a JOIN nt ON nt.hour = a.hour
+        |ORDER BY a.hour""".stripMargin,
+
     // DuckDB's 1-based list index `[1]` → element_at
     "q_fuzzy_linkage" ->
       """WITH p AS (SELECT p_partkey, p_name,
