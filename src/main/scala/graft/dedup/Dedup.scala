@@ -559,7 +559,9 @@ object Dedup {
     * Output: (doc_id, component, is_kept) for every doc in some pair. */
   /** Shared DuckDB oracle for both connected-components spellings:
     * recursive reachability closure → per-node min reachable id. */
-  private val componentsOracleSql: String =
+  /** The recursive-closure CTE chain (through `walk`), shared by the
+    * three component-family oracles. */
+  private val componentsWalkCteSql: String =
     s"""WITH RECURSIVE $shingleCte,
        |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
        |p AS (
@@ -580,7 +582,10 @@ object Dedup {
        |walk(node, reach) AS (
        |  SELECT src, src FROM edges
        |  UNION
-       |  SELECT e.dst, w.reach FROM walk w JOIN edges e ON e.src = w.node)
+       |  SELECT e.dst, w.reach FROM walk w JOIN edges e ON e.src = w.node)""".stripMargin
+
+  private val componentsOracleSql: String =
+    s"""$componentsWalkCteSql
        |SELECT node AS doc_id, MIN(reach) AS component,
        |       node = MIN(reach) AS is_kept
        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
@@ -730,6 +735,32 @@ object Dedup {
     componentsOracleSql) { (s, d) =>
     starComponents(jaccardPairs(s, d, 0.8).select("doc_a", "doc_b"))
       .orderBy("doc_id")
+  }
+
+  /** Near-dup CLUSTER-SIZE distribution — the dedup run's summary
+    * report (how much boilerplate, in what clump sizes): component
+    * labels from the O(log diameter) large-star/small-star rounds
+    * ([[starComponents]] — the 100 TB CC path), then two bounded
+    * aggregates: per-component size, then the size histogram with the
+    * doc mass per size. The oracle grows the shared recursive-closure
+    * CTE by the same two aggregates. Output rows ≤ max cluster size —
+    * a report, never data-scaled. */
+  val qDedupClusterSizes: Q = Q("q_dedup_cluster_sizes",
+    s"""$componentsWalkCteSql,
+       |comp AS (SELECT node, MIN(reach) AS component FROM walk
+       |         GROUP BY node),
+       |cs AS (SELECT component, COUNT(*)::BIGINT AS cluster_size
+       |       FROM comp GROUP BY 1)
+       |SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters,
+       |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    starComponents(jaccardPairs(s, d, 0.8).select("doc_a", "doc_b"))
+      .groupBy("component")
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        sum("cluster_size").cast("long").as("n_docs"))
+      .orderBy("cluster_size")
   }
 
   /** Exact-substring duplication window width, in whitespace tokens.
@@ -911,6 +942,6 @@ object Dedup {
     qDedupExact, qNgramJaccardPairs, qMinhashLsh, qMinhashIncremental,
     qDedupNearRemoved, qSimhashDocs, qSimhashPairs, qSimhashWideDocs,
     qSimhashWidePairs, qDedupComponents, qDedupComponentsStar,
-    qDecontaminate, qSubstringDups, qWinnowFingerprint,
-    qDecontaminateContainment)
+    qDedupClusterSizes, qDecontaminate, qSubstringDups,
+    qWinnowFingerprint, qDecontaminateContainment)
 }

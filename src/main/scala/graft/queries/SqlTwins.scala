@@ -46,6 +46,9 @@ object SqlTwins {
         "(UNION ALL) do not support"),
     "q_dedup_components_star" ->
       ("iterative large-star/small-star rounds (driver-side loop over " +
+        "checkpoints); same recursion limitation as q_dedup_components"),
+    "q_dedup_cluster_sizes" ->
+      ("aggregates the iterative star-CC labels (driver-side loop over " +
         "checkpoints); same recursion limitation as q_dedup_components"))
 
   /** Mechanical DuckDB→Spark dialect mapping for the near-ANSI oracles.

@@ -364,6 +364,52 @@ object TextOps {
       .orderBy("rnk")
   }
 
+  /** Vocabulary size for [[qVocabCoverage]] — small enough that the
+    * synthetic corpus has genuine OOV mass. */
+  val CoverageVocabK = 20
+
+  /** Tokenizer VOCAB COVERAGE / OOV-rate report: fix the vocabulary at
+    * the top-[[CoverageVocabK]] corpus tokens and measure, per document,
+    * how much of it the vocabulary covers — the out-of-vocabulary rate
+    * that decides whether a tokenizer (or a fixed embedding table) fits
+    * a corpus slice. OOV per-mille is one integer floor division.
+    *
+    * The vocabulary is a heap top-k (TakeOrderedAndProject) and rides a
+    * BROADCAST into the coverage join — the corpus-side explode never
+    * shuffles on the token; per-doc aggregation keys on the data-scaled
+    * doc_id with map-side combine. */
+  val qVocabCoverage: Q = Q("q_vocab_coverage",
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+       |               AS token
+       |             FROM documents),
+       |vocab AS (SELECT token FROM tok GROUP BY token
+       |          ORDER BY COUNT(*) DESC, token LIMIT $CoverageVocabK),
+       |fl AS (SELECT t.doc_id,
+       |         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+       |       FROM tok t LEFT JOIN vocab v ON v.token = t.token)
+       |SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+       |       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |       CAST((SUM(oov) * 1000) // COUNT(*) AS BIGINT)
+       |         AS oov_permille
+       |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tok = docs(s, d)
+      .select(col("doc_id"),
+        explode(TextHash.tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(CoverageVocabK)
+      .select(col("token").as("vtok"))
+    tok.join(broadcast(vocab), col("token") === col("vtok"), "left")
+      .select(col("doc_id"),
+        when(col("vtok").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum("oov").cast("long").as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("CAST((n_oov * 1000) div n_tokens AS BIGINT)")
+          .as("oov_permille"))
+      .orderBy("doc_id")
+  }
+
   private val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
   private val numRe = "[0-9]{6,}"
 
@@ -896,5 +942,5 @@ object TextOps {
     qLangId, qFingerprint, qCorpusClean, qVocabTopk, qPiiRedact,
     qPackChunks, qSplitHash, qMixtureSample, qTokenBudget, qGlobalRank,
     qStratifiedSample, qCountminTokens, qHeavyHitters, qSplitDrift,
-    qTokenGini)
+    qTokenGini, qVocabCoverage)
 }
