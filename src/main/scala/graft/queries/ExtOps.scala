@@ -141,7 +141,14 @@ object ExtOps {
     * unbounded id domain: per window the state is 64 registers, the
     * shuffle carries registers (not ids), and windows merge by register
     * max — the same mergeability the streaming twin exercises across
-    * micro-batches. */
+    * micro-batches.
+    *
+    * Epoch precondition (engine-wide, see the SeqOps header): hour keys
+    * use integer division of epoch micros, which Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors — identical for ts ≥ 1970
+    * (all driver data), divergent before the epoch. Pre-1970 event time
+    * would need the (x − pmod(x, b)) div b floor spelling on the Spark
+    * side. */
   val qHllHourly: Q = Q("q_hll_hourly",
     """WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
       |              AS hour, user_id
