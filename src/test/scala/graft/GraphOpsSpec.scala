@@ -145,6 +145,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("triangle orientation stays injective for vertex ids above 1e9") {
+    // review fix: the old deg·10⁹+id packing collided once ids crossed
+    // 10⁹ (large-SF partkeys), silently dropping wedges via the strict
+    // ord inequality; the 2⁴⁰ shift must count this triangle on ids
+    // around 1.5·10⁹ exactly once per vertex
+    val base = 1500000000L
+    val tri = Seq((base, base + 7L), (base + 7L, base + 13L),
+      (base, base + 13L))
+    val got = GraphOps.trianglePartCounts(und(tri), degCap = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(base -> 1L, (base + 7L) -> 1L, (base + 13L) -> 1L),
+      got.toString)
+  }
+
   test("triangle degree cap excludes a synthetic hot vertex") {
     // star center with degree 70 > cap, riding on a single leaf triangle:
     // without the cap the center closes 70·69/2-wedge work and joins 3
