@@ -216,6 +216,43 @@ object CdcOps {
       .orderBy("bucket")
   }
 
+  /** SYSTEMATIC sampling (fixed-interval, the fourth sampling design
+    * next to mixture/stratified/πps): order the frame by a content hash
+    * (so the interval walk is decorrelated from any natural ordering),
+    * then keep every ⌊N/100⌋-th rank — the classic survey design with
+    * exactly-known inclusion pattern and ~100 output rows at any N.
+    * Ranks come from [[graft.text.TextOps.globalRankByRange]] (range
+    * slices + broadcast offsets, no global sort); the step is one
+    * integer division of the broadcast count. Hash ordering is the
+    * engine's md5-mod-P with the orderkey tiebreak — both engines
+    * reproduce the identical walk. */
+  val qSystematicSample: Q = Q("q_systematic_sample",
+    """WITH v AS (SELECT o_orderkey,
+      |        ('0x'||substring(md5(CAST(o_orderkey AS VARCHAR)),1,8))::BIGINT
+      |          % 2147483647 AS hv,
+      |        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders),
+      |r AS (SELECT o_orderkey, hv, cents,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY hv, o_orderkey) AS BIGINT)
+      |          AS rnk,
+      |        CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |      FROM v)
+      |SELECT rnk, o_orderkey, cents
+      |FROM r WHERE (rnk - 1) % GREATEST(n // 100, 1) = 0
+      |ORDER BY rnk""".stripMargin) { (s, d) =>
+    val v = Tables.load(s, d, "orders")
+      .select(col("o_orderkey"),
+        graft.functions.TextHash.hash32(col("o_orderkey").cast("string"))
+          .as("hv"),
+        cents.as("cents"))
+    graft.text.TextOps.globalRankByRange(v,
+        Seq(col("hv").asc, col("o_orderkey").asc))
+      .filter((col("rnk") - 1) %
+        greatest(expr("n_total div 100"), lit(1L)) === 0)
+      .select(col("rnk"), col("o_orderkey"), col("cents"))
+      .orderBy("rnk")
+  }
+
   /** Weighted sampling without replacement — sequential Poisson sampling
     * (Ohlsson 1998): each part draws a deterministic uniform u from the
     * engine hash, its priority is ξ = u / w (weight = retail price in
@@ -317,5 +354,6 @@ object CdcOps {
   }
 
   val all: Seq[Q] =
-    Seq(qMergeUpsert, qCdcLog, qMvMaintain, qWeightedSample, qSkyline)
+    Seq(qMergeUpsert, qCdcLog, qMvMaintain, qWeightedSample,
+      qSystematicSample, qSkyline)
 }

@@ -183,6 +183,22 @@ object SqlTwins {
         |         AS n_true
         |FROM agg""".stripMargin,
 
+    // the md5 idiom's argument contains parens (CAST(...)), which the
+    // dialect regex cannot rewrite — use the native hash directly
+    "q_systematic_sample" ->
+      """WITH v AS (SELECT o_orderkey,
+        |        graft_md5_mod31(CAST(o_orderkey AS STRING)) AS hv,
+        |        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders),
+        |r AS (SELECT o_orderkey, hv, cents,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY hv, o_orderkey)
+        |          AS BIGINT) AS rnk,
+        |        CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |      FROM v)
+        |SELECT rnk, o_orderkey, cents
+        |FROM r WHERE (rnk - 1) % GREATEST(n div 100, 1) = 0
+        |ORDER BY rnk""".stripMargin,
+
     // the q_hll_distinct register spelling, keyed by hour
     "q_hll_hourly" ->
       """WITH ev AS (SELECT unix_micros(ts) div 3600000000 AS hour,
