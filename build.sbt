@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver contract (VERDICT r5 #1): the driver parses the LAST stdout line
+// of `sbt runMain graft.Bench` as JSON. With the default outputStrategy,
+// sbt relogs the forked stdout as "[info] {json}" and then appends its own
+// "[success] Total time: …" banner — so the last line can never parse.
+// StdoutOutput passes the forked process's stdout through unprefixed;
+// showSuccess := false kills the trailing banner.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
