@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -196,7 +196,9 @@ object GraphOps {
     * the larger (encoded as ONE integer ord = deg·2⁴⁰ + id, so the
     * comparison is portable to any engine without row-value syntax;
     * injective while ids < 2⁴⁰ ≈ 1.1·10¹² — two hundred TPC-H sf-10⁵
-    * part domains — and deg ≤ the cap keeps ord < 2⁴⁷).
+    * part domains — and deg ≤ the cap keeps ord < 2⁴⁷; a runtime
+    * raise_error guard inside the packing expression rejects larger
+    * hashed/synthetic ids instead of silently mis-orienting edges).
     * Every triangle then has exactly ONE wedge rooted at its ord-minimum
     * vertex, counted by a wedge equi-join on the root + a semi-join
     * closure check on the (y, z) edge — never an all-pairs product, and
@@ -248,6 +250,16 @@ object GraphOps {
     * and the cap excludes a synthetic hot vertex. */
   private[graft] def trianglePartCounts(
       pp: DataFrame, degCap: Int): DataFrame = {
+    // ord = deg·2⁴⁰ + id is injective only for ids < 2⁴⁰ (ADVICE r5):
+    // beyond that the packed comparison silently mis-orients edges. The
+    // guard lives INSIDE the packing expression (a separate assert
+    // column would be pruned away); same value on every legal id, a
+    // per-row raise_error on the first illegal one.
+    def packOrd(dg: Column, id: Column): Column =
+      when(id >= lit(1L << 40), raise_error(concat(
+        lit("triangle ord packing requires vertex ids < 2^40; got "),
+        id.cast("string"))).cast("long"))
+        .otherwise(dg * (1L << 40) + id)
     val deg = pp.select(col("u").as("k"))
       .unionByName(pp.select(col("v").as("k")))
       .groupBy("k").agg(count(lit(1)).as("dg"))
@@ -256,8 +268,8 @@ object GraphOps {
       .join(deg.as("dv"), col("v") === col("dv.k"))
       .filter(col("du.dg") <= degCap && col("dv.dg") <= degCap)
       .select(col("u"), col("v"),
-        (col("du.dg") * 1099511627776L + col("u")).as("ou"),
-        (col("dv.dg") * 1099511627776L + col("v")).as("ov"))
+        packOrd(col("du.dg"), col("u")).as("ou"),
+        packOrd(col("dv.dg"), col("v")).as("ov"))
     val dir = ec.select(
       when(col("ou") < col("ov"), col("u")).otherwise(col("v")).as("s"),
       when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("t"),

@@ -61,8 +61,17 @@ object TypedOps {
       // (linenumber, cents) — the data carries duplicate line numbers,
       // so the sequential statistic needs a TOTAL order (same tiebreak
       // as the oracle's lag window)
+      // half-away-from-zero, the same rounding as the oracle's
+      // ROUND(x*100) and the engine's round(col*100, 0) — math.round
+      // alone is half-up (toward +inf) and would diverge on negative
+      // amounts (ADVICE r5)
+      def cents100(p: Double): Long = {
+        val v = p * 100
+        val r = math.round(math.abs(v))
+        if (v < 0) -r else r
+      }
       val cents = is.toArray
-        .map(i => (i.l_linenumber, math.round(i.l_extendedprice * 100)))
+        .map(i => (i.l_linenumber, cents100(i.l_extendedprice)))
         .sorted.map(_._2)
       val incr = cents.indices.drop(1).count(j => cents(j) > cents(j - 1))
       hs.map(h =>

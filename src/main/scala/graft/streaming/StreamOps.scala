@@ -406,15 +406,19 @@ object StreamOps {
   final case class TypedEv(user_id: Long, event_type: String, ts: Timestamp)
 
   /** [[conversionLag]] state: the user's earliest admitted view (epoch
-    * micros; MaxValue = none yet) plus every DISTINCT admitted purchase
-    * instant. All purchase instants must be held — a later-admitted
-    * EARLIER view (possible while the watermark trails it) can move the
-    * answer to a purchase that preceded the old first view, so no
-    * purchase can be discarded before the answer seals. The bound is the
-    * sessionize-class one: a user's distinct purchase instants inside
-    * the watermark horizon — entity activity, never corpus size. */
+    * micros; MaxValue = none yet) plus the DISTINCT admitted purchase
+    * instants that could still be elected, kept ASCENDING-sorted. A
+    * later-admitted EARLIER view (possible while the watermark trails
+    * it) can move the answer to a purchase that preceded the old first
+    * view — but any future admissible view has ts ≥ watermark, so the
+    * final first-view V is ≥ min(viewUs, wm) and purchases below that
+    * bound are pruned every invocation (ADVICE r5): the held set is
+    * bounded by the user's distinct purchase instants INSIDE the
+    * watermark horizon, not all history. `done` marks a sealed
+    * tombstone (viewUs/buys cleared): the pair for this user has been
+    * emitted and later episodes are suppressed until the gc horizon. */
   final case class ConvState(
-      viewUs: Long, buys: List[Long], lastUs: Long)
+      viewUs: Long, buys: List[Long], lastUs: Long, done: Boolean)
 
   final case class ConvOut(
       user_id: Long, view_us: Long, buy_us: Long, lag_us: Long)
@@ -435,9 +439,18 @@ object StreamOps {
     * Non-converting users are garbage-collected `gcMinutes` of event
     * time after their latest event (no emission) — the operational
     * horizon every attribution system picks; a conversion landing past
-    * the horizon is attributed as a fresh state. In batch mode the same
-    * function computes each group's answer directly at end-of-group —
-    * the spec asserts batch ≡ streaming over the same admitted rows. */
+    * the horizon is attributed as a fresh state. After the pair seals,
+    * the state is NOT removed but kept as a `done` tombstone (user key
+    * only, empty buys) until the same gc horizon: a second view→purchase
+    * episode arriving post-seal (admissible — ts ≥ wm ≥ buy) would
+    * otherwise rebuild fresh state and emit a SECOND pair for the user,
+    * while batch mode over the same rows emits only the global first
+    * pair (ADVICE r5). With the tombstone, streaming ≡ batch for any
+    * episode inside the gc horizon; past it, both the tombstone and the
+    * would-have-been batch window are gone and a new episode is a fresh
+    * user by declared semantics. In batch mode the same function
+    * computes each group's answer directly at end-of-group — the spec
+    * asserts batch ≡ streaming over the same admitted rows. */
   def conversionLag(events: Dataset[TypedEv],
       watermarkDelay: String = "0 seconds",
       gcMinutes: Int = 7 * 24 * 60): Dataset[ConvOut] = {
@@ -447,20 +460,25 @@ object StreamOps {
     def us(t: Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+    // ascending-sorted distinct insert: span is O(n), but n is the
+    // watermark-horizon-pruned purchase set, not all history
+    def insBuy(list: List[Long], t: Long): List[Long] = {
+      val (lo, hi) = list.span(_ < t)
+      if (hi.headOption.contains(t)) list else lo ::: t :: hi
+    }
+
     def fold(st0: ConvState, e: TypedEv): ConvState = {
       val st = st0.copy(lastUs = math.max(st0.lastUs, us(e.ts)))
       e.event_type match {
         case "view" => st.copy(viewUs = math.min(st.viewUs, us(e.ts)))
-        case "purchase" =>
-          val t = us(e.ts)
-          if (st.buys.contains(t)) st else st.copy(buys = t :: st.buys)
+        case "purchase" => st.copy(buys = insBuy(st.buys, us(e.ts)))
         case _ => st
       }
     }
 
     def answer(st: ConvState): Option[ConvOut] =
       if (st.viewUs == Long.MaxValue) None
-      else st.buys.filter(_ >= st.viewUs).sorted.headOption
+      else st.buys.find(_ >= st.viewUs) // sorted asc: first ≥ V is MIN
         .map(b => ConvOut(-1L, st.viewUs, b, b - st.viewUs))
 
     val input = if (streaming) events.withWatermark("ts", watermarkDelay)
@@ -472,35 +490,60 @@ object StreamOps {
       .flatMapGroupsWithState[ConvState, ConvOut](
         OutputMode.Append, timeoutConf) {
         (user: Long, evs: Iterator[TypedEv], state: GroupState[ConvState]) =>
-          val st = evs.foldLeft(state.getOption
-            .getOrElse(ConvState(Long.MaxValue, Nil, Long.MinValue)))(fold)
-          val ans = answer(st).map(_.copy(user_id = user))
-          if (!streaming) ans.iterator
+          val prev = state.getOption
+            .getOrElse(ConvState(Long.MaxValue, Nil, Long.MinValue, false))
+          val st0 = evs.foldLeft(prev)(fold)
+          if (!streaming) answer(st0).map(_.copy(user_id = user)).iterator
           else {
+            def armGc(lastUs: Long): Unit =
+              // gcMinutes of EVENT time after the user's own latest
+              // event (clamped above wm — a deadline at/before the
+              // watermark is rejected)
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(lastUs, 1000L) + gcMinutes * 60000L,
+                state.getCurrentWatermarkMs() + 1))
             val wmUs = state.getCurrentWatermarkMs() * 1000L
-            ans match {
-              case Some(out) if wmUs >= out.buy_us =>
-                // sealed: nothing admissible can change the pair
-                state.remove()
-                Iterator.single(out)
-              case _ if state.hasTimedOut && ans.isEmpty =>
-                // GC horizon reached with no conversion candidate
-                state.remove()
+            if (prev.done) {
+              // sealed tombstone: suppress post-seal episodes (batch
+              // emits one pair per user) until the gc horizon
+              if (state.hasTimedOut) { state.remove(); Iterator.empty }
+              else {
+                state.update(ConvState(Long.MaxValue, Nil, st0.lastUs, true))
+                armGc(st0.lastUs)
                 Iterator.empty
-              case _ =>
-                state.update(st)
-                // fire when the candidate seals, or — for users with no
-                // candidate yet — gcMinutes of EVENT time after the
-                // user's own latest event (clamped above wm — a deadline
-                // at/before the watermark is rejected)
-                val deadlineMs = ans match {
-                  case Some(out) => Math.floorDiv(out.buy_us, 1000L) + 1L
-                  case None =>
-                    Math.floorDiv(st.lastUs, 1000L) + gcMinutes * 60000L
-                }
-                state.setTimeoutTimestamp(
-                  math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
-                Iterator.empty
+              }
+            } else {
+              // prune never-electable purchases: any future admissible
+              // view has ts ≥ wm, so the final first-view V ≥
+              // min(viewUs, wm); purchases below that bound cannot
+              // satisfy buy ≥ V (ADVICE r5)
+              val st = st0.copy(
+                buys = st0.buys.dropWhile(_ < math.min(st0.viewUs, wmUs)))
+              val ans = answer(st).map(_.copy(user_id = user))
+              ans match {
+                case Some(out) if wmUs >= out.buy_us =>
+                  // sealed: nothing admissible can change the pair;
+                  // leave a tombstone so later episodes are suppressed
+                  state.update(
+                    ConvState(Long.MaxValue, Nil, st.lastUs, true))
+                  armGc(st.lastUs)
+                  Iterator.single(out)
+                case _ if state.hasTimedOut && ans.isEmpty =>
+                  // GC horizon reached with no conversion candidate
+                  state.remove()
+                  Iterator.empty
+                case _ =>
+                  state.update(st)
+                  // fire when the candidate seals, or — for users with
+                  // no candidate yet — at the gc horizon
+                  ans match {
+                    case Some(out) => state.setTimeoutTimestamp(math.max(
+                      Math.floorDiv(out.buy_us, 1000L) + 1L,
+                      state.getCurrentWatermarkMs() + 1))
+                    case None => armGc(st.lastUs)
+                  }
+                  Iterator.empty
+              }
             }
           }
       }

@@ -159,6 +159,22 @@ class GraphOpsSpec extends SparkSpec {
       got.toString)
   }
 
+  test("triangle ord packing raises on vertex ids at/above 2^40 " +
+    "instead of silently mis-orienting") {
+    // ADVICE r5: beyond 2⁴⁰ the packed ord is no longer injective; the
+    // raise_error guard inside the packing expression must fire rather
+    // than drop/duplicate wedges
+    val big = 1L << 40
+    val tri = Seq((big, big + 7L), (big + 7L, big + 13L), (big, big + 13L))
+    val ex = intercept[Exception] {
+      GraphOps.trianglePartCounts(und(tri), degCap = 64).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("2^40")), ex.toString)
+  }
+
   test("triangle degree cap excludes a synthetic hot vertex") {
     // star center with degree 70 > cap, riding on a single leaf triangle:
     // without the cap the center closes 70·69/2-wedge work and joins 3

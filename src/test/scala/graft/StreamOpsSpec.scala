@@ -618,4 +618,53 @@ class StreamOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("lag_us") == 4L * 60L * 1000000L)
     } finally query.stop()
   }
+
+  test("streaming conversionLag suppresses a post-seal second episode " +
+    "(sealed tombstone keeps streaming ≡ batch)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[StreamOps.TypedEv]
+    val query = StreamOps.conversionLag(mem.toDS(), "30 minutes").toDF()
+      .writeStream.format("memory").queryName("conv_tomb")
+      .outputMode("append").start()
+    try {
+      // episode 1: view@10:00 → purchase@10:05; seal it by walking the
+      // watermark past 10:05 with another user's events
+      mem.addData(
+        StreamOps.TypedEv(1L, "view", t("2024-01-01 10:00:00")),
+        StreamOps.TypedEv(1L, "purchase", t("2024-01-01 10:05:00")))
+      query.processAllAvailable()
+      mem.addData(StreamOps.TypedEv(9L, "click", t("2024-01-01 10:40:00")))
+      query.processAllAvailable()
+      mem.addData(StreamOps.TypedEv(9L, "click", t("2024-01-01 10:50:00")))
+      query.processAllAvailable()
+      assert(spark.table("conv_tomb").count() == 1)
+      // episode 2 arrives AFTER the seal, fully admissible (ts ≥ wm):
+      // without the tombstone this would rebuild state and emit a
+      // second pair for user 1 — batch over the same rows emits only
+      // the global first pair
+      mem.addData(
+        StreamOps.TypedEv(1L, "view", t("2024-01-01 11:00:00")),
+        StreamOps.TypedEv(1L, "purchase", t("2024-01-01 11:05:00")))
+      query.processAllAvailable()
+      mem.addData(StreamOps.TypedEv(9L, "click", t("2024-01-01 11:40:00")))
+      query.processAllAvailable()
+      mem.addData(StreamOps.TypedEv(9L, "click", t("2024-01-01 11:50:00")))
+      query.processAllAvailable()
+      val rows = spark.table("conv_tomb").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      assert(rows.head.getAs[Long]("buy_us") ==
+        t("2024-01-01 10:05:00").getTime * 1000L)
+      // batch over the same admitted rows: also exactly one pair
+      val batchRows = StreamOps.conversionLag(Seq(
+        StreamOps.TypedEv(1L, "view", t("2024-01-01 10:00:00")),
+        StreamOps.TypedEv(1L, "purchase", t("2024-01-01 10:05:00")),
+        StreamOps.TypedEv(1L, "view", t("2024-01-01 11:00:00")),
+        StreamOps.TypedEv(1L, "purchase", t("2024-01-01 11:05:00"))
+      ).toDS()).collect()
+      assert(batchRows.length == 1 &&
+        batchRows.head.buy_us == t("2024-01-01 10:05:00").getTime * 1000L)
+    } finally query.stop()
+  }
 }
