@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextHash
 import graft.io.Tables
 
 /** Scalar-function surface (SURVEY.md §2.7 — the reference uses only
@@ -139,14 +140,67 @@ object FuncOps {
       .orderBy("o_orderkey")
   }
 
-  /** Approximate distinct (HLL++). Engines implement different sketches,
-    * so there is no value oracle — the driver records a rows-only check;
-    * the spec asserts the estimate is within HLL error of exact. */
-  val qApproxDistinct: Q = Q.noOracle("q_approx_distinct") { (s, d) =>
-    Tables.load(s, d, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
-        countDistinct("l_partkey").as("exact_parts"))
+  /** Approximate distinct per group, VALUE-GATED (VERDICT r5 #4 — this
+    * was the registry's one rows-only row for three rounds): instead of
+    * `approx_count_distinct` (HLL++ internal hashing is engine-private,
+    * so no oracle can recompute it), the estimate is the engine's own
+    * md5-register HLL — the [[graft.queries.ExtOps.qHllDistinct]]
+    * decomposition keyed by `l_returnflag` — which DuckDB reproduces
+    * bit for bit: registers are integer max-rank per (group, bucket),
+    * the harmonic sum is integer-scaled, and the estimate is ONE double
+    * division of literals both engines parse identically. The exact
+    * per-group distinct rides alongside so the sketch error stays
+    * visible and value-gated. Same 100 TB posture as the HLL family:
+    * the shuffle carries 64 registers per group, never ids. */
+  val qApproxDistinct: Q = Q("q_approx_distinct",
+    """WITH b AS (SELECT flag, hv % 64 AS bucket,
+      |        CASE WHEN hv // 64 = 0 THEN 26
+      |             ELSE 26 - length(bin(hv // 64)) END AS r
+      |      FROM (SELECT l_returnflag AS flag,
+      |              ('0x'||substring(md5(CAST(l_partkey AS VARCHAR)),1,8))::BIGINT
+      |                % 2147483647 AS hv
+      |            FROM lineitem)),
+      |mx AS (SELECT flag, bucket, MAX(r) AS mr FROM b GROUP BY 1, 2),
+      |fl AS (SELECT DISTINCT l_returnflag AS flag FROM lineitem),
+      |g AS (SELECT f.flag, gg.bucket FROM fl f
+      |      CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) gg),
+      |reg AS (SELECT g.flag, COALESCE(mx.mr, 0) AS mj
+      |        FROM g LEFT JOIN mx ON mx.flag = g.flag
+      |                           AND mx.bucket = g.bucket),
+      |agg AS (SELECT flag,
+      |          CAST(SUM(1::BIGINT << (26 - mj)) AS BIGINT) AS s_scaled
+      |        FROM reg GROUP BY 1),
+      |nt AS (SELECT l_returnflag AS flag,
+      |         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+      |       FROM lineitem GROUP BY 1)
+      |SELECT a.flag AS l_returnflag, a.s_scaled,
+      |       194908456023.296 / CAST(a.s_scaled AS DOUBLE) AS approx_est,
+      |       nt.exact_parts
+      |FROM agg a JOIN nt ON nt.flag = a.flag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val li = Tables.load(s, d, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_partkey"))
+    val b = li
+      .select(col("flag"),
+        TextHash.hash32(col("l_partkey").cast("string")).as("hv"))
+      .select(col("flag"), (col("hv") % 64).as("bucket"),
+        expr("CASE WHEN hv div 64 = 0 THEN 26 " +
+          "ELSE 26 - length(bin(hv div 64)) END").cast("int").as("r"))
+    val mx = b.groupBy("flag", "bucket").agg(max("r").as("mr"))
+    val grid = li.select("flag").distinct()
+      .crossJoin(broadcast(s.range(0, 64).select(col("id").as("bucket"))))
+    val agg = grid.join(mx, Seq("flag", "bucket"), "left")
+      .select(col("flag"), coalesce(col("mr"), lit(0)).as("mj"))
+      .groupBy("flag")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 26 - mj)")).cast("long")
+        .as("s_scaled"))
+    val nTrue = li.groupBy("flag")
+      .agg(count_distinct(col("l_partkey")).cast("long").as("exact_parts"))
+    agg.join(nTrue, Seq("flag"))
+      .select(col("flag").as("l_returnflag"), col("s_scaled"),
+        (lit(194908456023.296) / col("s_scaled").cast("double"))
+          .as("approx_est"),
+        col("exact_parts"))
       .orderBy("l_returnflag")
   }
 

@@ -360,11 +360,33 @@ object SqlTwins {
         |  AS t(column_name, ordinal, is_measure)
         |ORDER BY ordinal""".stripMargin,
 
+    // the q_hll_distinct register spelling, keyed by returnflag
     "q_approx_distinct" ->
-      """SELECT l_returnflag,
-        |  approx_count_distinct(l_partkey) AS approx_parts,
-        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
-        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+      """WITH b AS (SELECT flag, hv % 64 AS bucket,
+        |        CASE WHEN hv div 64 = 0 THEN 26
+        |             ELSE 26 - length(bin(hv div 64)) END AS r
+        |      FROM (SELECT l_returnflag AS flag,
+        |              graft_md5_mod31(CAST(l_partkey AS STRING)) AS hv
+        |            FROM lineitem)),
+        |mx AS (SELECT flag, bucket, MAX(r) AS mr FROM b GROUP BY 1, 2),
+        |fl AS (SELECT DISTINCT l_returnflag AS flag FROM lineitem),
+        |g AS (SELECT f.flag, gg.bucket FROM fl f
+        |      CROSS JOIN (SELECT explode(sequence(0, 63)) AS bucket) gg),
+        |reg AS (SELECT g.flag, COALESCE(mx.mr, 0) AS mj
+        |        FROM g LEFT JOIN mx ON mx.flag = g.flag
+        |                           AND mx.bucket = g.bucket),
+        |agg AS (SELECT flag,
+        |          CAST(SUM(shiftleft(CAST(1 AS BIGINT), 26 - mj))
+        |               AS BIGINT) AS s_scaled
+        |        FROM reg GROUP BY 1),
+        |nt AS (SELECT l_returnflag AS flag,
+        |         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+        |       FROM lineitem GROUP BY 1)
+        |SELECT a.flag AS l_returnflag, a.s_scaled,
+        |       194908456023.296 / CAST(a.s_scaled AS DOUBLE) AS approx_est,
+        |       nt.exact_parts
+        |FROM agg a JOIN nt ON nt.flag = a.flag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT doc_id, lang, source, n_chars,

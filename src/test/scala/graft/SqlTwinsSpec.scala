@@ -18,7 +18,7 @@ class SqlTwinsSpec extends SparkSpec {
     // verdict #4 caught a drift. Bump this alongside the docs per query.
     assert(names.size == 152,
       s"registry has ${names.size} queries; update NOTES.md and this pin")
-    assert(SparkEntry.oracleSql.size == 151,
+    assert(SparkEntry.oracleSql.size == 152,
       s"${SparkEntry.oracleSql.size} oracle-gated; update NOTES.md + pin")
   }
 
