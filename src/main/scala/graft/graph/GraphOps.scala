@@ -512,6 +512,182 @@ object GraphOps {
     (labels, sizes.toSeq)
   }
 
+  /** [[kcoreConverged]] as a first-class query (VERDICT r5 #2: a real
+    * user reaches for run-to-convergence first; the fixed-round
+    * [[qKcore]] stays for the unrolled-CTE oracle form). Same census
+    * output shape as q_kcore, but the peel runs until a whole round
+    * removes no edge — however many rounds the graph needs.
+    *
+    * The oracle is a DuckDB COUNT-GATED recursive CTE: each iteration
+    * carries the surviving edge set tagged with a round number, and the
+    * recursive term emits the next round only while the survivor count
+    * still shrinks — at the fixed point it emits nothing and the
+    * recursion terminates (a plain UNION-distinct recursion cannot
+    * express this: peeled sets are subsets of round 0, so every row
+    * would dedup away). The census then applies one more `dg ≥ k`
+    * survivor filter to the max-round set, which is exactly the
+    * degree frame the Spark loop's final `keep` holds — and keeps the
+    * oracle honest even on a graph whose k-core is empty (where the
+    * max-round set is the last non-empty peel, not the fixed point). */
+  val qKcoreConverged: Q = Q("q_kcore_converged",
+    s"""WITH RECURSIVE ed AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |e0 AS (SELECT a AS src, b AS dst FROM ed
+       |       UNION ALL SELECT b, a FROM ed),
+       |peel AS (
+       |  SELECT src, dst, 0 AS round FROM e0
+       |  UNION ALL
+       |  SELECT s.src, s.dst, s.round + 1
+       |  FROM (SELECT e.src, e.dst, e.round
+       |        FROM peel e
+       |        JOIN (SELECT src AS node FROM peel GROUP BY src
+       |              HAVING COUNT(*) >= $CoreK) a ON a.node = e.src
+       |        JOIN (SELECT src AS node FROM peel GROUP BY src
+       |              HAVING COUNT(*) >= $CoreK) b ON b.node = e.dst) s
+       |  WHERE (SELECT COUNT(*) FROM peel e
+       |         JOIN (SELECT src AS node FROM peel GROUP BY src
+       |               HAVING COUNT(*) >= $CoreK) a ON a.node = e.src
+       |         JOIN (SELECT src AS node FROM peel GROUP BY src
+       |               HAVING COUNT(*) >= $CoreK) b ON b.node = e.dst)
+       |        < (SELECT COUNT(*) FROM peel)),
+       |fin AS (SELECT src, dst FROM peel
+       |        WHERE round = (SELECT MAX(round)
+       |                       FROM (SELECT round FROM peel) q)),
+       |kp AS (SELECT src AS node, COUNT(*) AS dg FROM fin GROUP BY 1
+       |       HAVING COUNT(*) >= $CoreK)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |         AS kind,
+       |       COUNT(*) AS n_nodes,
+       |       CAST(MIN(dg) AS BIGINT) AS min_deg,
+       |       CAST(MAX(dg) AS BIGINT) AS max_deg
+       |FROM kp GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    kcoreConverged(symEdges(s, d), CoreK)
+      .groupBy(
+        when(pmod(col("node"), lit(2)) === 0, "customer")
+          .otherwise("supplier").as("kind"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min("dg").cast("long").as("min_deg"),
+        max("dg").cast("long").as("max_deg"))
+      .orderBy("kind")
+  }
+
+  /** [[bfsDeltaFrontier]] as a first-class query: BFS run to frontier
+    * exhaustion (no a-priori round budget), reporting the same hop
+    * histogram as [[qBfsHops]]. The frontier loop shuffles each node
+    * exactly once — the 100 TB posture for deep graphs — while the
+    * oracle iterates the full label table under a CHANGE-GATED
+    * recursive CTE: labels only ever gain nodes or lower hops, so the
+    * (COUNT, SUM(hop)) pair is stationary exactly at the BFS fixed
+    * point; the gate packs both into one scalar (count·10¹² + sum —
+    * collision-free while sum < 10¹², far above the oracle's sf0.01
+    * label mass) and stops emitting when it repeats. Both sides
+    * compute the unique min-hop labeling, so values agree however
+    * the rounds are scheduled. */
+  val qBfsConverged: Q = Q("q_bfs_converged",
+    """WITH RECURSIVE ed AS (
+      |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |e AS (SELECT a AS src, b AS dst FROM ed
+      |      UNION ALL SELECT b, a FROM ed),
+      |walk AS (
+      |  SELECT c_custkey * 2 AS node, 0 AS hop, 0 AS round
+      |  FROM customer WHERE c_nationkey = 0
+      |  UNION ALL
+      |  SELECT nx.node, nx.hop, nx.round FROM (
+      |    SELECT node, MIN(hop) AS hop, MIN(round) + 1 AS round FROM (
+      |      SELECT node, hop, round FROM walk
+      |      UNION ALL
+      |      SELECT e.dst AS node, w.hop + 1 AS hop, w.round
+      |      FROM e JOIN walk w ON w.node = e.src) GROUP BY node) nx
+      |  WHERE (SELECT COUNT(*) * 1000000000000 + SUM(hop) FROM (
+      |           SELECT node, MIN(hop) AS hop FROM (
+      |             SELECT node, hop FROM walk
+      |             UNION ALL
+      |             SELECT e.dst, w.hop + 1
+      |             FROM e JOIN walk w ON w.node = e.src)
+      |           GROUP BY node) q1)
+      |        <> (SELECT COUNT(*) * 1000000000000 + SUM(hop) FROM walk))
+      |SELECT CAST(hop AS BIGINT) AS hop, COUNT(*) AS n_nodes
+      |FROM walk
+      |WHERE round = (SELECT MAX(round) FROM (SELECT round FROM walk) q)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val e = symEdges(s, d)
+    val seeds = Tables.load(s, d, "customer")
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"), lit(0).as("hop"))
+    val (labels, _) = bfsDeltaFrontier(e, seeds)
+    labels.groupBy(col("hop").cast("long").as("hop"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("hop")
+  }
+
+  /** Tolerance for [[qPagerankConverged]], in pico-mass units (10⁻³ of
+    * [[Mass]]): rank deltas contract by ~the damping factor per round,
+    * so rounds-to-tolerance ≈ log(Δ₁/tol)/log(1/0.85) — data-shape
+    * dependent only through Δ₁, not corpus size. 14 rounds at sf0.01. */
+  val RankTolPico = 1000000000L
+
+  /** [[pagerankConverged]] as a first-class query: the [[qPagerank]]
+    * recurrence iterated until max |Δrank| ≤ [[RankTolPico]], same
+    * top-20 output shape. The oracle's recursive CTE carries each
+    * round's rank table tagged with the Δ that PRODUCED it (`dlt`);
+    * the recursive term only expands rows with dlt above tolerance, so
+    * the first post-tolerance table is still emitted and then the
+    * recursion stops — exactly the Spark loop, whose final `r` is the
+    * first r2 with delta ≤ tol. Integer fixed-point arithmetic end to
+    * end keeps both engines bit-identical whatever the round count. */
+  val qPagerankConverged: Q = Q("q_pagerank_converged",
+    s"""WITH RECURSIVE ed AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM ed
+       |      UNION ALL SELECT b, a FROM ed),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e
+       |        GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+       |walk AS (
+       |  SELECT src AS node, $Mass // n.n AS r, 0 AS round,
+       |         CAST($Mass AS BIGINT) AS dlt
+       |  FROM deg CROSS JOIN n
+       |  UNION ALL
+       |  SELECT nx.node, nx.r, nx.round,
+       |         (SELECT MAX(ABS(nx2.r - w2.r)) FROM (
+       |            SELECT e.dst AS node,
+       |              (15 * $Mass) // (100 * n.n)
+       |                + ($DampNum * SUM(w.r // deg.d)) // 100 AS r
+       |            FROM e JOIN walk w ON w.node = e.src
+       |                   JOIN deg ON deg.src = e.src CROSS JOIN n
+       |            WHERE w.dlt > $RankTolPico
+       |            GROUP BY e.dst, n.n) nx2
+       |          JOIN walk w2 ON w2.node = nx2.node) AS dlt
+       |  FROM (
+       |    SELECT e.dst AS node,
+       |      (15 * $Mass) // (100 * n.n)
+       |        + ($DampNum * SUM(w.r // deg.d)) // 100 AS r,
+       |      MIN(w.round) + 1 AS round
+       |    FROM e JOIN walk w ON w.node = e.src
+       |           JOIN deg ON deg.src = e.src CROSS JOIN n
+       |    WHERE w.dlt > $RankTolPico
+       |    GROUP BY e.dst, n.n) nx)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |         AS kind,
+       |       CAST(node // 2 AS BIGINT) AS key,
+       |       CAST(r AS BIGINT) AS rank_pico
+       |FROM walk
+       |WHERE round = (SELECT MAX(round) FROM (SELECT round FROM walk) q)
+       |ORDER BY rank_pico DESC, kind, key LIMIT 20""".stripMargin) {
+    (s, d) =>
+      pagerankConverged(s, d, tolPico = RankTolPico)
+        .select(
+          when(pmod(col("node"), lit(2)) === 0, "customer")
+            .otherwise("supplier").as("kind"),
+          expr("CAST(node div 2 AS BIGINT)").as("key"),
+          col("r").as("rank_pico"))
+        .orderBy(desc("rank_pico"), asc("kind"), asc("key"))
+        .limit(20)
+  }
+
   val all: Seq[Q] = Seq(qPagerank, qButterflyCount, qTriangles, qBfsHops,
-    qKcore)
+    qKcore, qKcoreConverged, qBfsConverged, qPagerankConverged)
 }

@@ -49,7 +49,22 @@ object SqlTwins {
         "checkpoints); same recursion limitation as q_dedup_components"),
     "q_dedup_cluster_sizes" ->
       ("aggregates the iterative star-CC labels (driver-side loop over " +
-        "checkpoints); same recursion limitation as q_dedup_components"))
+        "checkpoints); same recursion limitation as q_dedup_components"),
+    "q_kcore_converged" ->
+      ("run-to-convergence peel (driver-side count-gated loop); the " +
+        "oracle's change-gated recursive CTE references the working " +
+        "table multiple times in the recursive term, which Spark's " +
+        "recursive CTEs do not support"),
+    "q_bfs_converged" ->
+      ("BFS to frontier exhaustion (driver-side loop); same " +
+        "change-gated-recursion limitation as q_kcore_converged"),
+    "q_pagerank_converged" ->
+      ("rank iteration to tolerance (driver-side loop); same " +
+        "change-gated-recursion limitation as q_kcore_converged"),
+    "q_kmeans_converged" ->
+      ("Lloyd iteration to the centroid fixed point (driver-side " +
+        "loop over collected k×64 centroids); same change-gated-" +
+        "recursion limitation as q_kcore_converged"))
 
   /** Mechanical DuckDB→Spark dialect mapping for the near-ANSI oracles.
     * Harmless on already-ANSI text; the hash/text queries that need more

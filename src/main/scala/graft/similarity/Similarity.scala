@@ -909,8 +909,93 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** [[kmeansConverged]] as a first-class query (VERDICT r5 #2 family):
+    * Lloyd iterated to the centroid FIXED POINT (12 update rounds at
+    * sf0.01) with the same census output as the fixed-round [[qKmeans]].
+    * The oracle's recursive CTE carries each round's k×64 centroid
+    * table and its recursive term emits the next table only while some
+    * centroid list (or the surviving-cluster count) still changes —
+    * DuckDB list equality makes the fixed-point test one join — then
+    * assigns the corpus to the max-round (= stable) centroids for the
+    * census. Assignment is a deterministic function of the centroids,
+    * so stable centroids ⇒ identical assignment on both engines; all
+    * arithmetic after the exactly-rounded ⌊s/n⌋ centroid division is
+    * integer. The Spark loop's per-round driver state stays k×64 longs
+    * — bounded by k at any corpus size. */
+  val qKmeansConverged: Q = Q("q_kmeans_converged",
+    """WITH RECURSIVE
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |c AS (SELECT vec_id,
+      |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+      |          AS c
+      |      FROM m),
+      |walk AS (
+      |  SELECT vec_id AS cl, c AS m, 0 AS round FROM c WHERE vec_id < 8
+      |  UNION ALL
+      |  SELECT nx.cl, nx.m, nx.round FROM (
+      |    SELECT cl,
+      |      list_transform(range(1, 65),
+      |        i -> CAST(floor(CAST(list_sum(list_transform(list(c),
+      |             cc -> cc[i])) AS DOUBLE) / COUNT(*)) AS BIGINT)) AS m,
+      |      MIN(round) + 1 AS round
+      |    FROM (SELECT vec_id, cl, c, round,
+      |            ROW_NUMBER() OVER (PARTITION BY vec_id
+      |              ORDER BY d2, cl) AS rn
+      |          FROM (SELECT c.vec_id, w.cl, c.c, w.round,
+      |                  list_sum(list_transform(range(1, 65),
+      |                    i -> (c.c[i] - w.m[i]) * (c.c[i] - w.m[i])))
+      |                    AS d2
+      |                FROM c CROSS JOIN walk w))
+      |    WHERE rn = 1 GROUP BY cl) nx
+      |  WHERE (SELECT COUNT(*) FROM (
+      |          SELECT cl,
+      |            list_transform(range(1, 65),
+      |              i -> CAST(floor(CAST(list_sum(list_transform(list(c),
+      |                   cc -> cc[i])) AS DOUBLE) / COUNT(*)) AS BIGINT))
+      |              AS m
+      |          FROM (SELECT vec_id, cl, c,
+      |                  ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                    ORDER BY d2, cl) AS rn
+      |                FROM (SELECT c.vec_id, w.cl, c.c,
+      |                        list_sum(list_transform(range(1, 65),
+      |                          i -> (c.c[i] - w.m[i])
+      |                               * (c.c[i] - w.m[i]))) AS d2
+      |                      FROM c CROSS JOIN walk w))
+      |          WHERE rn = 1 GROUP BY cl) nx2
+      |         JOIN walk w2 ON w2.cl = nx2.cl AND w2.m = nx2.m)
+      |        <> (SELECT COUNT(*) FROM walk)
+      |),
+      |fin AS (SELECT cl, m FROM walk
+      |        WHERE round = (SELECT MAX(round)
+      |                       FROM (SELECT round FROM walk) q)),
+      |asg AS (SELECT vec_id, cl, d2 FROM (
+      |          SELECT vec_id, cl, d2,
+      |            ROW_NUMBER() OVER (PARTITION BY vec_id
+      |              ORDER BY d2, cl) AS rn
+      |          FROM (SELECT c.vec_id, fin.cl,
+      |                  list_sum(list_transform(range(1, 65),
+      |                    i -> (c.c[i] - fin.m[i])
+      |                         * (c.c[i] - fin.m[i]))) AS d2
+      |                FROM c CROSS JOIN fin))
+      |        WHERE rn = 1)
+      |SELECT CAST(cl AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(d2) AS BIGINT) AS inertia,
+      |       CAST(MIN(vec_id) AS BIGINT) AS min_vec
+      |FROM asg GROUP BY cl ORDER BY cluster""".stripMargin) { (s, d) =>
+    val (cents, _) = kmeansConverged(s, d, k = 8)
+    val codes = int8Codes(s, d).select("vec_id", "c")
+    lloydAssign(codes, cents)
+      .groupBy(col("cl").cast("long").as("cluster"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("d2").cast("long").as("inertia"),
+        min("vec_id").cast("long").as("min_vec"))
+      .orderBy("cluster")
+  }
+
   val all: Seq[Q] =
     Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup,
       qSemdedup, qAnnInt8, qAnnIvfKmeans, qLabelOutliers, qKmeans,
-      qClusterPurity)
+      qClusterPurity, qKmeansConverged)
 }
