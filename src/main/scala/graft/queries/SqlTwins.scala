@@ -1094,6 +1094,28 @@ object SqlTwins {
         |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT) AS checksum
         |FROM g ORDER BY doc_id""".stripMargin,
 
+    // closed form of the uniform-frame MJPEG-AVI chain (frame f is the
+    // constant text byte at (f*37)%n, so the position-weighted pixel sum
+    // telescopes to (wh)(wh+1)/2 * sum_f (f+1)*v_f)
+    "q_avi_frames" ->
+      """WITH g AS (SELECT doc_id, text, length(text) AS n,
+        |    CAST(2 + doc_id % 3 AS INT) AS nf,
+        |    CAST(8 + doc_id % 8 AS INT) AS w,
+        |    CAST(8 + doc_id % 4 AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  w AS width, h AS height,
+        |  CAST(CAST(w AS BIGINT) * h *
+        |    aggregate(transform(sequence(0, nf - 1), f ->
+        |      CAST(ascii(substring(text, (f * 37) % n + 1, 1)) AS BIGINT)),
+        |      CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT) AS px_sum,
+        |  CAST((CAST(w AS BIGINT) * h * (CAST(w AS BIGINT) * h + 1) div 2) *
+        |    aggregate(transform(sequence(0, nf - 1), f ->
+        |      CAST(f + 1 AS BIGINT)
+        |        * ascii(substring(text, (f * 37) % n + 1, 1))),
+        |      CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT) AS checksum
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "q_media_resize" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 24 AS INT) AS in_w,
