@@ -39,11 +39,37 @@ import graft.queries.Q
   */
 object Similarity {
 
+  /** One integer tuning knob: environment variable first, then JVM system
+    * property (same name), then the built-in default; range-validated at
+    * class init so a bad setting fails fast, not mid-query. Frozen at
+    * object init — every query and every generated oracle/twin SQL string
+    * in one JVM sees the SAME value, which is what keeps the engine and
+    * its DuckDB oracle consistent under ANY setting (the oracle CTEs
+    * interpolate these vals, they never hard-code them). */
+  private[graft] def intKnob(name: String, default: Int, lo: Int,
+      hi: Int): Int = {
+    val v = sys.env.get(name).orElse(sys.props.get(name)) match {
+      case Some(s) =>
+        try s.trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$name='$s' is not an int") }
+      case None => default
+    }
+    require(v >= lo && v <= hi, s"$name=$v outside [$lo, $hi]")
+    v
+  }
+
   /** LSH banding shape: Bands × PlanesPerBand total hyperplanes.
     * PlanesPerBand is the scale knob (per-band bucket space = 2^R);
-    * Bands is the recall knob (OR-construction). */
-  val Bands = 4
-  val PlanesPerBand = 8
+    * Bands is the recall knob (OR-construction).
+    *
+    * Tunable (VERDICT r5 #5) via env var or -D system property; the
+    * defaults fit the sf-test corpus (N≈2k). Sizing at scale:
+    * R = PlanesPerBand ≈ log2(N / target-bucket-size) — e.g. N=10⁹
+    * vectors at ~1k-vector buckets ⇒ R≈20; Bands per the recall target
+    * 1−(1−p^R)^B. */
+  val Bands: Int = intKnob("GRAFT_LSH_BANDS", 4, 1, 64)
+  val PlanesPerBand: Int = intKnob("GRAFT_LSH_PLANES_PER_BAND", 8, 1, 30)
   val Dim = 64
 
   /** Deterministic ±1 hyperplane weights: sign from an LCG over the flat
@@ -286,8 +312,17 @@ object Similarity {
     * deterministic slice of the corpus itself (vec_id 100..100+Cells-1) so
     * both engines share them without an iterative k-means whose float
     * reduction order would diverge across engines. */
-  val IvfCells = 16
-  val IvfProbe = 2
+  /** Tunable (VERDICT r5 #5) like the LSH shape above. Sizing at scale:
+    * cells ≈ √N (the FAISS IVF guideline — N=10⁹ ⇒ ~32k cells, NOT the
+    * 16 that fits the 2k-vector test corpus), nprobe trades recall for
+    * probe cost (1–8% of cells is the usual band). The probed-cell
+    * candidate volume is N·nprobe/cells per query — keeping it flat
+    * under 1000× data means growing cells 1000×, which is exactly why
+    * this is a knob and not a constant. */
+  val IvfCells: Int = intKnob("GRAFT_IVF_CELLS", 16, 1, 1 << 20)
+  val IvfProbe: Int = intKnob("GRAFT_IVF_NPROBE", 2, 1, 1 << 10)
+  require(IvfProbe <= IvfCells,
+    s"GRAFT_IVF_NPROBE=$IvfProbe exceeds GRAFT_IVF_CELLS=$IvfCells")
   private val IvfAnchorBase = 100
 
   /** Shared oracle CTE fragment: `ranked` = every vector scored against
