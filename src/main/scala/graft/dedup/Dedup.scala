@@ -663,19 +663,21 @@ object Dedup {
     var converged = edges.isEmpty
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      // `roundsPerCheck` star rounds compose plan-side between
-      // materializations: each checkpoint+count+except costs fixed job
-      // overhead, and star rounds are no-ops at the fixed point, so
-      // batching trades ≤ roundsPerCheck−1 extra no-op rounds for
-      // 1/roundsPerCheck of the per-check costs. Sound because the
+      // Every star round is materialized (a round references its input
+      // several times — composing rounds plan-side re-evaluates the
+      // shared subtree per reference: measured 2× wall per batched round
+      // on a 1M-edge deep graph, tools/CCProbe r6). Batching therefore
+      // skips only the CHECK (count + except) on intermediate rounds,
+      // trading ≤ roundsPerCheck−1 extra no-op rounds for
+      // 1/roundsPerCheck of the per-check job costs. Sound because the
       // operator pair has a strictly decreasing potential (Kiveris et al.
       // §4) — no periodic orbits a batched equality check could mistake
       // for a fixed point.
       var cur = edges
       (1 to roundsPerCheck).foreach { _ =>
-        cur = starRound(cur); rounds += 1
+        cur = starRound(cur).localCheckpoint(true); rounds += 1
       }
-      val next = cur.localCheckpoint(true)
+      val next = cur
       // fixed point: a min-rooted star is invariant under both operators.
       // Both frames are DISTINCT sets, so |A|=|B| ∧ A∖B=∅ ⟺ A=B: the
       // cheap count gates the single except (exact, no fingerprints) —

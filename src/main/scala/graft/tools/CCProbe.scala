@@ -29,6 +29,22 @@ object CCProbe {
       println(s"=== chain rpc=$rpc rows=$n rounds=" +
         graft.dedup.Dedup.lastStarRounds)
     }
+    // DEEP case (VERDICT r5 #7): near-dup graphs are shallow, but the
+    // 100 TB risk is a deep component. 2000 parallel chains of 500 nodes
+    // (1M nodes / ~1M edges, diameter 499) give depth AND real per-round
+    // shuffle volume, so the per-check fixed costs (checkpoint + count +
+    // except) compete against genuine star-round work.
+    val deep = spark.range(0, 2000L * 500)
+      .filter(col("id") % 500 =!= 499)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      .localCheckpoint(true)
+    for (rpc <- Seq(1, 2, 3)) {
+      time(s"deep 2000x500 starCC rpc=$rpc") {
+        graft.dedup.Dedup.starComponents(deep, maxRounds = 40,
+          roundsPerCheck = rpc).count()
+      }
+      println(s"    rounds=" + graft.dedup.Dedup.lastStarRounds)
+    }
     val pairs = graft.dedup.Dedup.jaccardPairsFrom(
       graft.functions.TextHash.addShingleHashes(
         graft.io.Tables.load(spark, d, "documents"), col("text"))
