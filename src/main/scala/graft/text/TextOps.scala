@@ -937,10 +937,91 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Rounds of BPE merge training ([[qBpeTrain]]). */
+  private[graft] val BpeRounds = 5
+
+  /** DuckDB oracle for [[qBpeTrain]]: the same `rounds` training rounds
+    * unrolled as CTEs (pair counts → deterministic argmax → one replace
+    * pass), MATERIALIZED so each corpus state is computed once (the
+    * replace chain would otherwise re-expand per reference). */
+  private def bpeOracleSql(rounds: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += "d1 AS MATERIALIZED (SELECT ' ' || text || ' ' AS t FROM documents)"
+    for (r <- 1 to rounds) {
+      parts += s"""p$r AS (
+        |  SELECT pr.lhs AS lhs, pr.rhs AS rhs, COUNT(*)::BIGINT AS c
+        |  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+        |          i -> {'lhs': toks[i], 'rhs': toks[i+1]})) AS pr
+        |        FROM (SELECT string_split(trim(t), ' ') AS toks FROM d$r))
+        |  GROUP BY 1, 2)""".stripMargin
+      parts += s"m$r AS (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1)"
+      if (r < rounds)
+        parts += s"""d${r + 1} AS MATERIALIZED (SELECT replace(t,
+          |   ' ' || (SELECT lhs FROM m$r) || ' ' || (SELECT rhs FROM m$r) || ' ',
+          |   ' ' || (SELECT lhs FROM m$r) || '+' || (SELECT rhs FROM m$r) || ' ') AS t
+          |  FROM d$r)""".stripMargin
+    }
+    val sel = (1 to rounds).map(r =>
+      s"SELECT $r AS merge_rank, lhs, rhs, c AS pair_count FROM m$r")
+      .mkString(" UNION ALL ")
+    "WITH " + parts.result().mkString(",\n") +
+      s"\nSELECT * FROM ($sel) ORDER BY merge_rank"
+  }
+
+  /** BPE merge TRAINING at corpus scale — the vocabulary-learning loop of
+    * an LLM tokenizer (Sennrich et al., ACL 2016), word-level over the
+    * corpus: each round counts adjacent token pairs, picks the argmax
+    * (count DESC, then lexicographic — fully deterministic), and
+    * re-segments every document by fusing that pair into one token.
+    * Output: the learned merge table (rank, pair, count at adoption).
+    *
+    * Re-segmentation semantics (pinned, engine-consistent): ONE standard
+    * leftmost non-overlapping `replace` pass over the space-joined text
+    * per learned merge — an occurrence consumes its flanking separators,
+    * so back-to-back occurrences of the SAME pair (" a a a ") fuse only
+    * the first in that round; canonical BPE's repeated-scan greedy differs
+    * exactly there. Spark's `replace` and DuckDB's `replace` share the
+    * leftmost-non-overlapping contract, which is what makes the training
+    * loop value-gateable bit-for-bit.
+    *
+    * Scale shape: per round ONE aggregation whose key space is bounded by
+    * vocab² (map-side partial combine; never data-scaled), ONE driver row
+    * (the argmax — domain-bounded like the kmeans centroids), and a
+    * NARROW per-row replace projection — the corpus is never shuffled.
+    * The composed replace chain re-reads the scan once per round (R scans
+    * total); at 100 TB you'd localCheckpoint each re-segmented state
+    * instead, trading executor storage for linear scans — same plan
+    * either way, the knob is where to materialize. */
+  val qBpeTrain: Q = Q("q_bpe_train", bpeOracleSql(BpeRounds)) { (s, d) =>
+    import s.implicits._
+    var t = docs(s, d).select(
+      concat(lit(" "), col("text"), lit(" ")).as("t"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val top = t
+        .select(split(trim(col("t")), " ").as("w"))
+        .filter(size(col("w")) > 1)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), " +
+            "i -> struct(w[i] AS lhs, w[i + 1] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()(0)
+      val (lw, rw, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r, lw, rw, c))
+      t = t.select(call_function("replace", col("t"),
+        lit(s" $lw $rw "), lit(s" $lw+$rw ")).as("t"))
+    }
+    merges.result()
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCounts, qTokenBpe, qQualityScore, qRepetition,
     qLangId, qFingerprint, qCorpusClean, qVocabTopk, qPiiRedact,
     qPackChunks, qSplitHash, qMixtureSample, qTokenBudget, qGlobalRank,
     qStratifiedSample, qCountminTokens, qHeavyHitters, qSplitDrift,
-    qTokenGini, qVocabCoverage)
+    qTokenGini, qVocabCoverage, qBpeTrain)
 }

@@ -141,4 +141,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fb == Multimodal.byteStats(
       Multimodal.MediaRow(2L, "text/plain", txt)))
   }
+
+  test("bpe training matches a plain-Scala reference, incl. the adjacent-repeat rule") {
+    // reference implementation of the PINNED semantics: argmax by
+    // (count desc, lhs, rhs), then ONE leftmost non-overlapping replace
+    // of " lhs rhs " over the space-wrapped text per round
+    def train(docs0: Seq[String], rounds: Int): Seq[(Int, String, String, Long)] = {
+      var ds = docs0.map(t => s" $t ")
+      (1 to rounds).map { r =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        ds.foreach { t =>
+          val w = t.trim.split(" ")
+          (0 until w.length - 1).foreach(i =>
+            counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + 1)
+        }
+        val ((l, rr), c) = counts.toSeq.minBy { case ((l, rr), c) => (-c, l, rr) }
+        ds = ds.map(_.replace(s" $l $rr ", s" $l+$rr "))
+        (r, l, rr, c)
+      }
+    }
+    import spark.implicits._
+    // tiny corpus with a planted adjacent-repeat run ("x x x x") so the
+    // single-pass rule (first occurrence only per round) is exercised
+    val corpus = Seq("x x x x y", "x x y z", "a b a b", "a b c", "q")
+    corpus.toDF("text").createOrReplaceTempView("bpe_tiny")
+    var t = spark.table("bpe_tiny")
+      .select(concat(lit(" "), col("text"), lit(" ")).as("t"))
+    // run the engine's loop body against the tiny view via the public
+    // query on a scratch dir is not possible (it reads `documents`), so
+    // mirror the exact program inline at rounds=3
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to 3) {
+      val top = t.select(split(trim(col("t")), " ").as("w"))
+        .filter(size(col("w")) > 1)
+        .select(explode(expr("transform(sequence(0, size(w) - 2), " +
+          "i -> struct(w[i] AS lhs, w[i + 1] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()(0)
+      val (lw, rw, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r, lw, rw, c))
+      t = t.select(call_function("replace", col("t"),
+        lit(s" $lw $rw "), lit(s" $lw+$rw ")).as("t"))
+    }
+    assert(merges.result() == train(corpus, 3))
+    // and the corpus-scale query emits exactly BpeRounds ranked rows with
+    // positive, non-increasing-only-by-merge counts
+    val rows = TextOps.qBpeTrain.fn(spark, sf001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to TextOps.BpeRounds))
+    assert(rows.forall(_.getLong(3) > 0))
+  }
 }
