@@ -815,6 +815,79 @@ object SqlTwins {
         |SELECT query_id, neighbor_id, rnk, idot
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    "q_ann_ivfpq" -> {
+      import graft.similarity.Similarity.{PqAnchorBounds, PqSubDim,
+        PqSubspaces}
+      s"""WITH $sparkIvfRankedCte,
+         |im AS (SELECT vec_id, v, array_max(transform(v, x -> abs(x)))
+         |         AS mx FROM e),
+         |ic AS (SELECT vec_id,
+         |         transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+         |           AS c
+         |       FROM im),
+         |cent AS (SELECT vec_id - ${PqAnchorBounds._1} AS j, c AS cc
+         |         FROM ic WHERE vec_id >= ${PqAnchorBounds._1}
+         |           AND vec_id < ${PqAnchorBounds._2}),
+         |sd AS (SELECT ic.vec_id, s.m, ct.j,
+         |         aggregate(transform(sequence(1, $PqSubDim), i ->
+         |           (element_at(ic.c, s.m * $PqSubDim + i)
+         |              - element_at(ct.cc, s.m * $PqSubDim + i))
+         |           * (element_at(ic.c, s.m * $PqSubDim + i)
+         |              - element_at(ct.cc, s.m * $PqSubDim + i))),
+         |           CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist
+         |       FROM ic
+         |       CROSS JOIN (SELECT explode(sequence(0, ${PqSubspaces - 1}))
+         |                     AS m) s
+         |       CROSS JOIN cent ct),
+         |enc AS (SELECT vec_id, m, j FROM (
+         |        SELECT vec_id, m, j, ROW_NUMBER() OVER (
+         |          PARTITION BY vec_id, m ORDER BY dist, j) AS rn FROM sd)
+         |        WHERE rn = 1),
+         |scored AS (
+         |  SELECT p.query_id, c2.vec_id AS neighbor_id,
+         |         CAST(SUM(qs.dist) AS BIGINT) AS adc
+         |  FROM probes2 p
+         |  JOIN cells2 c2 ON c2.cell = p.qcell AND c2.vec_id != p.query_id
+         |  JOIN enc eb ON eb.vec_id = c2.vec_id
+         |  JOIN sd qs ON qs.vec_id = p.query_id AND qs.m = eb.m
+         |            AND qs.j = eb.j
+         |  GROUP BY 1, 2),
+         |rankedq AS (SELECT query_id, neighbor_id, adc,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY adc, neighbor_id) AS BIGINT) AS rnk FROM scored)
+         |SELECT query_id, neighbor_id, rnk, adc
+         |FROM rankedq WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    },
+
+    "q_ann_filtered" ->
+      s"""WITH $sparkIvfRankedCte,
+         |el AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v
+         |       FROM embeddings),
+         |im AS (SELECT vec_id, label, v,
+         |         array_max(transform(v, x -> abs(x))) AS mx FROM el),
+         |ic AS (SELECT vec_id, label,
+         |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+         |          AS c
+         |      FROM im),
+         |cand AS (SELECT p.query_id, qi.c AS qc,
+         |                b.vec_id AS neighbor_id, b.c AS bc
+         |         FROM probes2 p
+         |         JOIN ic qi ON qi.vec_id = p.query_id
+         |         JOIN cells2 c2 ON c2.cell = p.qcell
+         |                       AND c2.vec_id != p.query_id
+         |         JOIN ic b ON b.vec_id = c2.vec_id
+         |                  AND b.label = qi.label),
+         |scored AS (SELECT query_id, neighbor_id,
+         |    aggregate(zip_with(qc, bc, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, x) -> acc + x) AS idot
+         |  FROM cand),
+         |rankedf AS (SELECT query_id, neighbor_id, idot,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY idot DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, idot
+         |FROM rankedf WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
     "q_label_outliers" ->
       """WITH e AS (SELECT vec_id, label,
         |             CAST(embedding AS ARRAY<DOUBLE>) AS v
@@ -1156,6 +1229,7 @@ object SqlTwins {
          |FROM sh2 ORDER BY doc_id""".stripMargin,
 
     "q_simhash_wide_pairs" -> simhashWidePairsTwin,
+    "q_bpe_train" -> bpeTrainTwin,
 
     "q_corpus_clean" ->
       s"""WITH $shingleCte,
@@ -1276,6 +1350,59 @@ object SqlTwins {
        |FROM cand
        |WHERE bit_count(sim_a ^ sim_b) <= 5
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Spark-dialect IVF fragment shared by the ANN twins: `ranked`
+    * (corpus × anchor cosines with per-vector anchor rank), `cells2`
+    * (arnk = 1 assignment) and `probes2` (per-query probe cells) —
+    * mirrors [[graft.similarity.Similarity]]'s ivfRankedCteSql. */
+  private lazy val sparkIvfRankedCte: String = {
+    import graft.similarity.Similarity.{AnchorRangeSql, IvfProbe, QuerySet}
+    s"""e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e),
+       |anch AS (SELECT vec_id AS anchor_id, v AS av, nrm AS anrm FROM n
+       |         WHERE $AnchorRangeSql),
+       |assign AS (SELECT n.vec_id, a.anchor_id,
+       |             graft_dot(n.v, a.av) / (n.nrm * a.anrm) AS acos
+       |           FROM n CROSS JOIN anch a),
+       |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY acos DESC, anchor_id) AS BIGINT) AS arnk
+       |           FROM assign),
+       |cells2 AS (SELECT vec_id, anchor_id AS cell FROM ranked
+       |           WHERE arnk = 1),
+       |probes2 AS (SELECT vec_id AS query_id, anchor_id AS qcell
+       |            FROM ranked WHERE arnk <= $IvfProbe AND $QuerySet)"""
+      .stripMargin
+  }
+
+  /** Spark-dialect unroll of the BPE training loop (the DataFrame
+    * program's driver-side argmax collects become scalar subqueries). */
+  private lazy val bpeTrainTwin: String = {
+    val rounds = graft.text.TextOps.BpeRounds
+    val parts = Seq.newBuilder[String]
+    parts += "d1 AS (SELECT ' ' || text || ' ' AS t FROM documents)"
+    for (r <- 1 to rounds) {
+      parts += s"""p$r AS (
+        |  SELECT p.lhs AS lhs, p.rhs AS rhs, COUNT(*) AS c
+        |  FROM (SELECT explode(transform(sequence(0, size(w) - 2),
+        |          i -> struct(w[i] AS lhs, w[i + 1] AS rhs))) AS p
+        |        FROM (SELECT split(trim(t), ' ') AS w FROM d$r)
+        |        WHERE size(w) > 1)
+        |  GROUP BY 1, 2)""".stripMargin
+      parts +=
+        s"m$r AS (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1)"
+      if (r < rounds)
+        parts += s"""d${r + 1} AS (SELECT replace(t,
+          |   ' ' || (SELECT lhs FROM m$r) || ' ' || (SELECT rhs FROM m$r) || ' ',
+          |   ' ' || (SELECT lhs FROM m$r) || '+' || (SELECT rhs FROM m$r) || ' ') AS t
+          |  FROM d$r)""".stripMargin
+    }
+    val sel = (1 to rounds).map(r =>
+      s"SELECT $r AS merge_rank, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM m$r")
+      .mkString(" UNION ALL ")
+    "WITH " + parts.result().mkString(",\n") +
+      s"\nSELECT * FROM ($sel) ORDER BY merge_rank"
   }
 
   private lazy val simhashWidePairsTwin: String = {

@@ -1029,8 +1029,220 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** PQ shape: [[Dim]] split into PqSubspaces sub-vectors of PqSubDim
+    * dims; PqCentroids codewords per subspace. Codebook entries are the
+    * int8 codes of a fixed corpus slice (vec_id PqAnchorBase..+ks−1) —
+    * deterministic across engines like the IVF anchors; a trained
+    * per-subspace k-means would be the production upgrade and slots in
+    * where the anchor slice sits (the [[qAnnIvfKmeans]] Lloyd machinery
+    * is the template). */
+  val PqSubspaces = 8
+  val PqSubDim: Int = Dim / PqSubspaces
+  val PqCentroids = 4
+  private val PqAnchorBase = 200
+
+  /** [base, end) of the PQ codebook anchor slice (twin SQL binding). */
+  val PqAnchorBounds: (Int, Int) = (PqAnchorBase, PqAnchorBase + PqCentroids)
+
+  /** The IVF anchor slice predicate (twin SQL binding). */
+  val AnchorRangeSql: String =
+    s"vec_id >= $IvfAnchorBase AND vec_id < ${IvfAnchorBase + IvfCells}"
+
+  /** IVF-PQ ANN (Jégou/Douze/Schmid, TPAMI 2011 — the FAISS IVFPQ tier,
+    * completing the family next to SQ8 ([[qAnnInt8]]), IVF-Flat
+    * ([[qAnnIvf]]) and IVF-kmeans ([[qAnnIvfKmeans]])): corpus vectors
+    * are stored as 8 codebook ids (4 bytes of PQ code standing in for
+    * 256 bytes of floats — the memory compression that lets a 10⁹-vector
+    * index fit executor RAM), candidates come from the IVF probed-cell
+    * equi-join, and scoring is asymmetric distance (ADC): the query
+    * precomputes its 8×4 table of integer sub-distances to every
+    * codeword, and each candidate costs 8 table lookups instead of a
+    * 64-dim dot product.
+    *
+    * All-integer arithmetic end to end (int8 codes → squared L2
+    * sub-distances → ADC sums), so the oracle is bit-exact; argmin
+    * tie-breaks are pinned (codeword id, then neighbor id).
+    *
+    * Scale shape: the codebook is a BOUNDED driver collect (ks×Dim
+    * longs — the literal-centroid kmeans pattern); encoding is a
+    * zero-shuffle projection against those literals; the candidate join
+    * is the IVF cell equi-join (never all-pairs); per-query results ride
+    * the [[graft.plans.TopKPerKey]] heap with a bounded rank window on
+    * the ≤ k·|queries| survivors. */
+  val qAnnIvfPq: Q = Q("q_ann_ivfpq",
+    s"""WITH $ivfRankedCteSql,
+       |cells2 AS (SELECT vec_id, anchor_id AS cell FROM ranked
+       |           WHERE arnk = 1),
+       |probes2 AS (SELECT vec_id AS query_id, anchor_id AS qcell
+       |            FROM ranked WHERE arnk <= $IvfProbe AND $QuerySet),
+       |im AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |ic AS MATERIALIZED (SELECT vec_id,
+       |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+       |          AS c
+       |      FROM im),
+       |cent AS (SELECT vec_id - $PqAnchorBase AS j, c AS cc FROM ic
+       |         WHERE vec_id >= $PqAnchorBase
+       |           AND vec_id < ${PqAnchorBase + PqCentroids}),
+       |sd AS MATERIALIZED (
+       |  SELECT ic.vec_id, s.m, ct.j,
+       |         CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |           i -> (ic.c[s.m * $PqSubDim + i] - ct.cc[s.m * $PqSubDim + i])
+       |              * (ic.c[s.m * $PqSubDim + i] - ct.cc[s.m * $PqSubDim + i])))
+       |           AS BIGINT) AS dist
+       |  FROM ic
+       |  CROSS JOIN (SELECT unnest(range(0, $PqSubspaces)) AS m) s
+       |  CROSS JOIN cent ct),
+       |enc AS (SELECT vec_id, m, j FROM (
+       |        SELECT vec_id, m, j, ROW_NUMBER() OVER (
+       |          PARTITION BY vec_id, m ORDER BY dist, j) AS rn FROM sd)
+       |        WHERE rn = 1),
+       |scored AS (
+       |  SELECT p.query_id, c2.vec_id AS neighbor_id,
+       |         CAST(SUM(qs.dist) AS BIGINT) AS adc
+       |  FROM probes2 p
+       |  JOIN cells2 c2 ON c2.cell = p.qcell AND c2.vec_id != p.query_id
+       |  JOIN enc eb ON eb.vec_id = c2.vec_id
+       |  JOIN sd qs ON qs.vec_id = p.query_id AND qs.m = eb.m
+       |            AND qs.j = eb.j
+       |  GROUP BY 1, 2),
+       |rankedq AS (SELECT query_id, neighbor_id, adc,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id) AS BIGINT) AS rnk FROM scored)
+       |SELECT query_id, neighbor_id, rnk, adc
+       |FROM rankedq WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) {
+    (s, d) =>
+      val codes = int8Codes(s, d).select("vec_id", "c")
+      // bounded codebook collect: ks × Dim longs, ordered by anchor id
+      val cents: Array[Array[Long]] = codes
+        .filter(col("vec_id") >= PqAnchorBase &&
+          col("vec_id") < PqAnchorBase + PqCentroids)
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Long](1).toArray)
+      require(cents.length == PqCentroids,
+        s"PQ codebook slice missing: got ${cents.length} anchors")
+
+      // Σ_i (c[8m+i] − codeword_j[8m+i])² as a literal-folded column
+      def subDist(cCol: Column, j: Int, m: Int): Column =
+        (0 until PqSubDim).map { i =>
+          val idx = m * PqSubDim + i
+          val dd = element_at(cCol, idx + 1) - lit(cents(j)(idx))
+          dd * dd
+        }.reduce(_ + _)
+      // argmin over codewords: struct array min orders by (dist, j)
+      def codeFor(cCol: Column, m: Int): Column =
+        array_min(array((0 until PqCentroids).map(j =>
+          struct(subDist(cCol, j, m).as("d"), lit(j).as("j"))): _*))
+          .getField("j")
+
+      val ranked = ivfRanked(s, d)
+      val cells = ranked.filter(col("arnk") === 1)
+        .select(col("vec_id"), col("anchor_id").as("cell"))
+      val enc = codes.join(cells, "vec_id")
+        .select(col("vec_id"), col("cell"),
+          array((0 until PqSubspaces).map(m =>
+            codeFor(col("c"), m)): _*).as("pq"))
+      val probes = ranked.filter(col("arnk") <= IvfProbe && expr(QuerySet))
+        .select(col("vec_id").as("query_id"), col("anchor_id").as("qcell"))
+      val qtab = codes.filter(expr(QuerySet))
+        .select(col("vec_id").as("query_id"),
+          array((0 until PqSubspaces).map(m =>
+            array((0 until PqCentroids).map(j =>
+              subDist(col("c"), j, m)): _*)): _*).as("dtab"))
+      val q = probes.join(qtab, "query_id")
+      val adc = (0 until PqSubspaces).map(m =>
+        element_at(element_at(col("dtab"), m + 1),
+          element_at(col("pq"), m + 1) + 1)).reduce(_ + _)
+      val scored = broadcast(q).join(enc,
+          col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          adc.cast("long").as("adc"))
+      val top = graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
+        Seq("adc" -> true, "neighbor_id" -> true), 5,
+        mapSideCombine = true)
+      val w = Window.partitionBy("query_id").orderBy(asc("adc"),
+        asc("neighbor_id"))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
+        .select("query_id", "neighbor_id", "rnk", "adc")
+        .orderBy("query_id", "rnk")
+  }
+
+  /** FILTERED vector search — ANN under a metadata predicate (the
+    * vector-DB composition every retrieval stack needs: "nearest
+    * neighbors WHERE label = mine"): candidates come from the IVF
+    * probed-cell equi-join as in [[qAnnIvf]], with the label equality
+    * applied AT the candidate join (pre-filtering — the cell scan never
+    * surfaces wrong-label vectors, the top-k heap never fills with
+    * results a post-filter would discard, so k survives arbitrarily
+    * selective predicates). Scoring is the codegen'd integer dot on int8
+    * codes ([[int8Codes]]) — oracle-EXACT.
+    *
+    * At scale the predicate column rides the IVF index row (cell, label,
+    * codes) and the join condition (cell AND label) is still hash-join
+    * shaped; a partition-by-label layout would turn the label leg into
+    * partition pruning. */
+  val qAnnFiltered: Q = Q("q_ann_filtered",
+    s"""WITH $ivfRankedCteSql,
+       |cells2 AS (SELECT vec_id, anchor_id AS cell FROM ranked
+       |           WHERE arnk = 1),
+       |probes2 AS (SELECT vec_id AS query_id, anchor_id AS qcell
+       |            FROM ranked WHERE arnk <= $IvfProbe AND $QuerySet),
+       |el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |       FROM embeddings),
+       |im AS (SELECT vec_id, label, v,
+       |         list_max(list_transform(v, x -> abs(x))) AS mx FROM el),
+       |ic AS (SELECT vec_id, label,
+       |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+       |          AS c
+       |      FROM im),
+       |cand AS (SELECT p.query_id, qi.label AS qlabel, qi.c AS qc,
+       |                b.vec_id AS neighbor_id, b.c AS bc
+       |         FROM probes2 p
+       |         JOIN ic qi ON qi.vec_id = p.query_id
+       |         JOIN cells2 c2 ON c2.cell = p.qcell
+       |                       AND c2.vec_id != p.query_id
+       |         JOIN ic b ON b.vec_id = c2.vec_id
+       |                  AND b.label = qi.label),
+       |scored AS (SELECT query_id, neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> qc[i] * bc[i])) AS BIGINT) AS idot
+       |  FROM cand),
+       |rankedf AS (SELECT query_id, neighbor_id, idot,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY idot DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, idot
+       |FROM rankedf WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) {
+    (s, d) =>
+      val codes = int8Codes(s, d) // vec_id, label, c
+      val ranked = ivfRanked(s, d)
+      val cells = ranked.filter(col("arnk") === 1)
+        .select(col("vec_id"), col("anchor_id").as("cell"))
+      val indexed = codes.join(cells, "vec_id")
+      val probes = ranked.filter(col("arnk") <= IvfProbe && expr(QuerySet))
+        .select(col("vec_id").as("query_id"), col("anchor_id").as("qcell"))
+      val q = probes.join(
+        codes.select(col("vec_id").as("query_id"),
+          col("label").as("qlabel"), col("c").as("qc")),
+        "query_id")
+      val scored = broadcast(q).join(indexed,
+          col("cell") === col("qcell") && col("label") === col("qlabel") &&
+            col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          call_function(graft.functions.GraftDotLong.FunctionName,
+            col("qc"), col("c")).as("idot"))
+      val top = graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
+        Seq("idot" -> false, "neighbor_id" -> true), 3,
+        mapSideCombine = true)
+      val w = Window.partitionBy("query_id").orderBy(desc("idot"),
+        asc("neighbor_id"))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
+        .select("query_id", "neighbor_id", "rnk", "idot")
+        .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[Q] =
     Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup,
       qSemdedup, qAnnInt8, qAnnIvfKmeans, qLabelOutliers, qKmeans,
-      qClusterPurity, qKmeansConverged)
+      qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered)
 }

@@ -222,6 +222,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("ivfpq scores candidates through a cell equi-join; codebook is " +
+    "literal (no product)") {
+    // encode + ADC tables ride literal codewords (projections); the only
+    // nested-loop is the constant-width (Cells-row) anchor assignment.
+    // Candidate scoring must be the broadcast hash join on the cell id —
+    // a regression to a product would score the whole corpus per query
+    val p = plan(Similarity.qAnnIvfPq.fn(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("triangle and weighted-sim pair generation is equi-join, never " +
     "a product") {
     // both candidate generators are inverted-index/wedge equi-joins with
