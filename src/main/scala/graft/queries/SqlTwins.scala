@@ -888,6 +888,70 @@ object SqlTwins {
          |SELECT query_id, neighbor_id, rnk, idot
          |FROM rankedf WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
+    "q_mmr_rerank" -> {
+      import graft.similarity.Similarity.{MmrPool, QuerySet}
+      val idot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+         |           FROM embeddings),
+         |im AS (SELECT vec_id, v, array_max(transform(v, x -> abs(x)))
+         |         AS mx FROM e),
+         |ic AS (SELECT vec_id,
+         |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+         |          AS c
+         |      FROM im),
+         |q AS (SELECT vec_id AS query_id, c AS qc FROM ic WHERE $QuerySet),
+         |relx AS (SELECT q.query_id, b.vec_id AS cand_id,
+         |    ${idot.format("qc", "b.c")} AS rel
+         |  FROM q JOIN ic b ON b.vec_id != q.query_id),
+         |cands AS (SELECT query_id, cand_id, rel FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, cand_id) AS rn FROM relx)
+         |  WHERE rn <= $MmrPool),
+         |sims AS (
+         |  SELECT x.query_id, x.cand_id AS a, y.cand_id AS b,
+         |    ${idot.format("cx.c", "cy.c")} AS sim
+         |  FROM cands x
+         |  JOIN cands y ON y.query_id = x.query_id
+         |              AND y.cand_id != x.cand_id
+         |  JOIN ic cx ON cx.vec_id = x.cand_id
+         |  JOIN ic cy ON cy.vec_id = y.cand_id),
+         |s1 AS (SELECT query_id, cand_id, 7 * rel AS score FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, cand_id) AS rn FROM cands) WHERE rn = 1),
+         |r2 AS (SELECT c.query_id, c.cand_id,
+         |         7 * c.rel - 3 * s.sim AS score
+         |       FROM cands c
+         |       JOIN s1 ON s1.query_id = c.query_id
+         |              AND c.cand_id != s1.cand_id
+         |       JOIN sims s ON s.query_id = c.query_id AND s.a = c.cand_id
+         |                  AND s.b = s1.cand_id),
+         |s2 AS (SELECT query_id, cand_id, score FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, cand_id) AS rn FROM r2) WHERE rn = 1),
+         |r3 AS (SELECT c.query_id, c.cand_id,
+         |         7 * c.rel - 3 * GREATEST(sa.sim, sb.sim) AS score
+         |       FROM cands c
+         |       JOIN s1 ON s1.query_id = c.query_id
+         |       JOIN s2 ON s2.query_id = c.query_id
+         |       JOIN sims sa ON sa.query_id = c.query_id
+         |                   AND sa.a = c.cand_id AND sa.b = s1.cand_id
+         |       JOIN sims sb ON sb.query_id = c.query_id
+         |                   AND sb.a = c.cand_id AND sb.b = s2.cand_id
+         |       WHERE c.cand_id != s1.cand_id AND c.cand_id != s2.cand_id),
+         |s3 AS (SELECT query_id, cand_id, score FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, cand_id) AS rn FROM r3) WHERE rn = 1)
+         |SELECT query_id, pick, vec_id, CAST(score AS BIGINT) AS mmr_x10
+         |FROM (
+         |  SELECT query_id, 1 AS pick, cand_id AS vec_id, score FROM s1
+         |  UNION ALL
+         |  SELECT query_id, 2, cand_id, score FROM s2
+         |  UNION ALL
+         |  SELECT query_id, 3, cand_id, score FROM s3)
+         |ORDER BY query_id, pick""".stripMargin
+    },
+
     "q_label_outliers" ->
       """WITH e AS (SELECT vec_id, label,
         |             CAST(embedding AS ARRAY<DOUBLE>) AS v
@@ -1230,6 +1294,7 @@ object SqlTwins {
 
     "q_simhash_wide_pairs" -> simhashWidePairsTwin,
     "q_bpe_train" -> bpeTrainTwin,
+    "q_bpe_apply" -> bpeApplyTwin,
 
     "q_corpus_clean" ->
       s"""WITH $shingleCte,
@@ -1376,12 +1441,14 @@ object SqlTwins {
       .stripMargin
   }
 
-  /** Spark-dialect unroll of the BPE training loop (the DataFrame
-    * program's driver-side argmax collects become scalar subqueries). */
-  private lazy val bpeTrainTwin: String = {
-    val rounds = graft.text.TextOps.BpeRounds
+  /** Spark-dialect unroll of the BPE CTE chain (the DataFrame program's
+    * driver-side argmax collects become scalar subqueries); mirrors
+    * TextOps.bpeCtes incl. the source/n0 carry. */
+  private def bpeSparkCtes(rounds: Int, last: Boolean): String = {
     val parts = Seq.newBuilder[String]
-    parts += "d1 AS (SELECT ' ' || text || ' ' AS t FROM documents)"
+    parts += ("d1 AS (SELECT source, " +
+      "CAST(size(split(text, ' ')) AS BIGINT) AS n0, " +
+      "' ' || text || ' ' AS t FROM documents)")
     for (r <- 1 to rounds) {
       parts += s"""p$r AS (
         |  SELECT p.lhs AS lhs, p.rhs AS rhs, COUNT(*) AS c
@@ -1392,17 +1459,35 @@ object SqlTwins {
         |  GROUP BY 1, 2)""".stripMargin
       parts +=
         s"m$r AS (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1)"
-      if (r < rounds)
-        parts += s"""d${r + 1} AS (SELECT replace(t,
+      if (r < rounds || last)
+        parts += s"""d${r + 1} AS (SELECT source, n0, replace(t,
           |   ' ' || (SELECT lhs FROM m$r) || ' ' || (SELECT rhs FROM m$r) || ' ',
           |   ' ' || (SELECT lhs FROM m$r) || '+' || (SELECT rhs FROM m$r) || ' ') AS t
           |  FROM d$r)""".stripMargin
     }
+    parts.result().mkString(",\n")
+  }
+
+  private lazy val bpeTrainTwin: String = {
+    val rounds = graft.text.TextOps.BpeRounds
     val sel = (1 to rounds).map(r =>
       s"SELECT $r AS merge_rank, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM m$r")
       .mkString(" UNION ALL ")
-    "WITH " + parts.result().mkString(",\n") +
+    "WITH " + bpeSparkCtes(rounds, last = false) +
       s"\nSELECT * FROM ($sel) ORDER BY merge_rank"
+  }
+
+  private lazy val bpeApplyTwin: String = {
+    val rounds = graft.text.TextOps.BpeRounds
+    "WITH " + bpeSparkCtes(rounds, last = true) + s""",
+      |fin AS (SELECT source, n0,
+      |          CAST(size(split(trim(t), ' ')) AS BIGINT) AS n1
+      |        FROM d${rounds + 1})
+      |SELECT source, CAST(SUM(n0) AS BIGINT) AS tokens_ws,
+      |  CAST(SUM(n1) AS BIGINT) AS tokens_bpe,
+      |  CAST(SUM(n0) - SUM(n1) AS BIGINT) AS merged_occurrences,
+      |  CAST(SUM(n1) AS DOUBLE) / SUM(n0) AS compression
+      |FROM fin GROUP BY source ORDER BY source""".stripMargin
   }
 
   private lazy val simhashWidePairsTwin: String = {

@@ -1241,8 +1241,142 @@ object Similarity {
         .orderBy("query_id", "rnk")
   }
 
+  /** MMR candidate-pool size and picks. */
+  val MmrPool = 10
+  val MmrPicks = 3
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the diversification pass of a retrieval stack: from
+    * each query's top-[[MmrPool]] candidates (by integer dot on int8
+    * codes), greedily pick [[MmrPicks]] maximizing
+    * `λ·rel(q,i) − (1−λ)·max_{s∈picked} sim(i,s)` with λ = 0.7; scores
+    * are kept integer by scaling ×10 (`7·rel − 3·maxsim`), so the greedy
+    * loop is bit-exact across engines (pick 1 has no diversity term:
+    * score = 7·rel). Ties break on vec_id.
+    *
+    * Scale shape: the candidate pool rides the [[graft.plans.TopKPerKey]]
+    * heap (map-side combined), the pairwise-sim frame is pool² per query
+    * (bounded, equi-join on query_id), and the greedy loop runs inside a
+    * typed `mapGroups` over each query's ≤ pool + pool² rows — per-key
+    * driver-free processing; nothing data-scaled ever sits in one place.
+    * The DuckDB oracle unrolls the [[MmrPicks]] greedy steps as CTEs. */
+  val qMmrRerank: Q = Q("q_mmr_rerank",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |im AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |ic AS MATERIALIZED (SELECT vec_id,
+       |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+       |          AS c
+       |      FROM im),
+       |q AS (SELECT vec_id AS query_id, c AS qc FROM ic WHERE $QuerySet),
+       |relx AS (SELECT q.query_id, b.vec_id AS cand_id,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> qc[i] * b.c[i])) AS BIGINT) AS rel
+       |  FROM q JOIN ic b ON b.vec_id != q.query_id),
+       |cands AS MATERIALIZED (SELECT query_id, cand_id, rel FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cand_id) AS rn FROM relx)
+       |  WHERE rn <= $MmrPool),
+       |sims AS MATERIALIZED (
+       |  SELECT x.query_id, x.cand_id AS a, y.cand_id AS b,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> cx.c[i] * cy.c[i])) AS BIGINT) AS sim
+       |  FROM cands x
+       |  JOIN cands y ON y.query_id = x.query_id AND y.cand_id != x.cand_id
+       |  JOIN ic cx ON cx.vec_id = x.cand_id
+       |  JOIN ic cy ON cy.vec_id = y.cand_id),
+       |s1 AS (SELECT query_id, cand_id, 7 * rel AS score FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cand_id) AS rn FROM cands) WHERE rn = 1),
+       |r2 AS (SELECT c.query_id, c.cand_id,
+       |         7 * c.rel - 3 * s.sim AS score
+       |       FROM cands c
+       |       JOIN s1 ON s1.query_id = c.query_id
+       |              AND c.cand_id != s1.cand_id
+       |       JOIN sims s ON s.query_id = c.query_id AND s.a = c.cand_id
+       |                  AND s.b = s1.cand_id),
+       |s2 AS (SELECT query_id, cand_id, score FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, cand_id) AS rn FROM r2) WHERE rn = 1),
+       |r3 AS (SELECT c.query_id, c.cand_id,
+       |         7 * c.rel - 3 * GREATEST(sa.sim, sb.sim) AS score
+       |       FROM cands c
+       |       JOIN s1 ON s1.query_id = c.query_id
+       |       JOIN s2 ON s2.query_id = c.query_id
+       |       JOIN sims sa ON sa.query_id = c.query_id
+       |                   AND sa.a = c.cand_id AND sa.b = s1.cand_id
+       |       JOIN sims sb ON sb.query_id = c.query_id
+       |                   AND sb.a = c.cand_id AND sb.b = s2.cand_id
+       |       WHERE c.cand_id != s1.cand_id AND c.cand_id != s2.cand_id),
+       |s3 AS (SELECT query_id, cand_id, score FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, cand_id) AS rn FROM r3) WHERE rn = 1)
+       |SELECT query_id, pick, vec_id, CAST(score AS BIGINT) AS mmr_x10
+       |FROM (
+       |  SELECT query_id, 1 AS pick, cand_id AS vec_id, score FROM s1
+       |  UNION ALL
+       |  SELECT query_id, 2, cand_id, score FROM s2
+       |  UNION ALL
+       |  SELECT query_id, 3, cand_id, score FROM s3)
+       |ORDER BY query_id, pick""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val codes = int8Codes(s, d).select("vec_id", "c")
+    val q = codes.filter(expr(QuerySet))
+      .select(col("vec_id").as("query_id"), col("c").as("qc"))
+    val rel = broadcast(q).join(codes, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        call_function(graft.functions.GraftDotLong.FunctionName,
+          col("qc"), col("c")).as("rel"))
+    val cands = graft.plans.TopKPerKey.topKPerKey(rel, Seq("query_id"),
+      Seq("rel" -> false, "cand_id" -> true), MmrPool,
+      mapSideCombine = true)
+    val cc = cands.join(codes.withColumnRenamed("vec_id", "cand_id"),
+      "cand_id")
+    val x = cc.select(col("query_id"), col("cand_id"), col("rel"),
+      col("c"))
+    val pairs = x.as("l").join(x.as("r"),
+        col("l.query_id") === col("r.query_id") &&
+          col("l.cand_id") =!= col("r.cand_id"))
+      .select(col("l.query_id").as("query_id"),
+        col("l.cand_id").as("a"), col("r.cand_id").as("b"),
+        call_function(graft.functions.GraftDotLong.FunctionName,
+          col("l.c"), col("r.c")).as("sim"))
+    // one typed group per query: rel rows (kind 0) + sim rows (kind 1)
+    val packed =
+      cands.select(col("query_id"), lit(0).as("kind"),
+          col("cand_id").as("a"), lit(-1L).as("b"), col("rel").as("v"))
+        .unionAll(pairs.select(col("query_id"), lit(1).as("kind"),
+          col("a"), col("b"), col("sim").as("v")))
+        .as[(Long, Int, Long, Long, Long)]
+    packed.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val rels = scala.collection.mutable.Map.empty[Long, Long]
+      val sims = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      it.foreach {
+        case (_, 0, a, _, v) => rels(a) = v
+        case (_, _, a, b, v) => sims((a, b)) = v
+      }
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      (1 to MmrPicks).iterator.map { k =>
+        val (best, score) = rels.keysIterator
+          .filterNot(picked.contains)
+          .map { i =>
+            val div = if (picked.isEmpty) 0L
+              else picked.map(s => sims((i, s))).max
+            (i, 7L * rels(i) - 3L * div)
+          }
+          .reduce((p, q) =>
+            if (q._2 > p._2 || (q._2 == p._2 && q._1 < p._1)) q else p)
+        picked += best
+        (qid, k, best, score)
+      }
+    }.toDF("query_id", "pick", "vec_id", "mmr_x10")
+      .orderBy("query_id", "pick")
+  }
+
   val all: Seq[Q] =
     Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup,
       qSemdedup, qAnnInt8, qAnnIvfKmeans, qLabelOutliers, qKmeans,
-      qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered)
+      qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered,
+      qMmrRerank)
 }

@@ -940,13 +940,19 @@ object TextOps {
   /** Rounds of BPE merge training ([[qBpeTrain]]). */
   private[graft] val BpeRounds = 5
 
-  /** DuckDB oracle for [[qBpeTrain]]: the same `rounds` training rounds
-    * unrolled as CTEs (pair counts → deterministic argmax → one replace
+  /** Shared DuckDB CTE chain for the BPE queries: `rounds` training
+    * rounds unrolled (pair counts → deterministic argmax → one replace
     * pass), MATERIALIZED so each corpus state is computed once (the
-    * replace chain would otherwise re-expand per reference). */
-  private def bpeOracleSql(rounds: Int): String = {
+    * replace chain would otherwise re-expand per reference). The d CTEs
+    * carry `source` and the pre-training token count `n0` so the apply
+    * query can aggregate them; the p/m chain projects only `t`.
+    * `last = true` extends the chain with d(rounds+1), the corpus state
+    * AFTER the final merge (the train query only needs the merges). */
+  private def bpeCtes(rounds: Int, last: Boolean): String = {
     val parts = Seq.newBuilder[String]
-    parts += "d1 AS MATERIALIZED (SELECT ' ' || text || ' ' AS t FROM documents)"
+    parts += ("d1 AS MATERIALIZED (SELECT source, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n0, " +
+      "' ' || text || ' ' AS t FROM documents)")
     for (r <- 1 to rounds) {
       parts += s"""p$r AS (
         |  SELECT pr.lhs AS lhs, pr.rhs AS rhs, COUNT(*)::BIGINT AS c
@@ -955,16 +961,20 @@ object TextOps {
         |        FROM (SELECT string_split(trim(t), ' ') AS toks FROM d$r))
         |  GROUP BY 1, 2)""".stripMargin
       parts += s"m$r AS (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1)"
-      if (r < rounds)
-        parts += s"""d${r + 1} AS MATERIALIZED (SELECT replace(t,
+      if (r < rounds || last)
+        parts += s"""d${r + 1} AS MATERIALIZED (SELECT source, n0, replace(t,
           |   ' ' || (SELECT lhs FROM m$r) || ' ' || (SELECT rhs FROM m$r) || ' ',
           |   ' ' || (SELECT lhs FROM m$r) || '+' || (SELECT rhs FROM m$r) || ' ') AS t
           |  FROM d$r)""".stripMargin
     }
+    parts.result().mkString(",\n")
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
     val sel = (1 to rounds).map(r =>
       s"SELECT $r AS merge_rank, lhs, rhs, c AS pair_count FROM m$r")
       .mkString(" UNION ALL ")
-    "WITH " + parts.result().mkString(",\n") +
+    "WITH " + bpeCtes(rounds, last = false) +
       s"\nSELECT * FROM ($sel) ORDER BY merge_rank"
   }
 
@@ -992,9 +1002,14 @@ object TextOps {
     * total); at 100 TB you'd localCheckpoint each re-segmented state
     * instead, trading executor storage for linear scans — same plan
     * either way, the knob is where to materialize. */
-  val qBpeTrain: Q = Q("q_bpe_train", bpeOracleSql(BpeRounds)) { (s, d) =>
-    import s.implicits._
-    var t = docs(s, d).select(
+  /** The training loop shared by [[qBpeTrain]] / [[qBpeApply]]: learned
+    * merges plus the corpus state AFTER the final merge (source, n0 =
+    * whitespace token count before training, t = re-segmented text). */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)],
+         org.apache.spark.sql.DataFrame) = {
+    var t = docs(s, d).select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n0"),
       concat(lit(" "), col("text"), lit(" ")).as("t"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to BpeRounds) {
@@ -1011,11 +1026,44 @@ object TextOps {
         .collect()(0)
       val (lw, rw, c) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((r, lw, rw, c))
-      t = t.select(call_function("replace", col("t"),
-        lit(s" $lw $rw "), lit(s" $lw+$rw ")).as("t"))
+      t = t.select(col("source"), col("n0"),
+        call_function("replace", col("t"),
+          lit(s" $lw $rw "), lit(s" $lw+$rw ")).as("t"))
     }
-    merges.result()
-      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+    (merges.result(), t)
+  }
+
+  val qBpeTrain: Q = Q("q_bpe_train", bpeOracleSql(BpeRounds)) { (s, d) =>
+    import s.implicits._
+    bpeTrain(s, d)._1.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Tokenizer APPLICATION at corpus scale: run the [[qBpeTrain]] merges
+    * over every document and report the per-source compression — the
+    * before/after whitespace-token counts and their ratio (each merge
+    * occurrence removes exactly one token, so tokens_ws − tokens_bpe is
+    * the corpus-wide merge-occurrence count). One narrow replace chain
+    * plus a source-bounded aggregate; ratio is a single double division
+    * over exact longs (bit-equal cross-engine). */
+  val qBpeApply: Q = Q("q_bpe_apply",
+    "WITH " + bpeCtes(BpeRounds, last = true) + s""",
+      |fin AS (SELECT source, n0,
+      |          CAST(len(string_split(trim(t), ' ')) AS BIGINT) AS n1
+      |        FROM d${BpeRounds + 1})
+      |SELECT source, CAST(SUM(n0) AS BIGINT) AS tokens_ws,
+      |  CAST(SUM(n1) AS BIGINT) AS tokens_bpe,
+      |  CAST(SUM(n0) - SUM(n1) AS BIGINT) AS merged_occurrences,
+      |  CAST(SUM(n1) AS DOUBLE) / SUM(n0) AS compression
+      |FROM fin GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val fin = bpeTrain(s, d)._2
+    fin.select(col("source"), col("n0"),
+        size(split(trim(col("t")), " ")).cast("long").as("n1"))
+      .groupBy("source")
+      .agg(sum("n0").cast("long").as("tokens_ws"),
+        sum("n1").cast("long").as("tokens_bpe"),
+        (sum("n0") - sum("n1")).cast("long").as("merged_occurrences"),
+        (sum("n1").cast("double") / sum("n0")).as("compression"))
+      .orderBy("source")
   }
 
   val all: Seq[Q] = Seq(
@@ -1023,5 +1071,5 @@ object TextOps {
     qLangId, qFingerprint, qCorpusClean, qVocabTopk, qPiiRedact,
     qPackChunks, qSplitHash, qMixtureSample, qTokenBudget, qGlobalRank,
     qStratifiedSample, qCountminTokens, qHeavyHitters, qSplitDrift,
-    qTokenGini, qVocabCoverage, qBpeTrain)
+    qTokenGini, qVocabCoverage, qBpeTrain, qBpeApply)
 }
