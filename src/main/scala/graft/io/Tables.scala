@@ -57,6 +57,12 @@ object Tables {
     if (!spark.catalog.functionExists("minhash_sig"))
       spark.udf.register("minhash_sig",
         org.apache.spark.sql.functions.udaf(new graft.functions.MinHashAgg))
+    // SQL-callable exact bitmap distinct (fixed shared domain)
+    if (!spark.catalog.functionExists("bitmap_distinct"))
+      spark.udf.register("bitmap_distinct",
+        org.apache.spark.sql.functions.udaf(
+          new graft.functions.BitmapDistinctAgg(
+            graft.functions.BitmapDistinctAgg.SqlDomain)))
   }
 
   /** Existence probe (S3 tolerance): the reference reports "No existe" for

@@ -239,6 +239,32 @@ object RelOps {
       .orderBy("l_suppkey")
   }
 
+  /** Exact distinct via the bitmap OR-merge aggregator
+    * ([[graft.functions.BitmapDistinctAgg]]) — the OLAP bitmap-index
+    * accelerator next to [[qDistinctAgg]]'s COUNT(DISTINCT): where
+    * COUNT(DISTINCT x) shuffles every distinct (group, x) pair, the
+    * bitmap ships ONE fixed-size state per (partition, group) and ORs —
+    * the distinct-count analog of map-side combine, exact (not a
+    * sketch), repartition-invariant (spec-pinned). The oracle is plain
+    * COUNT(DISTINCT): the whole point is that the accelerator's answer
+    * is bit-identical to the naive spelling. */
+  val qBitmapDistinct: Q = Q("q_bitmap_distinct",
+    """SELECT l_returnflag,
+      |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      Tables.ensureSessionRegistered(s)
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("bitmap_distinct(l_partkey)").as("n_parts"),
+          expr("bitmap_distinct(l_suppkey)").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+  }
+
   /** Top-k without global sort: Catalyst's TakeOrderedAndProject keeps a
     * per-partition heap of k rows, then merges — O(n) scan, O(k) state. */
   val qTopkOrders: Q = Q("q_topk_orders",
@@ -715,7 +741,8 @@ object RelOps {
   val all: Seq[Q] = Seq(
     qSemiJoin, qAntiJoin, qOuterJoinAgg, qUnionAllNames,
     qSetIntersectExcept, qWindowRank, qWindowRunning, qWindowLagDelta,
-    qRollup, qCube, qDistinctAgg, qTopkOrders, qJsonExtract, qSessionize,
+    qRollup, qCube, qDistinctAgg, qBitmapDistinct, qTopkOrders,
+    qJsonExtract, qSessionize,
     qSessionWindow, qTumblingHour, qSlidingQuarter, qAsofPriorClick,
     qAsofTolerance,
     qPivotConditional, qTopkPerKeyCustom, qRangeJoinBands, qGapFill,

@@ -1296,6 +1296,15 @@ object SqlTwins {
     "q_bpe_train" -> bpeTrainTwin,
     "q_bpe_apply" -> bpeApplyTwin,
 
+    // the twin goes through the SQL-registered bitmap aggregator (the
+    // oracle is COUNT(DISTINCT) — proving accelerator == naive spelling)
+    "q_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |       bitmap_distinct(l_partkey) AS n_parts,
+        |       bitmap_distinct(l_suppkey) AS n_supps,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
     "q_corpus_clean" ->
       s"""WITH $shingleCte,
          |ex AS (SELECT doc_id, explode(hs) AS h FROM sh),
