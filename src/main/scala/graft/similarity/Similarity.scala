@@ -72,16 +72,24 @@ object Similarity {
   val PlanesPerBand: Int = intKnob("GRAFT_LSH_PLANES_PER_BAND", 8, 1, 30)
   val Dim = 64
 
-  /** Deterministic ±1 hyperplane weights: sign from an LCG over the flat
-    * plane×dim index (no RNG state — same literals in both engines).
-    * Plane j of band b is flat index b*PlanesPerBand + r; flat indices
-    * 0..7 are exactly the round-1 single-table planes. */
+  /** Deterministic ±1 sign from a splitmix64-style finalizer over a flat
+    * seed index — balanced AND uncorrelated, which the r1–r5 LCG-parity
+    * stream was not (balanced marginals but pairwise plane correlation
+    * up to 0.94, measured r6: two near-identical planes make an R-bit
+    * band carry far fewer effective bits, concentrating band keys into
+    * hot buckets exactly where the 100 TB candidate volume lives). No
+    * RNG state — both engines consume the rows as embedded literals. */
+  private[graft] def pmSign(seed: Long): Double = {
+    val z0 = seed * 0x9E3779B97F4A7C15L
+    val z1 = (z0 ^ (z0 >>> 31)) * 0xBF58476D1CE4E5B9L
+    if ((((z1 ^ (z1 >>> 33)) >>> 17) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Deterministic ±1 hyperplane weights (plane j of band b is flat
+    * index b*PlanesPerBand + r). */
   val planeWeights: Seq[Seq[Double]] =
     (0 until Bands * PlanesPerBand).map { j =>
-      (0 until Dim).map { i =>
-        val x = (1103515245L * (j * Dim + i) + 12345L) / 65536L
-        if (x % 2 == 0) 1.0 else -1.0
-      }
+      (0 until Dim).map(i => pmSign(j * Dim + i))
     }
 
   private def emb(s: SparkSession, d: String): DataFrame =
@@ -1374,9 +1382,75 @@ object Similarity {
       .orderBy("query_id", "pick")
   }
 
+  /** Random-projection target dimension ([[qRandProject]]). */
+  val JlDim = 16
+
+  /** Deterministic ±1 projection rows for the JL sketch. NOT the
+    * [[planeWeights]] LCG-parity construction: that stream's low-bit
+    * parity is heavily biased over consecutive indices (fine for sign
+    * HASHING, fatal for distance PRESERVATION — a mostly-ones matrix
+    * measured 6–270× distortion). A splitmix64-style finalizer gives
+    * balanced, uncorrelated signs; both engines consume the rows as
+    * literals, so the construction only has to be deterministic in
+    * Scala. */
+  val jlWeights: Seq[Seq[Double]] =
+    (0 until JlDim).map { j =>
+      (0 until Dim).map(i => pmSign(1000000L + j * Dim + i))
+    }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003: ±1
+    * entries suffice), 64 → [[JlDim]] dims — the dimensionality-
+    * reduction stage in front of an ANN index (shorter codes, cheaper
+    * dots; distances survive within 1±ε). Each output dim is one
+    * [[GraftDot]] against a ±1 literal row — a NARROW per-row
+    * projection over the whole corpus, no shuffle until the per-label
+    * report. The gate is exact: `floor(1000·p_j)` integerizes each
+    * projected coordinate (both engines floor the same deterministic
+    * double — the dot is a sequential left-fold), and the per-label
+    * checksum/min/max aggregate over those longs is bit-stable. The
+    * DISTORTION property (pair distances preserved within bounds) is
+    * spec-gated on the query slice — a statistical claim, not an
+    * equality, so it lives in ScalaTest, not the oracle. */
+  val qRandProject: Q = Q("q_rand_project", {
+    val rows = jlWeights.map(_.mkString("[", ", ", "]"))
+    val terms = rows.zipWithIndex.map { case (r, j) =>
+      s"CAST(floor(1000 * list_dot_product(v, $r::DOUBLE[])) AS BIGINT)"
+    }
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |p AS (SELECT vec_id, label,
+       |        ${terms.zipWithIndex.map { case (t, j) => s"$t AS p$j" }
+                  .mkString(",\n        ")}
+       |      FROM e)
+       |SELECT CAST(label AS BIGINT) AS label, COUNT(*)::BIGINT AS n_vecs,
+       |  CAST(SUM(${(0 until JlDim).map(j => s"p$j").mkString(" + ")})
+       |    AS BIGINT) AS checksum,
+       |  CAST(MIN(LEAST(${(0 until JlDim).map(j => s"p$j").mkString(", ")}))
+       |    AS BIGINT) AS min_coord,
+       |  CAST(MAX(GREATEST(${(0 until JlDim).map(j => s"p$j").mkString(", ")}))
+       |    AS BIGINT) AS max_coord
+       |FROM p GROUP BY 1 ORDER BY label""".stripMargin
+  }) { (s, d) =>
+    val e = emb(s, d)
+    val pCols = (0 until JlDim).map { j =>
+      floor(lit(1000) * dot(col("v"),
+        array(jlWeights(j).map(lit): _*))).cast("long").as(s"p$j")
+    }
+    val p = e.select(col("vec_id") +: col("label") +: pCols: _*)
+    val ps = (0 until JlDim).map(j => col(s"p$j"))
+    p.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(ps.reduce(_ + _)).cast("long").as("checksum"),
+        min(least(ps: _*)).cast("long").as("min_coord"),
+        max(greatest(ps: _*)).cast("long").as("max_coord"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        col("checksum"), col("min_coord"), col("max_coord"))
+      .orderBy("label")
+  }
+
   val all: Seq[Q] =
     Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup,
       qSemdedup, qAnnInt8, qAnnIvfKmeans, qLabelOutliers, qKmeans,
       qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered,
-      qMmrRerank)
+      qMmrRerank, qRandProject)
 }

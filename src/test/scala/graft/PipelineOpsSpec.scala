@@ -142,6 +142,40 @@ class PipelineOpsSpec extends SparkSpec {
       Multimodal.MediaRow(2L, "text/plain", txt)))
   }
 
+  test("JL projection preserves query-pair distances within loose bounds") {
+    // the statistical JL property the oracle can't gate (it's a bound,
+    // not an equality): for the query slice, squared distances in the
+    // 16-dim projection, rescaled by Dim/JlDim, stay within a small
+    // constant factor of the 64-dim originals
+    val vs = Similarity.qCosineTopk.fn(spark, sf001) // warm table load
+    val e = graft.io.Tables.load(spark, sf001, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(e.size == 10)
+    def proj(v: Array[Double]): Array[Double] =
+      Similarity.jlWeights.map(w =>
+        w.zip(v).map { case (a, b) => a * b }.sum).toArray
+    // unnormalized ±1 rows: E‖Wa − Wb‖² = k·‖a−b‖², so rescale by 1/k
+    // (the classic JL map is (1/√k)·W)
+    val scale = 1.0 / Similarity.JlDim
+    val ratios = for {
+      a <- e.keys.toSeq.sorted; b <- e.keys.toSeq.sorted if a < b
+    } yield {
+      val d0 = e(a).zip(e(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      val pa = proj(e(a)); val pb = proj(e(b))
+      val d1 = pa.zip(pb).map { case (x, y) => (x - y) * (x - y) }.sum
+      d1 * scale / d0
+    }
+    assert(ratios.size == 45)
+    // ±1 projections at k=16: distortion concentrated around 1
+    assert(ratios.forall(r => r > 0.25 && r < 4.0), ratios.min -> ratios.max)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.4, mean)
+  }
+
   test("bpe training matches a plain-Scala reference, incl. the adjacent-repeat rule") {
     // reference implementation of the PINNED semantics: argmax by
     // (count desc, lhs, rhs), then ONE leftmost non-overlapping replace
