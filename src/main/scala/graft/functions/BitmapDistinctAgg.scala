@@ -63,4 +63,10 @@ object BitmapDistinctAgg {
   /** Shared domain for the SQL-registered form (`bitmap_distinct`):
     * covers every TPC-H surrogate key at the test scales with headroom. */
   val SqlDomain: Int = 1 << 20
+
+  /** Column form, for DataFrame/streaming aggregates. */
+  def distinctCount(c: org.apache.spark.sql.Column,
+      domain: Int = SqlDomain): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new BitmapDistinctAgg(domain))
+      .apply(c)
 }

@@ -888,6 +888,40 @@ object SqlTwins {
          |SELECT query_id, neighbor_id, rnk, idot
          |FROM rankedf WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
+    "q_knn_classify" -> {
+      import graft.similarity.Similarity.QuerySet
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>)
+         |             AS v
+         |           FROM embeddings),
+         |im AS (SELECT vec_id, label, v,
+         |         array_max(transform(v, x -> abs(x))) AS mx FROM e),
+         |ic AS (SELECT vec_id, label,
+         |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+         |          AS c
+         |      FROM im),
+         |q AS (SELECT vec_id AS query_id, label AS true_label, c AS qc
+         |      FROM ic WHERE $QuerySet),
+         |scored AS (SELECT q.query_id, q.true_label, b.label AS nlabel,
+         |    b.vec_id AS neighbor_id,
+         |    aggregate(zip_with(qc, b.c, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, x) -> acc + x) AS idot
+         |  FROM q JOIN ic b ON b.vec_id != q.query_id),
+         |top5 AS (SELECT query_id, true_label, nlabel FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY idot DESC, neighbor_id) AS rn FROM scored)
+         |  WHERE rn <= 5),
+         |votes AS (SELECT query_id, true_label, nlabel,
+         |            CAST(COUNT(*) AS BIGINT) AS votes
+         |          FROM top5 GROUP BY 1, 2, 3),
+         |pred AS (SELECT query_id, true_label, nlabel AS pred_label, votes
+         |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                 ORDER BY votes DESC, nlabel) AS rn FROM votes)
+         |         WHERE rn = 1)
+         |SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+         |       CAST(pred_label AS BIGINT) AS pred_label, votes
+         |FROM pred ORDER BY query_id""".stripMargin
+    },
+
     "q_mmr_rerank" -> {
       import graft.similarity.Similarity.{MmrPool, QuerySet}
       val idot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), " +

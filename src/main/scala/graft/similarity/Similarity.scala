@@ -1448,9 +1448,71 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** k-NN majority-vote label prediction over the embedding corpus —
+    * the label-propagation / eval-harness op (predict a doc's class
+    * from its nearest neighbors' labels): each query's top-5 neighbors
+    * by integer dot ([[int8Codes]]) vote; majority wins, ties break on
+    * the smaller label id. Fully integer → oracle-exact. Neighbor
+    * selection rides the [[graft.plans.TopKPerKey]] heap; the vote and
+    * argmax are label-domain-bounded aggregates. */
+  val qKnnClassify: Q = Q("q_knn_classify",
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |im AS (SELECT vec_id, label, v,
+       |         list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |ic AS MATERIALIZED (SELECT vec_id, label,
+       |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+       |          AS c
+       |      FROM im),
+       |q AS (SELECT vec_id AS query_id, label AS true_label, c AS qc
+       |      FROM ic WHERE $QuerySet),
+       |scored AS (SELECT q.query_id, q.true_label, b.label AS nlabel,
+       |    b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> qc[i] * b.c[i])) AS BIGINT) AS idot
+       |  FROM q JOIN ic b ON b.vec_id != q.query_id),
+       |top5 AS (SELECT query_id, true_label, nlabel FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY idot DESC, neighbor_id) AS rn FROM scored)
+       |  WHERE rn <= 5),
+       |votes AS (SELECT query_id, true_label, nlabel,
+       |            COUNT(*)::BIGINT AS votes
+       |          FROM top5 GROUP BY 1, 2, 3),
+       |pred AS (SELECT query_id, true_label, nlabel AS pred_label, votes
+       |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                 ORDER BY votes DESC, nlabel) AS rn FROM votes)
+       |         WHERE rn = 1)
+       |SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+       |       CAST(pred_label AS BIGINT) AS pred_label, votes
+       |FROM pred ORDER BY query_id""".stripMargin) { (s, d) =>
+    val codes = int8Codes(s, d) // vec_id, label, c
+    val q = codes.filter(expr(QuerySet))
+      .select(col("vec_id").as("query_id"),
+        col("label").as("true_label"), col("c").as("qc"))
+    val scored = broadcast(q)
+      .join(codes, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("label").as("nlabel"), col("vec_id").as("neighbor_id"),
+        call_function(graft.functions.GraftDotLong.FunctionName,
+          col("qc"), col("c")).as("idot"))
+    val top5 = graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
+      Seq("idot" -> false, "neighbor_id" -> true), 5,
+      mapSideCombine = true)
+    val votes = top5.groupBy("query_id", "true_label", "nlabel")
+      .agg(count(lit(1)).cast("long").as("votes"))
+    val w = Window.partitionBy("query_id").orderBy(desc("votes"),
+      asc("nlabel"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"),
+        col("true_label").cast("long").as("true_label"),
+        col("nlabel").cast("long").as("pred_label"), col("votes"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[Q] =
     Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup,
       qSemdedup, qAnnInt8, qAnnIvfKmeans, qLabelOutliers, qKmeans,
       qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered,
-      qMmrRerank, qRandProject)
+      qMmrRerank, qRandProject, qKnnClassify)
 }

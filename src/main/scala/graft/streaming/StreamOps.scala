@@ -82,6 +82,25 @@ object StreamOps {
       .agg(max("r").as("mr"))
       .select(col("window.start").as("hour_start"), col("bucket"), col("mr"))
 
+  /** Streaming hourly EXACT distinct users: the
+    * [[graft.functions.BitmapDistinctAgg]] OR-merge bitmap inside a
+    * watermarked window aggregate — per open window the state store
+    * holds ONE fixed-size word array (⌈domain/64⌉ longs), not a
+    * per-user row, and the answer is EXACT, the precise complement of
+    * [[hourlyDistinctSketch]]'s HLL registers (choose by domain: dense
+    * bounded ids → bitmap, unbounded/sparse → sketch). OR is
+    * commutative, associative and idempotent, so the streamed result is
+    * bit-equal to the batch aggregate over the same rows (spec-gated;
+    * idempotence additionally makes replayed events harmless). Input:
+    * (ts, user_id) with ids in [0, domain). */
+  def hourlyBitmapDistinct(events: DataFrame, domain: Int = 1 << 20,
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.BitmapDistinctAgg
+        .distinctCount(col("user_id"), domain).as("n_distinct"))
+      .select(col("window.start").as("hour_start"), col("n_distinct"))
+
   /** Streaming hourly HEAVY-HITTER summaries: the
     * [[graft.functions.MisraGriesAgg]] frequent-items sketch inside a
     * watermarked window aggregate — per open window the state store

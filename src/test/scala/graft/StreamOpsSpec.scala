@@ -350,6 +350,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming bitmap distinct is EXACT and equals the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (t("2024-01-01 10:05:00"), 7L), (t("2024-01-01 10:15:00"), 7L),
+      (t("2024-01-01 10:25:00"), 13L), (t("2024-01-01 10:40:00"), 999L),
+      (t("2024-01-01 11:05:00"), 7L), (t("2024-01-01 11:20:00"), 42L),
+      (t("2024-01-01 11:45:00"), 7L)) // replay within the window: idempotent
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val query = StreamOps
+      .hourlyBitmapDistinct(mem.toDF().toDF("ts", "user_id"), domain = 1024)
+      .writeStream.format("memory").queryName("bitmap_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(4): _*)
+      query.processAllAvailable()
+      mem.addData(rows.drop(4): _*)
+      query.processAllAvailable()
+      val got = spark.table("bitmap_stream")
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      // exact truth, not a sketch: 3 distinct users in hour 10, 2 in 11
+      assert(got == Map(
+        t("2024-01-01 10:00:00") -> 3L, t("2024-01-01 11:00:00") -> 2L), got)
+      // and bit-equal to the batch aggregate over the same rows at rest
+      val batch = StreamOps
+        .hourlyBitmapDistinct(rows.toDF("ts", "user_id"), domain = 1024)
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      assert(got == batch)
+    } finally query.stop()
+  }
+
   test("slidingCounts: an event lands in size/slide overlapping windows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
