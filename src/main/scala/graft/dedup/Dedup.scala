@@ -940,10 +940,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source contamination matrix — how much each pair of corpus
+    * sources shares, measured in distinct 3-gram shingles (the
+    * corpus-composition diagnostic a data-mixing pipeline reads before
+    * weighting sources; full-text equality would miss near-copies, doc
+    * pairs would be quadratic). Inverted-index shaped: the per-source
+    * distinct shingle frame self-joins on the shingle hash, and because
+    * rows are DISTINCT per (source, shingle), a shingle's join fan-out
+    * is bounded by the SOURCE DOMAIN (≤ C(|sources|, 2) pairs per
+    * shingle), not by its document frequency — no hot-shingle cap
+    * needed, unlike the doc-pair Jaccard family. Per-source sizes ride
+    * a broadcast; Jaccard is one double division over exact longs. */
+  val qSourceOverlap: Q = Q("q_source_overlap",
+    s"""WITH $shingleCte,
+       |ss AS (SELECT DISTINCT d.source, u.h
+       |       FROM sh s
+       |       JOIN documents d ON d.doc_id = s.doc_id,
+       |       LATERAL (SELECT unnest(s.hs) AS h) u),
+       |cnt AS (SELECT source, COUNT(*)::BIGINT AS n FROM ss GROUP BY 1),
+       |pair AS (SELECT a.source AS src_a, b.source AS src_b,
+       |           COUNT(*)::BIGINT AS shared
+       |         FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+       |         GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b, p.shared, ca.n AS n_a, cb.n AS n_b,
+       |  CAST(p.shared AS DOUBLE) / (ca.n + cb.n - p.shared) AS jaccard
+       |FROM pair p
+       |JOIN cnt ca ON ca.source = p.src_a
+       |JOIN cnt cb ON cb.source = p.src_b
+       |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    val sh = addShingleHashes(
+      docs(s, d).select(col("doc_id"), col("source"), col("text")),
+      col("text"))
+    val ss = sh.select(col("source"), explode(col("hs")).as("h"))
+      .distinct()
+    val cnt = ss.groupBy("source").agg(count(lit(1)).cast("long").as("n"))
+    val pair = ss.as("a").join(ss.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+    pair
+      .join(broadcast(cnt.select(col("source").as("src_a"),
+        col("n").as("n_a"))), "src_a")
+      .join(broadcast(cnt.select(col("source").as("src_b"),
+        col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"),
+        col("n_b"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccardPairs, qMinhashLsh, qMinhashIncremental,
     qDedupNearRemoved, qSimhashDocs, qSimhashPairs, qSimhashWideDocs,
     qSimhashWidePairs, qDedupComponents, qDedupComponentsStar,
     qDedupClusterSizes, qDecontaminate, qSubstringDups,
-    qWinnowFingerprint, qDecontaminateContainment)
+    qWinnowFingerprint, qDecontaminateContainment, qSourceOverlap)
 }

@@ -888,6 +888,24 @@ object SqlTwins {
          |SELECT query_id, neighbor_id, rnk, idot
          |FROM rankedf WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
+    "q_source_overlap" ->
+      s"""WITH $shingleCte,
+         |ss AS (SELECT DISTINCT source, h FROM (
+         |   SELECT d.source, explode(s.hs) AS h
+         |   FROM sh s JOIN documents d ON d.doc_id = s.doc_id)),
+         |cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ss
+         |        GROUP BY 1),
+         |pair AS (SELECT a.source AS src_a, b.source AS src_b,
+         |           CAST(COUNT(*) AS BIGINT) AS shared
+         |         FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+         |         GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, p.shared, ca.n AS n_a, cb.n AS n_b,
+         |  CAST(p.shared AS DOUBLE) / (ca.n + cb.n - p.shared) AS jaccard
+         |FROM pair p
+         |JOIN cnt ca ON ca.source = p.src_a
+         |JOIN cnt cb ON cb.source = p.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
+
     "q_knn_classify" -> {
       import graft.similarity.Similarity.QuerySet
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>)
