@@ -118,6 +118,58 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, the deterministic synchronous variant): labels start as node
+    * ids; each round every node adopts its neighbors' MAJORITY label
+    * (count DESC, then smaller label — fully deterministic, unlike the
+    * classical random-order asynchronous sweep). [[Iterations]] rounds
+    * over the customer↔supplier graph; output is the top-20 communities
+    * by size.
+    *
+    * Per round: one edge⋈label equi-join, one (node, label) vote count
+    * (map-side combined), and a k=1 [[graft.plans.TopKPerKey]] heap for
+    * the per-node argmax — no window over a node's full vote list, no
+    * driver state; rounds are driver-sequenced over checkpoints like
+    * the PageRank loop. The oracle unrolls the rounds as CTEs with the
+    * same tie-break. */
+  val qLpaCommunities: Q = Q("q_lpa_communities", {
+    val step = (k: Int) =>
+      s"""v${k + 1} AS (SELECT e.dst AS node, l$k.lbl, COUNT(*) AS c
+         |  FROM e JOIN l$k ON l$k.node = e.src GROUP BY 1, 2),
+         |l${k + 1} AS (SELECT node, lbl FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+         |    ORDER BY c DESC, lbl) AS rn FROM v${k + 1}) WHERE rn = 1)"""
+    s"""WITH ed AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM ed
+       |      UNION ALL SELECT b, a FROM ed),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |${(0 until Iterations).map(step).mkString(",\n")}
+       |SELECT CAST(lbl AS BIGINT) AS community,
+       |       COUNT(*)::BIGINT AS n_members
+       |FROM l$Iterations GROUP BY 1
+       |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+  }) { (s, d) =>
+    val e = symEdges(s, d).localCheckpoint(true)
+    var lbl = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 0 until Iterations) {
+      val votes = e.join(lbl, e("src") === lbl("node"))
+        .groupBy(e("dst").as("node2"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      lbl = graft.plans.TopKPerKey.topKPerKey(votes, Seq("node2"),
+          Seq("c" -> false, "lbl" -> true), 1, mapSideCombine = true)
+        .select(col("node2").as("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl.groupBy(col("lbl").cast("long").as("community"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+      .orderBy(desc("n_members"), asc("community"))
+      .limit(20)
+  }
+
   /** Butterfly (2×2 biclique) counting on the bipartite part–supplier
     * graph — the bipartite analogue of triangle counting (bipartite
     * graphs have no triangles, so 4-cycles are the clustering motif;
@@ -689,5 +741,6 @@ object GraphOps {
   }
 
   val all: Seq[Q] = Seq(qPagerank, qButterflyCount, qTriangles, qBfsHops,
-    qKcore, qKcoreConverged, qBfsConverged, qPagerankConverged)
+    qKcore, qKcoreConverged, qBfsConverged, qPagerankConverged,
+    qLpaCommunities)
 }
