@@ -676,26 +676,39 @@ object Similarity {
 
   /** Run-to-convergence Lloyd (the convergence-gated sibling of the
     * fixed-round [[qKmeans]], same shape as the graph family's
-    * `kcoreConverged`): iterate assign→update until the centroid
-    * matrix is a FIXED POINT — assignment is a deterministic function
-    * of the centroids, so stable centroids imply stable assignments
-    * with no extra comparison job; the convergence check is a driver
-    * equality over k×64 longs already collected by the update. Returns
-    * (stable centroids, rounds used). Lloyd monotonically decreases
-    * the (integer) objective, so termination is guaranteed; maxRounds
-    * is the operational bound. */
+    * `kcoreConverged`): iterate assign→update until no centroid
+    * coordinate moves by more than `tol` units; the check is a driver
+    * comparison over k×64 longs already collected by the update, and on
+    * convergence the PRE-update matrix is returned (the oracle's
+    * recursion stops appending when the update is within tolerance, so
+    * its final row is the same pre-update state). Throws past
+    * `maxRounds` rather than returning a non-converged matrix.
+    *
+    * Why tol = 1 and not an exact fixed point: exact Lloyd decreases
+    * the objective monotonically, but the FLOOR in the integer centroid
+    * update breaks that monotonicity — near the optimum the floored
+    * centroids CREEP by ±1 unit for dozens of rounds (measured r6 at
+    * sf0.1: exact fixed point at round 61 — past the old maxRounds=50,
+    * a silent non-converged return — vs 13–16 rounds at tol=1 at every
+    * test SF). tol=0 restores the exact-fixed-point semantics where
+    * wanted (spec-gated). */
   def kmeansConverged(s: SparkSession, d: String, k: Int = 8,
-      maxRounds: Int = 50): (Seq[(Long, Seq[Long])], Int) = {
+      maxRounds: Int = 100, tol: Long = 1): (Seq[(Long, Seq[Long])], Int) = {
     val codes = int8Codes(s, d).select("vec_id", "c").localCheckpoint(true)
     var cents = lloydSeed(codes, k)
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxRounds) {
       val next = lloydUpdate(lloydAssign(codes, cents))
-      stable = next == cents
-      cents = next
-      rounds += 1
+      val prev = cents.toMap
+      stable = next.size == cents.size && next.forall { case (cl, m) =>
+        prev.get(cl).exists(pm =>
+          m.zip(pm).forall { case (a, b) => math.abs(a - b) <= tol })
+      }
+      if (!stable) { cents = next; rounds += 1 }
     }
+    if (!stable) throw new IllegalStateException(
+      s"Lloyd did not converge (tol=$tol) within $maxRounds rounds")
     (cents, rounds)
   }
 
@@ -1007,7 +1020,9 @@ object Similarity {
       |                               * (c.c[i] - w.m[i]))) AS d2
       |                      FROM c CROSS JOIN walk w))
       |          WHERE rn = 1 GROUP BY cl) nx2
-      |         JOIN walk w2 ON w2.cl = nx2.cl AND w2.m = nx2.m)
+      |         JOIN walk w2 ON w2.cl = nx2.cl
+      |         WHERE list_max(list_transform(range(1, 65),
+      |                 i -> abs(nx2.m[i] - w2.m[i]))) <= 1)
       |        <> (SELECT COUNT(*) FROM walk)
       |),
       |fin AS (SELECT cl, m FROM walk

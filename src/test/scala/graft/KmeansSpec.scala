@@ -18,10 +18,10 @@ class KmeansSpec extends SparkSpec {
     Similarity.lloydAssign(codes, cents)
       .agg(sum("d2")).collect()(0).getLong(0)
 
-  test("kmeansConverged reaches a true fixed point") {
+  test("kmeansConverged at tol=0 reaches a true fixed point") {
     val (cents, rounds) = Similarity.kmeansConverged(spark, sf001,
-      maxRounds = 60)
-    assert(rounds < 60, "no convergence within 60 rounds")
+      maxRounds = 100, tol = 0)
+    assert(rounds < 100, "no convergence within 100 rounds")
     assert(cents.nonEmpty && cents.size <= 8)
     // fixed point: one more assign→update cycle reproduces the matrix
     // bit-for-bit (assignment is a deterministic function of centroids,
@@ -30,9 +30,33 @@ class KmeansSpec extends SparkSpec {
     assert(again == cents, "centroids are not a Lloyd fixed point")
   }
 
+  test("default tol=1 stops in far fewer rounds, within 1 unit of motion") {
+    // the floored integer update CREEPS by ±1 near the optimum (r6:
+    // exact fixed point at round 61 at sf0.1); tol=1 cuts the tail
+    val (cents, rounds) = Similarity.kmeansConverged(spark, sf001)
+    val (_, exactRounds) = Similarity.kmeansConverged(spark, sf001,
+      maxRounds = 100, tol = 0)
+    assert(rounds <= exactRounds)
+    // the returned (pre-update) matrix moves by at most 1 per coordinate
+    // under one more cycle — the documented tolerance contract
+    val again = Similarity.lloydUpdate(Similarity.lloydAssign(codes, cents))
+      .toMap
+    cents.foreach { case (cl, m) =>
+      val n = again(cl)
+      assert(m.zip(n).forall { case (a, b) => math.abs(a - b) <= 1 },
+        s"cluster $cl moved by more than tol=1")
+    }
+  }
+
+  test("non-convergence within maxRounds throws, never returns silently") {
+    intercept[IllegalStateException] {
+      Similarity.kmeansConverged(spark, sf001, maxRounds = 1, tol = 0)
+    }
+  }
+
   test("converged objective is no worse than the fixed-round query's") {
     val (converged, _) = Similarity.kmeansConverged(spark, sf001,
-      maxRounds = 60)
+      maxRounds = 100, tol = 0)
     val threeRound = Similarity.lloydCentroids(codes, 8, rounds = 3)
     assert(inertia(converged) <= inertia(threeRound),
       "Lloyd iteration increased the clustering objective")
