@@ -151,6 +151,18 @@ object GraphOps {
        |FROM l$Iterations GROUP BY 1
        |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
   }) { (s, d) =>
+    val (_, lbl) = lpaLabels(s, d)
+    lbl.groupBy(col("lbl").cast("long").as("community"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+      .orderBy(desc("n_members"), asc("community"))
+      .limit(20)
+  }
+
+  /** The [[qLpaCommunities]] loop, shared with [[qLpaModularity]]:
+    * (checkpointed symmetric edges, node→label frame after
+    * [[Iterations]] synchronous majority rounds). */
+  private def lpaLabels(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val e = symEdges(s, d).localCheckpoint(true)
     var lbl = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
@@ -164,8 +176,76 @@ object GraphOps {
         .select(col("node2").as("node"), col("lbl"))
         .localCheckpoint(true)
     }
-    lbl.groupBy(col("lbl").cast("long").as("community"))
-      .agg(count(lit(1)).cast("long").as("n_members"))
+    (e, lbl)
+  }
+
+  /** Partition-quality report for the [[qLpaCommunities]] communities:
+    * per community its member count, INTERNAL edge count and degree
+    * mass, plus the graph's total edge count — the exact integer
+    * ingredients of Newman modularity Q = Σ_c (e_c/m − (d_c/2m)²),
+    * emitted as numerators so the gate stays bit-exact (the one
+    * floating division is the reader's). Internal edges fall out of the
+    * symmetric edge list joined to the label frame on BOTH endpoints
+    * (each undirected internal edge appears exactly twice — the /2 is
+    * exact); degree mass is a labels⋈degrees aggregate. All joins are
+    * equi-joins on node ids; community-bounded output rides the top-20
+    * heap. */
+  val qLpaModularity: Q = Q("q_lpa_modularity", {
+    val step = (k: Int) =>
+      s"""v${k + 1} AS (SELECT e.dst AS node, l$k.lbl, COUNT(*) AS c
+         |  FROM e JOIN l$k ON l$k.node = e.src GROUP BY 1, 2),
+         |l${k + 1} AS (SELECT node, lbl FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+         |    ORDER BY c DESC, lbl) AS rn FROM v${k + 1}) WHERE rn = 1)"""
+    s"""WITH ed AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM ed
+       |      UNION ALL SELECT b, a FROM ed),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |${(0 until Iterations).map(step).mkString(",\n")},
+       |deg AS (SELECT src, COUNT(*)::BIGINT AS d FROM e GROUP BY 1),
+       |inter AS (SELECT la.lbl AS community,
+       |            CAST(COUNT(*) // 2 AS BIGINT) AS internal_edges
+       |          FROM e
+       |          JOIN l$Iterations la ON la.node = e.src
+       |          JOIN l$Iterations lb ON lb.node = e.dst
+       |          WHERE la.lbl = lb.lbl GROUP BY 1),
+       |degs AS (SELECT c.lbl AS community,
+       |           COUNT(*)::BIGINT AS n_members,
+       |           CAST(SUM(d.d) AS BIGINT) AS degree_sum
+       |         FROM l$Iterations c JOIN deg d ON d.src = c.node
+       |         GROUP BY 1),
+       |m AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS m_edges FROM e)
+       |SELECT CAST(dg.community AS BIGINT) AS community, dg.n_members,
+       |       CAST(COALESCE(i.internal_edges, 0) AS BIGINT)
+       |         AS internal_edges,
+       |       dg.degree_sum, m.m_edges
+       |FROM degs dg
+       |LEFT JOIN inter i ON i.community = dg.community
+       |CROSS JOIN m
+       |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+  }) { (s, d) =>
+    val (e, lbl) = lpaLabels(s, d)
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("d"))
+    val la = lbl.select(col("node").as("src"), col("lbl").as("la"))
+    val lb = lbl.select(col("node").as("dst"), col("lbl").as("lb"))
+    val inter = e.join(la, "src").join(lb, "dst")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(expr("CAST(COUNT(1) div 2 AS BIGINT)").as("internal_edges"))
+    val degs = lbl.join(deg, lbl("node") === deg("src"))
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        sum("d").cast("long").as("degree_sum"))
+    val m = broadcast(
+      e.agg(expr("CAST(COUNT(1) div 2 AS BIGINT)").as("m_edges")))
+    degs.join(inter, Seq("community"), "left")
+      .crossJoin(m)
+      .select(col("community").cast("long").as("community"),
+        col("n_members"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"), col("m_edges"))
       .orderBy(desc("n_members"), asc("community"))
       .limit(20)
   }
@@ -742,5 +822,5 @@ object GraphOps {
 
   val all: Seq[Q] = Seq(qPagerank, qButterflyCount, qTriangles, qBfsHops,
     qKcore, qKcoreConverged, qBfsConverged, qPagerankConverged,
-    qLpaCommunities)
+    qLpaCommunities, qLpaModularity)
 }

@@ -233,6 +233,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("filtered ANN, MMR and source-overlap candidates are equi-joins, " +
+    "never products") {
+    // filtered search: the label predicate joins AT candidate generation
+    val fa = plan(Similarity.qAnnFiltered.fn(spark, sf001))
+    assert(!fa.contains("CartesianProduct"), fa)
+    assert(fa.contains("BroadcastHashJoin"), fa)
+    // MMR: the pool-pair sim frame joins on query_id (bounded pool²)
+    val mm = plan(Similarity.qMmrRerank.fn(spark, sf001))
+    assert(!mm.contains("CartesianProduct"), mm)
+    // source overlap: inverted-index self-join on the shingle hash
+    val so = plan(Dedup.qSourceOverlap.fn(spark, sf001))
+    assert(!so.contains("CartesianProduct"), so)
+    assert(!so.contains("BroadcastNestedLoopJoin"), so)
+  }
+
   test("triangle and weighted-sim pair generation is equi-join, never " +
     "a product") {
     // both candidate generators are inverted-index/wedge equi-joins with
