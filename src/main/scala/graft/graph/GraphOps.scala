@@ -179,6 +179,81 @@ object GraphOps {
     (e, lbl)
   }
 
+  /** Personalized PageRank (the "related to THESE" variant every
+    * recommender reaches for): identical fixed-point arithmetic to
+    * [[qPagerank]], but rank mass teleports to a SEED SET (customers
+    * 1–5) instead of uniformly — rᵏ⁺¹ = teleport·[v∈S] + damped
+    * in-mass. The teleport term rides a UNION with the propagated
+    * frame before the per-node sum, so seeds with no incoming mass
+    * stay alive (a CASE on the aggregate would drop them) and both
+    * engines share one spelling. Integer floors end to end
+    * ([[Mass]]-scaled), oracle-exact; per round one edge⋈rank
+    * equi-join + a map-side-combinable sum, seeds broadcastable. */
+  val qPprSeeds: Q = Q("q_ppr_seeds", {
+    val step = (k: Int) =>
+      s"""p${k + 1} AS (
+         |  SELECT e.dst AS node, ($DampNum * SUM(r$k.r // deg.d)) // 100
+         |           AS r
+         |  FROM e JOIN r$k ON r$k.node = e.src
+         |         JOIN deg ON deg.src = e.src
+         |  GROUP BY e.dst),
+         |r${k + 1} AS (
+         |  SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM (
+         |    SELECT s.node, (15 * $Mass) // (100 * ns.n) AS r
+         |    FROM seeds s CROSS JOIN ns
+         |    UNION ALL SELECT node, r FROM p${k + 1})
+         |  GROUP BY node)"""
+    s"""WITH ed AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM ed
+       |      UNION ALL SELECT b, a FROM ed),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e
+       |        GROUP BY 1),
+       |seeds AS (SELECT DISTINCT src AS node FROM e
+       |          WHERE src % 2 = 0 AND src // 2 <= 5),
+       |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds),
+       |r0 AS (SELECT node, $Mass // ns.n AS r
+       |       FROM seeds CROSS JOIN ns),
+       |${(0 until Iterations).map(step).mkString(",\n")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |         AS kind,
+       |       CAST(node // 2 AS BIGINT) AS key,
+       |       CAST(r AS BIGINT) AS ppr_pico
+       |FROM r$Iterations
+       |ORDER BY ppr_pico DESC, kind, key LIMIT 20""".stripMargin
+  }) { (s, d) =>
+    val ec = edgesWithDeg(s, d)
+    val seeds = ec.select(col("src").as("node")).distinct()
+      .filter(pmod(col("node"), lit(2)) === 0 &&
+        expr("node div 2") <= 5)
+      .localCheckpoint(true)
+    val nsRow = broadcast(seeds.agg(count(lit(1)).as("n")))
+    var r: DataFrame = seeds.crossJoin(nsRow)
+      .select(col("node"), expr(s"CAST(${Mass}L div n AS BIGINT)").as("r"))
+      .localCheckpoint(true)
+    for (_ <- 0 until Iterations) {
+      val prop = ec.join(r, ec("src") === r("node"))
+        .groupBy(ec("dst").as("node"))
+        .agg(expr(s"CAST(($DampNum * SUM(r div d)) div 100 AS BIGINT)")
+          .as("r"))
+      val tele = broadcast(seeds).crossJoin(nsRow)
+        .select(col("node"),
+          expr(s"CAST((15 * ${Mass}L) div (100 * n) AS BIGINT)").as("r"))
+      r = tele.unionAll(prop)
+        .groupBy("node")
+        .agg(sum("r").cast("long").as("r"))
+        .localCheckpoint(true)
+    }
+    r.select(
+        when(pmod(col("node"), lit(2)) === 0, "customer")
+          .otherwise("supplier").as("kind"),
+        expr("CAST(node div 2 AS BIGINT)").as("key"),
+        col("r").as("ppr_pico"))
+      .orderBy(desc("ppr_pico"), asc("kind"), asc("key"))
+      .limit(20)
+  }
+
   /** Partition-quality report for the [[qLpaCommunities]] communities:
     * per community its member count, INTERNAL edge count and degree
     * mass, plus the graph's total edge count — the exact integer
@@ -822,5 +897,5 @@ object GraphOps {
 
   val all: Seq[Q] = Seq(qPagerank, qButterflyCount, qTriangles, qBfsHops,
     qKcore, qKcoreConverged, qBfsConverged, qPagerankConverged,
-    qLpaCommunities, qLpaModularity)
+    qLpaCommunities, qLpaModularity, qPprSeeds)
 }
