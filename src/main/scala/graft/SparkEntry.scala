@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CdcOps, ExtOps, FuncOps, Q, RefQueries, RelOps,
-  SeqOps, TemporalOps, TypedOps}
+import graft.queries.{CdcOps, ExtOps, FuncOps, PartitionOps, Q, RefQueries,
+  RelOps, SeqOps, TemporalOps, TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each module registers its operators as [[graft.queries.Q]] values
@@ -16,6 +16,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     RefQueries.all ++ RelOps.all ++ FuncOps.all ++ ExtOps.all ++
       CdcOps.all ++ SeqOps.all ++ TemporalOps.all ++ TypedOps.all ++
+      PartitionOps.all ++
       graft.text.TextOps.all ++ graft.text.IndexOps.all ++
       graft.dedup.Dedup.all ++ graft.graph.GraphOps.all ++
       graft.similarity.Similarity.all ++

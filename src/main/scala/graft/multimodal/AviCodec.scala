@@ -145,6 +145,11 @@ object AviCodec {
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
       ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
+  /** Chunk sizes are unsigned in RIFF: read into a Long so a crafted
+    * size near 2^31 cannot wrap `offset + size` negative and slip past
+    * the bounds guards (the None-not-exception contract). */
+  private def le32u(b: Array[Byte], i: Int): Long = le32(b, i) & 0xFFFFFFFFL
+
   private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
     i + s.length <= b.length &&
       s.indices.forall(k => (b(i + k) & 0xff) == s.charAt(k))
@@ -165,8 +170,8 @@ object AviCodec {
       : Boolean = {
     var i = start
     while (i + 8 <= end) {
-      val size = le32(b, i + 4)
-      if (size < 0 || i + 8 + size > end) return false
+      if (i + 8L + le32u(b, i + 4) > end) return false
+      val size = le32u(b, i + 4).toInt // safe: bounded by end - i - 8
       if (ascii(b, i, "LIST")) {
         if (size < 4) return false
         if (ascii(b, i + 8, "rec ") &&
@@ -175,7 +180,8 @@ object AviCodec {
       } else if (isFrameId(b, i)) {
         out += java.util.Arrays.copyOfRange(b, i + 8, i + 8 + size)
       }
-      i += 8 + size + (size & 1)
+      // Long: the missing-final-pad-byte case lands exactly at end + 1.
+      i = (i + 8L + size + (size & 1)).toInt
     }
     i >= end // a chunk header straddling the end is a truncation
   }
@@ -186,15 +192,15 @@ object AviCodec {
   def decode(b: Array[Byte]): Option[AviVideo] = {
     if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "AVI "))
       return None
-    val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
+    val riffEnd = math.min(b.length.toLong, 8L + le32u(b, 4)).toInt
     var width = -1
     var height = -1
     var total = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var i = 12
     while (i + 8 <= riffEnd) {
-      val size = le32(b, i + 4)
-      if (size < 0 || i + 8 + size > riffEnd) return None
+      if (i + 8L + le32u(b, i + 4) > riffEnd) return None
+      val size = le32u(b, i + 4).toInt // safe: bounded by riffEnd - i - 8
       if (ascii(b, i, "LIST") && size >= 4) {
         if (ascii(b, i + 8, "hdrl")) {
           // scan the hdrl list for the avih chunk (always its first
@@ -202,20 +208,20 @@ object AviCodec {
           var j = i + 12
           val end = i + 8 + size
           while (j + 8 <= end && total < 0) {
-            val s2 = le32(b, j + 4)
-            if (s2 < 0 || j + 8 + s2 > end) return None
+            if (j + 8L + le32u(b, j + 4) > end) return None
+            val s2 = le32u(b, j + 4).toInt
             if (ascii(b, j, "avih") && s2 >= 40) {
               total = le32(b, j + 8 + 16)
               width = le32(b, j + 8 + 32)
               height = le32(b, j + 8 + 36)
             }
-            j += 8 + s2 + (s2 & 1)
+            j = (j + 8L + s2 + (s2 & 1)).toInt
           }
         } else if (ascii(b, i + 8, "movi")) {
           if (!walkFrames(b, i + 12, i + 8 + size, frames)) return None
         }
       }
-      i += 8 + size + (size & 1)
+      i = (i + 8L + size + (size & 1)).toInt
     }
     if (width < 0 || total < 0) None
     else Some(AviVideo(width, height, total, frames.toVector))

@@ -176,12 +176,30 @@ object Multimodal {
     * SQL oracle can recompute the expected fields while the Spark side
     * must actually parse them back out of the bytes. The document's text
     * bytes ride along as the opaque body. */
+  /** The media generators index document text BYTES while the SQL
+    * oracles index CHARACTERS (`ascii`/`substring`/`length`) — identical
+    * only for pure-ASCII text. That assumption is PINNED here, not
+    * silently relied on: a non-ASCII doc fails fast with its id at
+    * generation time instead of hash-diverging from the oracle
+    * downstream. Returns the bytes so call sites stay one-line. */
+  private def requireAscii(id: Long, body: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < body.length) {
+      if ((body(i) & 0x80) != 0) sys.error(
+        s"doc $id text is not ASCII (byte 0x${(body(i) & 0xff).toHexString}" +
+          s" at $i): media oracles assume byte == character semantics")
+      i += 1
+    }
+    body
+  }
+
   def syntheticMediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.load(s, d, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("body"))
       .as[(Long, Array[Byte])]
-      .map { case (id, body) =>
+      .map { case (id, raw) =>
+        val body = requireAscii(id, raw)
         val (w, h) = ((id % 317 + 16).toInt, (id % 211 + 16).toInt)
         id % 3 match {
           case 0 => MediaRow(id, "image/png",
@@ -278,7 +296,8 @@ object Multimodal {
     Tables.load(s, d, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("body"))
       .as[(Long, Array[Byte])]
-      .map { case (id, body) =>
+      .map { case (id, raw) =>
+        val body = requireAscii(id, raw)
         val w = (8 + id % 24).toInt
         val h = (8 + id % 16).toInt
         val px = Array.tabulate(w * h)(j => body(j % body.length))
@@ -516,7 +535,8 @@ object Multimodal {
         // codec setup hoisted once per partition: the writer and the
         // per-size metadata trees are reused across every payload
         val enc = new Gray8GifEncoder()
-        rows.map { case (id, body) =>
+        rows.map { case (id, raw) =>
+          val body = requireAscii(id, raw)
           val nf = (2 + id % 3).toInt
           val w = (8 + id % 8).toInt
           val h = (8 + id % 4).toInt
@@ -596,7 +616,8 @@ object Multimodal {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("body"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, body) =>
+        rows.map { case (id, raw) =>
+          val body = requireAscii(id, raw)
           val nf = (2 + id % 3).toInt
           val w = (8 + id % 8).toInt
           val h = (8 + id % 4).toInt

@@ -134,17 +134,40 @@ object RefQueries {
   }
 
   /** Curation D3/D4 — the quarantined side with machine-readable reasons
-    * (what the reference backs up then DELETEs; empty on this data, which
-    * is itself verified). */
+    * (what the reference backs up then DELETEs).
+    *
+    * The TPC-H-ish corpus is CLEAN, so quarantining it directly emits 0
+    * rows at every SF and the oracle gate was VACUOUS — empty-vs-empty
+    * hashes match even if the validity split breaks (VERDICT r6 wrong
+    * #1). The registered gate therefore feeds [[Curation.curate]] a
+    * DETERMINISTICALLY PERTURBED fact (the same CASE in both engines:
+    * orderkey%97 → NULL, %89 → negated, %83 → +2,000,000) so every
+    * reason branch — null / nonpositive / overflow — is value-gated
+    * with real rows (~1.9k at sf0.01). The reference's actual on-clean
+    * behavior (an EMPTY quarantine) stays verified by [[qCurateStats]]'s
+    * rows_removed = 0 and by CurationSpec's 6,334-row golden split on
+    * the reference's own data. */
   val qCurateQuarantine: Q = Q("q_curate_quarantine",
-    """SELECT l_orderkey, l_linenumber, l_quantity,
+    """WITH pert AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN l_orderkey % 97 = 0 THEN NULL
+      |         WHEN l_orderkey % 89 = 0 THEN -l_quantity
+      |         WHEN l_orderkey % 83 = 0 THEN l_quantity + 2000000
+      |         ELSE l_quantity END AS l_quantity
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, l_quantity,
       |  CASE WHEN l_quantity IS NULL THEN 'null'
       |       WHEN l_quantity <= 0 THEN 'nonpositive'
       |       ELSE 'overflow' END AS reason
-      |FROM lineitem
+      |FROM pert
       |WHERE l_quantity IS NULL OR l_quantity <= 0 OR l_quantity > 1000000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
-    Curation.curate(li(s, d), measureColumn = Some("l_quantity"))
+    val pert = li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      when(col("l_orderkey") % 97 === 0, lit(null).cast("double"))
+        .when(col("l_orderkey") % 89 === 0, -col("l_quantity"))
+        .when(col("l_orderkey") % 83 === 0, col("l_quantity") + 2000000)
+        .otherwise(col("l_quantity")).as("l_quantity"))
+    Curation.curate(pert, measureColumn = Some("l_quantity"))
       .quarantined
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         when(col("l_quantity").isNull, "null")

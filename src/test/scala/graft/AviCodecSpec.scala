@@ -115,6 +115,31 @@ class AviCodecSpec extends SparkSpec {
     assert(AviCodec.decode(wav).isEmpty) // RIFF but not AVI
   }
 
+  test("crafted chunk sizes near 2^31 yield None, not an overflow throw") {
+    // RIFF sizes are unsigned: a size near 2^31 must not wrap
+    // `offset + 8 + size` negative in Int and slip past the bounds guard
+    // into copyOfRange/le32 (the None-not-exception contract)
+    val jpegs = Seq(JpegCodec.encodeGray8(8, 8, gradFrame(8, 8, 0)))
+    val avi = AviCodec.encodeMjpeg(8, 8, 10, jpegs)
+    def patched(off: Int, v: Long): Array[Byte] = {
+      val b = avi.clone()
+      (0 until 4).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+      b
+    }
+    def find(id: String, from: Int): Int = {
+      val pat = id.getBytes("US-ASCII")
+      (from until avi.length - 4).find(i =>
+        pat.indices.forall(k => avi(i + k) == pat(k))).get
+    }
+    // size fields of: the hdrl LIST (top-level walk), its inner avih
+    // chunk (hdrl scan), and the first 00dc frame chunk (movi walk)
+    val sizeOffsets = Seq(16, find("avih", 0) + 4, find("00dc", 0) + 4)
+    for (off <- sizeOffsets; v <- Seq(0x7FFFFFF0L, 0xFFFFFFF0L)) {
+      assert(AviCodec.decode(patched(off, v)).isEmpty,
+        s"size 0x${v.toHexString} at offset $off must decode to None")
+    }
+  }
+
   test("distributed AVI frame extraction over the corpus (q_avi_frames)") {
     val rows = Multimodal.qAviFrames.fn(spark, sf001).collect()
     assert(rows.length == 500)

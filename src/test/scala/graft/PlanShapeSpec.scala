@@ -316,4 +316,31 @@ class PlanShapeSpec extends SparkSpec {
         winLines.mkString("\n"))
     }
   }
+
+  test("month-partitioned scan prunes statically via PartitionFilters") {
+    // the quarter predicate must be a PARTITION filter (directory-level
+    // pruning: 3 of 80 month dirs listed, zero data read elsewhere),
+    // not a post-scan data filter that reads everything then discards
+    val p = plan(graft.queries.PartitionOps.qPartitionPruned.fn(spark, sf001))
+    val scan = p.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail(s"no PartitionFilters in plan:\n$p"))
+    assert(scan.contains("o_month"), scan)
+    assert(scan.contains("199601") && scan.contains("199603"), scan)
+    // o_month never appears as a pushed DATA filter — it is not a data
+    // column in the partitioned layout at all
+    assert(!p.contains("PushedFilters: [IsNotNull(o_month)"), p)
+  }
+
+  test("dim-filtered join prunes the partitioned fact DYNAMICALLY (DPP)") {
+    // the dim months are unknowable at plan time: Spark must inject a
+    // dynamicpruningexpression into the fact scan's PartitionFilters
+    // (reusing the dim broadcast), so only the dim's ~9 of 80 month
+    // directories are read at RUN time
+    val p = plan(graft.queries.PartitionOps.qDppJoin.fn(spark, sf001))
+    assert(p.contains("dynamicpruningexpression"), p)
+    val scan = p.linesIterator
+      .find(l => l.contains("PartitionFilters") &&
+        l.contains("dynamicpruning"))
+    assert(scan.nonEmpty, p)
+  }
 }
