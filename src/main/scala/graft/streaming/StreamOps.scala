@@ -311,6 +311,22 @@ object StreamOps {
       .agg(count(lit(1)).cast("long").as("dn"),
         sum(round(col("value") * 100, 0).cast("long")).as("dc"))
 
+  /** Versions under `root` whose write COMMITTED (the `_SUCCESS` marker
+    * the parquet job commit protocol writes last). A crash mid-write
+    * leaves a `v=` directory with some task-committed part files and no
+    * marker — a TORN version that must be invisible to every reader:
+    * the state read surface would serve partial sums, and (defensively)
+    * a merge must never chain off one. The chaos spec in StreamOpsSpec
+    * pins this by planting exactly such a directory. */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith("v="))
+      .filter(s => fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(2).toLong)
+
   /** One version-chain merge step under `statePath`: read the newest
     * state version < batchId, full-outer-merge the delta, overwrite
     * v=batchId, prune to the newest 3 versions. */
@@ -320,13 +336,9 @@ object StreamOps {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(statePath), spark.sessionState.newHadoopConf())
     val root = new org.apache.hadoop.fs.Path(statePath)
-    val prevVersion =
-      if (!fs.exists(root)) None
-      else fs.listStatus(root).toSeq
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
-        .filter(_ < batchId) // replay must NOT read its own prior output
-        .sorted.lastOption
+    val prevVersion = committedVersions(fs, root)
+      .filter(_ < batchId) // replay must NOT read its own prior output
+      .sorted.lastOption
     val prev = prevVersion match {
       case Some(v) => spark.read.parquet(s"$statePath/v=$v")
       case None =>
@@ -398,7 +410,11 @@ object StreamOps {
   }
 
   /** Current state of a bucketed merge sink: per bucket, its newest
-    * version (buckets never touched by any batch are simply absent). */
+    * COMMITTED version (buckets never touched by any batch are simply
+    * absent). Torn versions — a crash mid-write leaves part files
+    * without the `_SUCCESS` job-commit marker — are invisible: the read
+    * surface serves the bucket's previous committed version until the
+    * replayed batch rewrites the torn one (chaos-spec-pinned). */
   def readBucketedState(spark: SparkSession, statePath: String): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(statePath), spark.sessionState.newHadoopConf())
@@ -409,8 +425,7 @@ object StreamOps {
         .map(_.getPath)
         .filter(_.getName.startsWith("bucket="))
         .flatMap { b =>
-          fs.listStatus(b).toSeq.map(_.getPath.getName)
-            .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+          committedVersions(fs, b)
             .sorted.lastOption
             .map(v => s"$b/v=$v")
         }
