@@ -1578,9 +1578,38 @@ object SqlTwins {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** [[graft.similarity.Similarity.qAnnRecall]]'s twin, composed from
+    * the six tier TWINS exactly as its oracle is composed from the six
+    * tier oracles — four tiers have hand-written override twins (their
+    * oracles aren't mechanically dialect-convertible), so the recall
+    * twin must reuse the twins, not `dialect(oracle)`. Lazy: it calls
+    * [[twin]], which reads [[overrides]], so it cannot run during map
+    * construction. */
+  private lazy val annRecallTwin: String = {
+    val tiers = Seq("ivf" -> "q_ann_ivf", "ivf_kmeans" -> "q_ann_ivf_kmeans",
+      "ivfpq" -> "q_ann_ivfpq", "int8" -> "q_ann_int8", "lsh" -> "q_ann_lsh",
+      "multiprobe" -> "q_ann_multiprobe")
+    val tierSql = tiers.map { case (t, qn) =>
+      s"""SELECT '$t' AS tier, query_id, neighbor_id
+         |FROM (${twin(qn).get}) WHERE rnk <= 3""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ex AS (SELECT query_id, neighbor_id
+       |           FROM (${twin("q_cosine_topk").get}) WHERE rnk <= 3),
+       |t AS (
+       |  $tierSql)
+       |SELECT t.tier, COUNT(*) AS returned,
+       |  CAST(SUM(CASE WHEN ex.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS hits,
+       |  CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS exact_k
+       |FROM t LEFT JOIN ex ON t.query_id = ex.query_id
+       |                   AND t.neighbor_id = ex.neighbor_id
+       |GROUP BY t.tier ORDER BY t.tier""".stripMargin
+  }
+
   /** The Spark-SQL twin for a registered query, if one exists. */
   def twin(name: String): Option[String] =
     if (skips.contains(name)) None
+    else if (name == "q_ann_recall") Some(annRecallTwin)
     else overrides.get(name)
       .orElse(graft.SparkEntry.oracleSql.get(name).map(dialect(_)))
 
