@@ -128,5 +128,65 @@ object PartitionOps {
       .orderBy("o_month")
   }
 
-  val all: Seq[Q] = Seq(qPartitionPruned, qDppJoin)
+  /** Build (idempotently per session) the bucketed orders/customer
+    * tables for `d`: both bucketed ×8 on the customer key via
+    * [[graft.scale.Scale.writeBucketed]] (one pre-shuffle at write
+    * time), so every later equi-join on that key is co-located. Tables
+    * are sfDir-suffixed — two scale factors never collide — and land in
+    * the session warehouse (gitignored). */
+  private[graft] def ensureBucketed(s: SparkSession,
+      d: String): (String, String) = synchronized {
+    val safe = d.replaceAll("[^A-Za-z0-9]", "_")
+    val (to, tc) = (s"b_orders$safe", s"b_customer$safe")
+    if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tc)) {
+      // the catalog is per-session but the warehouse DIRECTORY outlives
+      // the JVM: a fresh session with a stale location gets
+      // LOCATION_ALREADY_EXISTS from saveAsTable — drop both table and
+      // leftover directory before writing
+      Seq(to, tc).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + "/" + t.toLowerCase)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      graft.scale.Scale.writeBucketed(
+        Tables.load(s, d, "orders"), to, "o_custkey", buckets = 8)
+      graft.scale.Scale.writeBucketed(
+        Tables.load(s, d, "customer"), tc, "c_custkey", buckets = 8)
+    }
+    (to, tc)
+  }
+
+  /** CO-LOCATED join over the bucketed layout — the third leg of the
+    * physical-layout story next to [[qPartitionPruned]] (directory
+    * pruning) and [[qDppJoin]] (runtime pruning): both sides were
+    * pre-shuffled ×8 on the customer key AT WRITE TIME, so the
+    * per-customer join+rollup plans a SortMergeJoin with ZERO hash
+    * exchanges (PlanShapeSpec asserts SelectedBucketsCount and the
+    * absence of Exchange hashpartitioning). The `merge` hint keeps the
+    * plan on SMJ — a broadcast join would also skip the exchange but
+    * proves nothing about the layout; at 100 TB neither side of a
+    * fact⋈fact join broadcasts, and this bucket-aligned SMJ is exactly
+    * the plan that survives. The oracle reads the FLAT tables, so the
+    * gate also proves the bucketed write+read round trip. */
+  val qBucketedJoin: Q = Q("q_bucketed_join",
+    """SELECT o_custkey,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |         AS total_cents,
+      |       MIN(c_mktsegment) AS segment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val (to, tc) = ensureBucketed(s, d)
+    s.table(to).hint("merge")
+      .join(s.table(tc).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), centsSum,
+        min("c_mktsegment").as("segment"))
+      .orderBy("o_custkey")
+  }
+
+  val all: Seq[Q] = Seq(qPartitionPruned, qDppJoin, qBucketedJoin)
 }

@@ -343,4 +343,15 @@ class PlanShapeSpec extends SparkSpec {
         l.contains("dynamicpruning"))
     assert(scan.nonEmpty, p)
   }
+
+  test("bucketed join is co-located: SMJ on bucketed scans, zero hash " +
+    "exchanges") {
+    // both sides were pre-shuffled x8 on the customer key at write time;
+    // the join AND the per-customer aggregate must reuse that layout —
+    // any Exchange hashpartitioning means the bucketing was wasted
+    val p = plan(graft.queries.PartitionOps.qBucketedJoin.fn(spark, sf001))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("SelectedBucketsCount"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
