@@ -1214,6 +1214,85 @@ object SqlTwins {
         |       CAST((cnt * 1000) div n AS BIGINT) AS purity_pm
         |FROM mj WHERE r = 1 ORDER BY cluster""".stripMargin,
 
+    // the q_kmeans posexploded Lloyd chain + the moment identity
+    // Σ‖ci−cj‖² = n·‖ci‖² + ΣQ − 2·ci·S spelled as pos-joined aggregates
+    "q_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        array_max(transform(v, x -> abs(x))) AS mx FROM e),
+        |c AS (SELECT vec_id,
+        |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+        |          AS c
+        |      FROM m),
+        |x AS (SELECT vec_id, pos, val
+        |      FROM (SELECT vec_id, posexplode(c) AS (pos, val) FROM c)),
+        |cent0 AS (SELECT vec_id AS cl, pos, val AS m FROM x
+        |          WHERE vec_id < 8),
+        |d1 AS (SELECT x.vec_id, cent0.cl,
+        |         SUM((x.val - cent0.m) * (x.val - cent0.m)) AS d2
+        |       FROM x JOIN cent0 ON cent0.pos = x.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cl,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d1),
+        |s1 AS (SELECT vec_id, cl FROM a1 WHERE rn = 1),
+        |cent1 AS (SELECT s1.cl, x.pos,
+        |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+        |                 AS BIGINT) AS m
+        |          FROM x JOIN s1 ON s1.vec_id = x.vec_id GROUP BY 1, 2),
+        |d2r AS (SELECT x.vec_id, cent1.cl,
+        |          SUM((x.val - cent1.m) * (x.val - cent1.m)) AS d2
+        |        FROM x JOIN cent1 ON cent1.pos = x.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cl,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d2r),
+        |s2 AS (SELECT vec_id, cl FROM a2 WHERE rn = 1),
+        |cent2 AS (SELECT s2.cl, x.pos,
+        |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+        |                 AS BIGINT) AS m
+        |          FROM x JOIN s2 ON s2.vec_id = x.vec_id GROUP BY 1, 2),
+        |d3 AS (SELECT x.vec_id, cent2.cl,
+        |         SUM((x.val - cent2.m) * (x.val - cent2.m)) AS d2
+        |       FROM x JOIN cent2 ON cent2.pos = x.pos GROUP BY 1, 2),
+        |a3 AS (SELECT vec_id, cl,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d3),
+        |s3 AS (SELECT vec_id, cl FROM a3 WHERE rn = 1),
+        |qv AS (SELECT vec_id, SUM(val * val) AS qi FROM x GROUP BY vec_id),
+        |momn AS (SELECT s3.cl, CAST(COUNT(*) AS BIGINT) AS n,
+        |           CAST(SUM(qv.qi) AS BIGINT) AS qq
+        |         FROM s3 JOIN qv ON qv.vec_id = s3.vec_id GROUP BY s3.cl),
+        |moms AS (SELECT s3.cl, x.pos, CAST(SUM(x.val) AS BIGINT) AS sv
+        |         FROM x JOIN s3 ON s3.vec_id = x.vec_id GROUP BY 1, 2),
+        |dots AS (SELECT x.vec_id, moms.cl AS ocl,
+        |           SUM(x.val * moms.sv) AS dt
+        |         FROM x JOIN moms ON moms.pos = x.pos GROUP BY 1, 2),
+        |sumd AS (SELECT s3.vec_id, s3.cl, d.ocl, mn.n,
+        |           CAST(mn.n * qv.qi + mn.qq - 2 * d.dt AS BIGINT) AS sd
+        |         FROM s3 JOIN qv ON qv.vec_id = s3.vec_id
+        |                 JOIN dots d ON d.vec_id = s3.vec_id
+        |                 JOIN momn mn ON mn.cl = d.ocl),
+        |ab AS (SELECT vec_id, cl,
+        |         MAX(CASE WHEN ocl = cl AND n > 1
+        |               THEN CAST(sd AS DOUBLE) / (n - 1) END) AS a,
+        |         MIN(CASE WHEN ocl <> cl
+        |               THEN CAST(sd AS DOUBLE) / n END) AS b
+        |       FROM sumd GROUP BY vec_id, cl),
+        |sil AS (SELECT vec_id, cl,
+        |          CASE WHEN a IS NULL OR b IS NULL OR greatest(a, b) = 0
+        |               THEN CAST(0 AS BIGINT)
+        |               ELSE CAST(floor(1000 * (b - a) / greatest(a, b))
+        |                    AS BIGINT) END AS s_mille
+        |        FROM ab)
+        |SELECT CAST(cl AS BIGINT) AS cluster, COUNT(*) AS n,
+        |       CAST(SUM(s_mille) AS BIGINT) AS sum_s_mille,
+        |       CAST(MIN(s_mille) AS BIGINT) AS min_s_mille,
+        |       CAST(MAX(s_mille) AS BIGINT) AS max_s_mille
+        |FROM sil GROUP BY cl ORDER BY cluster""".stripMargin,
+
     // DuckDB indexes the token list; the Spark spelling builds bigrams
     // with zip_with over shifted slices (the q_pmi_bigrams pattern)
     "q_bigram_surprisal" ->
