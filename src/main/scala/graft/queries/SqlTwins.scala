@@ -1214,6 +1214,35 @@ object SqlTwins {
         |       CAST((cnt * 1000) div n AS BIGINT) AS purity_pm
         |FROM mj WHERE r = 1 ORDER BY cluster""".stripMargin,
 
+    // posexploded spelling of the PQ per-subspace error: codeword and
+    // vector dims meet on pos, subspace = pos div PqSubDim
+    "q_pq_distortion" -> {
+      val (lo, hi) = graft.similarity.Similarity.PqAnchorBounds
+      val sub = graft.similarity.Similarity.PqSubDim
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+         |           FROM embeddings),
+         |im AS (SELECT vec_id, v,
+         |         array_max(transform(v, x -> abs(x))) AS mx FROM e),
+         |ic AS (SELECT vec_id,
+         |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+         |          AS c
+         |      FROM im),
+         |x AS (SELECT vec_id, pos, val
+         |      FROM (SELECT vec_id, posexplode(c) AS (pos, val) FROM ic)),
+         |centx AS (SELECT vec_id - $lo AS j, pos, val AS cv FROM x
+         |          WHERE vec_id >= $lo AND vec_id < $hi),
+         |sd AS (SELECT x.vec_id, x.pos div $sub AS m, cx.j,
+         |         SUM((x.val - cx.cv) * (x.val - cx.cv)) AS dist
+         |       FROM x JOIN centx cx ON cx.pos = x.pos GROUP BY 1, 2, 3),
+         |best AS (SELECT vec_id, m, MIN(dist) AS qerr FROM sd
+         |         GROUP BY 1, 2)
+         |SELECT CAST(m AS BIGINT) AS subspace, COUNT(*) AS n,
+         |  CAST(SUM(qerr) AS BIGINT) AS sum_err,
+         |  CAST(MAX(qerr) AS BIGINT) AS max_err,
+         |  CAST(COUNT(*) FILTER (WHERE qerr = 0) AS BIGINT) AS zero_n
+         |FROM best GROUP BY m ORDER BY subspace""".stripMargin
+    },
+
     // the q_kmeans posexploded Lloyd chain + the moment identity
     // Σ‖ci−cj‖² = n·‖ci‖² + ΣQ − 2·ci·S spelled as pos-joined aggregates
     "q_silhouette" ->

@@ -1204,6 +1204,75 @@ object Similarity {
         .orderBy("query_id", "rnk")
   }
 
+  /** PQ quantization-distortion report — the metric a PQ codebook is
+    * actually SIZED by (Jégou TPAMI'11 §IV tunes m and ks against
+    * reconstruction MSE): for every corpus vector and subspace, the
+    * squared L2 error to its ASSIGNED (argmin) codeword, aggregated per
+    * subspace as exact integer sum/max plus the count of zero-error
+    * rows (the codebook anchors quantize to themselves — a built-in
+    * sanity floor of at least [[PqCentroids]] zeros per subspace).
+    * Completes the IVFPQ tier next to [[qAnnRecall]]: recall tells you
+    * whether the index FINDS the right vectors, distortion tells you
+    * why (and which subspace needs more codewords).
+    *
+    * Scale shape: the codebook is the same bounded ks×Dim driver
+    * collect as [[qAnnIvfPq]]; per-row work is a literal-folded
+    * least-of-ks projection (zero shuffle) and the report is one
+    * subspace-domain aggregate. All integer — oracle bit-exact. */
+  val qPqDistortion: Q = Q("q_pq_distortion",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |im AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |ic AS (SELECT vec_id,
+       |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+       |          AS c
+       |      FROM im),
+       |cent AS (SELECT vec_id - $PqAnchorBase AS j, c AS cc FROM ic
+       |         WHERE vec_id >= $PqAnchorBase
+       |           AND vec_id < ${PqAnchorBase + PqCentroids}),
+       |ms AS (SELECT UNNEST(range(0, $PqSubspaces)) AS m),
+       |sd AS (SELECT ic.vec_id, ms.m, ct.j,
+       |         CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |           i -> (ic.c[ms.m * $PqSubDim + i]
+       |                 - ct.cc[ms.m * $PqSubDim + i])
+       |              * (ic.c[ms.m * $PqSubDim + i]
+       |                 - ct.cc[ms.m * $PqSubDim + i])))
+       |           AS BIGINT) AS dist
+       |       FROM ic CROSS JOIN ms CROSS JOIN cent ct),
+       |best AS (SELECT vec_id, m, MIN(dist) AS qerr FROM sd GROUP BY 1, 2)
+       |SELECT CAST(m AS BIGINT) AS subspace, COUNT(*) AS n,
+       |  CAST(SUM(qerr) AS BIGINT) AS sum_err,
+       |  CAST(MAX(qerr) AS BIGINT) AS max_err,
+       |  CAST(COUNT(*) FILTER (WHERE qerr = 0) AS BIGINT) AS zero_n
+       |FROM best GROUP BY m ORDER BY subspace""".stripMargin) { (s, d) =>
+    val codes = int8Codes(s, d).select("vec_id", "c")
+    val cents: Array[Array[Long]] = codes
+      .filter(col("vec_id") >= PqAnchorBase &&
+        col("vec_id") < PqAnchorBase + PqCentroids)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(cents.length == PqCentroids,
+      s"PQ codebook slice missing: got ${cents.length} anchors")
+    def subDist(j: Int, m: Int): Column =
+      (0 until PqSubDim).map { i =>
+        val idx = m * PqSubDim + i
+        val dd = element_at(col("c"), idx + 1) - lit(cents(j)(idx))
+        dd * dd
+      }.reduce(_ + _)
+    def qerrFor(m: Int): Column =
+      (0 until PqCentroids).map(j => subDist(j, m)).reduce(least(_, _))
+    codes
+      .select(col("vec_id"), posexplode(
+        array((0 until PqSubspaces).map(qerrFor): _*)).as(Seq("m", "qerr")))
+      .groupBy(col("m").cast("long").as("subspace"))
+      .agg(count(lit(1)).as("n"),
+        sum("qerr").cast("long").as("sum_err"),
+        max("qerr").cast("long").as("max_err"),
+        count(when(col("qerr") === 0, 1)).as("zero_n"))
+      .orderBy("subspace")
+  }
+
   /** FILTERED vector search — ANN under a metadata predicate (the
     * vector-DB composition every retrieval stack needs: "nearest
     * neighbors WHERE label = mine"): candidates come from the IVF
@@ -1743,5 +1812,6 @@ object Similarity {
     Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup,
       qSemdedup, qAnnInt8, qAnnIvfKmeans, qLabelOutliers, qKmeans,
       qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered,
-      qMmrRerank, qRandProject, qKnnClassify, qAnnRecall, qSilhouette)
+      qMmrRerank, qRandProject, qKnnClassify, qAnnRecall, qSilhouette,
+      qPqDistortion)
 }
