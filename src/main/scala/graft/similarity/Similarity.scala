@@ -1254,14 +1254,21 @@ object Similarity {
       .map(_.getSeq[Long](1).toArray)
     require(cents.length == PqCentroids,
       s"PQ codebook slice missing: got ${cents.length} anchors")
-    def subDist(j: Int, m: Int): Column =
-      (0 until PqSubDim).map { i =>
-        val idx = m * PqSubDim + i
-        val dd = element_at(col("c"), idx + 1) - lit(cents(j)(idx))
-        dd * dd
-      }.reduce(_ + _)
-    def qerrFor(m: Int): Column =
-      (0 until PqCentroids).map(j => subDist(j, m)).reduce(least(_, _))
+    // The codebook rides as ONE 2-D literal and the per-subspace error
+    // is slice + zip_with + aggregate over it — a constant-size
+    // expression tree whatever ks/Dim are. (The first cut unrolled
+    // ks×Dim literal element_at terms: thousands of Catalyst nodes,
+    // codegen-size warnings, and analysis cost that would explode at a
+    // production Dim. Higher-order functions keep the TREE small and
+    // the work identical.)
+    val cbLit = typedlit(cents.map(_.toSeq).toSeq)
+    def qerrFor(m: Int): Column = {
+      val sub = slice(col("c"), m * PqSubDim + 1, PqSubDim)
+      array_min(transform(cbLit, cc => aggregate(
+        zip_with(sub, slice(cc, m * PqSubDim + 1, PqSubDim),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)))
+    }
     codes
       .select(col("vec_id"), posexplode(
         array((0 until PqSubspaces).map(qerrFor): _*)).as(Seq("m", "qerr")))
