@@ -1159,17 +1159,27 @@ object Similarity {
       require(cents.length == PqCentroids,
         s"PQ codebook slice missing: got ${cents.length} anchors")
 
-      // Σ_i (c[8m+i] − codeword_j[8m+i])² as a literal-folded column
-      def subDist(cCol: Column, j: Int, m: Int): Column =
-        (0 until PqSubDim).map { i =>
-          val idx = m * PqSubDim + i
-          val dd = element_at(cCol, idx + 1) - lit(cents(j)(idx))
-          dd * dd
-        }.reduce(_ + _)
-      // argmin over codewords: struct array min orders by (dist, j)
+      // the codebook rides as ONE 2-D literal; sub-distances are
+      // slice + zip_with + aggregate over it — constant-size expression
+      // tree whatever ks/Dim are (the unrolled-literal first cut hit
+      // codegen-size warnings; see q_pq_distortion's note)
+      val cbLit = typedlit(cents.map(_.toSeq).toSeq)
+      // Σ_i (c[8m+i] − cc[8m+i])² for one codeword array column
+      def subDistTo(cCol: Column, cc: Column, m: Int): Column =
+        aggregate(
+          zip_with(slice(cCol, m * PqSubDim + 1, PqSubDim),
+            slice(cc, m * PqSubDim + 1, PqSubDim),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      // per-codeword distances for subspace m, in codeword order
+      def subDists(cCol: Column, m: Int): Column =
+        transform(cbLit, cc => subDistTo(cCol, cc, m))
+      // argmin over codewords: struct array min orders by (dist, j).
+      // j stays INT — it feeds element_at's index parameter downstream.
       def codeFor(cCol: Column, m: Int): Column =
-        array_min(array((0 until PqCentroids).map(j =>
-          struct(subDist(cCol, j, m).as("d"), lit(j).as("j"))): _*))
+        array_min(zip_with(subDists(cCol, m),
+          typedlit((0 until PqCentroids).toList),
+          (d, j) => struct(d.as("d"), j.as("j"))))
           .getField("j")
 
       val ranked = ivfRanked(s, d)
@@ -1184,8 +1194,7 @@ object Similarity {
       val qtab = codes.filter(expr(QuerySet))
         .select(col("vec_id").as("query_id"),
           array((0 until PqSubspaces).map(m =>
-            array((0 until PqCentroids).map(j =>
-              subDist(col("c"), j, m)): _*)): _*).as("dtab"))
+            subDists(col("c"), m)): _*).as("dtab"))
       val q = probes.join(qtab, "query_id")
       val adc = (0 until PqSubspaces).map(m =>
         element_at(element_at(col("dtab"), m + 1),
