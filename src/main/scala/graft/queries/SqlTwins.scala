@@ -1243,6 +1243,66 @@ object SqlTwins {
          |FROM best GROUP BY m ORDER BY subspace""".stripMargin
     },
 
+    // per-subspace Lloyd over posexploded sub-vectors: m = pos div
+    // PqSubDim, i = pos % PqSubDim; codeword and vector dims meet on
+    // (m, i), updates are floored means per (m, j, i)
+    "q_pq_train" -> {
+      val (lo, hi) = graft.similarity.Similarity.PqAnchorBounds
+      val sub = graft.similarity.Similarity.PqSubDim
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+         |           FROM embeddings),
+         |im AS (SELECT vec_id, v,
+         |         array_max(transform(v, x -> abs(x))) AS mx FROM e),
+         |ic AS (SELECT vec_id,
+         |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+         |          AS c
+         |      FROM im),
+         |x AS (SELECT vec_id, pos div $sub AS m, pos % $sub AS i, val
+         |      FROM (SELECT vec_id, posexplode(c) AS (pos, val) FROM ic)),
+         |cent0 AS (SELECT vec_id - $lo AS j, m, i, val AS cv FROM x
+         |          WHERE vec_id >= $lo AND vec_id < $hi),
+         |d1 AS (SELECT x.vec_id, x.m, c0.j,
+         |         SUM((x.val - c0.cv) * (x.val - c0.cv)) AS dist
+         |       FROM x JOIN cent0 c0 ON c0.m = x.m AND c0.i = x.i
+         |       GROUP BY 1, 2, 3),
+         |a1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |         ORDER BY dist, j) AS rn FROM d1),
+         |s1 AS (SELECT vec_id, m, j, dist FROM a1 WHERE rn = 1),
+         |cent1 AS (SELECT s1.m, s1.j, x.i,
+         |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+         |                 AS BIGINT) AS cv
+         |          FROM x JOIN s1 ON s1.vec_id = x.vec_id AND s1.m = x.m
+         |          GROUP BY 1, 2, 3),
+         |d2 AS (SELECT x.vec_id, x.m, c1.j,
+         |         SUM((x.val - c1.cv) * (x.val - c1.cv)) AS dist
+         |       FROM x JOIN cent1 c1 ON c1.m = x.m AND c1.i = x.i
+         |       GROUP BY 1, 2, 3),
+         |a2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |         ORDER BY dist, j) AS rn FROM d2),
+         |s2 AS (SELECT vec_id, m, j FROM a2 WHERE rn = 1),
+         |cent2 AS (SELECT s2.m, s2.j, x.i,
+         |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+         |                 AS BIGINT) AS cv
+         |          FROM x JOIN s2 ON s2.vec_id = x.vec_id AND s2.m = x.m
+         |          GROUP BY 1, 2, 3),
+         |d3 AS (SELECT x.vec_id, x.m, c2.j,
+         |         SUM((x.val - c2.cv) * (x.val - c2.cv)) AS dist
+         |       FROM x JOIN cent2 c2 ON c2.m = x.m AND c2.i = x.i
+         |       GROUP BY 1, 2, 3),
+         |a3 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |         ORDER BY dist, j) AS rn FROM d3),
+         |s3 AS (SELECT vec_id, m, dist FROM a3 WHERE rn = 1),
+         |k2 AS (SELECT m, CAST(COUNT(DISTINCT j) AS BIGINT) AS n_codewords
+         |       FROM cent2 GROUP BY m)
+         |SELECT CAST(s1.m AS BIGINT) AS subspace, COUNT(*) AS n,
+         |  CAST(SUM(s1.dist) AS BIGINT) AS sum_err_anchor,
+         |  CAST(SUM(s3.dist) AS BIGINT) AS sum_err_trained,
+         |  MIN(k2.n_codewords) AS n_codewords
+         |FROM s1 JOIN s3 ON s3.vec_id = s1.vec_id AND s3.m = s1.m
+         |        JOIN k2 ON k2.m = s1.m
+         |GROUP BY s1.m ORDER BY subspace""".stripMargin
+    },
+
     // the q_kmeans posexploded Lloyd chain + the moment identity
     // Σ‖ci−cj‖² = n·‖ci‖² + ΣQ − 2·ci·S spelled as pos-joined aggregates
     "q_silhouette" ->

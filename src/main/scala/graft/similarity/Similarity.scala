@@ -1289,6 +1289,160 @@ object Similarity {
       .orderBy("subspace")
   }
 
+  /** TRAINED product quantization — the production upgrade the
+    * [[qAnnIvfPq]] scaladoc promises: instead of taking a fixed corpus
+    * slice as the codebook, run per-subspace Lloyd (k = [[PqCentroids]]
+    * codewords over the 8-dim sub-vectors, seeded from the anchor slice,
+    * 2 floored-integer updates — the [[qKmeans]] protocol applied in
+    * each subspace independently, which is exactly FAISS's
+    * ProductQuantizer::train). Reported as the before/after distortion
+    * per subspace: sum of squared errors to the ANCHOR codebook vs to
+    * the TRAINED one, plus surviving codeword count (empty codewords
+    * drop out, as in [[lloydUpdate]]).
+    *
+    * Scale shape: assignments are zero-shuffle projections against the
+    * per-subspace literal codebooks; each update is one map-side
+    * combined (m, j, pos) aggregate whose result — ≤ 8×4×8 longs — is
+    * the driver state per round. All distances integer; the update's
+    * ⌊sum/n⌋ is one exactly-rounded division — oracle bit-exact. */
+  val qPqTrain: Q = Q("q_pq_train",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |im AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |ic AS (SELECT vec_id,
+       |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+       |          AS c
+       |      FROM im),
+       |ms AS (SELECT UNNEST(range(0, $PqSubspaces)) AS m),
+       |sub AS MATERIALIZED (SELECT ic.vec_id, ms.m,
+       |         list_transform(range(1, ${PqSubDim + 1}),
+       |           i -> ic.c[ms.m * $PqSubDim + i]) AS sv
+       |       FROM ic CROSS JOIN ms),
+       |cent0 AS (SELECT vec_id - $PqAnchorBase AS j, m, sv AS cw
+       |          FROM sub WHERE vec_id >= $PqAnchorBase
+       |            AND vec_id < ${PqAnchorBase + PqCentroids}),
+       |d1 AS (SELECT s.vec_id, s.m, c0.j,
+       |         CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |           i -> (s.sv[i] - c0.cw[i]) * (s.sv[i] - c0.cw[i])))
+       |           AS BIGINT) AS dist
+       |       FROM sub s JOIN cent0 c0 ON c0.m = s.m),
+       |a1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |         ORDER BY dist, j) AS rn FROM d1),
+       |s1 AS (SELECT vec_id, m, j, dist FROM a1 WHERE rn = 1),
+       |cent1 AS (SELECT s1.m, s1.j,
+       |            list_transform(range(1, ${PqSubDim + 1}),
+       |              i -> CAST(floor(CAST(list_sum(list_transform(
+       |                   list(sub.sv), x -> x[i])) AS DOUBLE)
+       |                   / COUNT(*)) AS BIGINT)) AS cw
+       |          FROM s1 JOIN sub ON sub.vec_id = s1.vec_id
+       |                          AND sub.m = s1.m
+       |          GROUP BY s1.m, s1.j),
+       |d2 AS (SELECT s.vec_id, s.m, c1.j,
+       |         CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |           i -> (s.sv[i] - c1.cw[i]) * (s.sv[i] - c1.cw[i])))
+       |           AS BIGINT) AS dist
+       |       FROM sub s JOIN cent1 c1 ON c1.m = s.m),
+       |a2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |         ORDER BY dist, j) AS rn FROM d2),
+       |s2 AS (SELECT vec_id, m, j FROM a2 WHERE rn = 1),
+       |cent2 AS (SELECT s2.m, s2.j,
+       |            list_transform(range(1, ${PqSubDim + 1}),
+       |              i -> CAST(floor(CAST(list_sum(list_transform(
+       |                   list(sub.sv), x -> x[i])) AS DOUBLE)
+       |                   / COUNT(*)) AS BIGINT)) AS cw
+       |          FROM s2 JOIN sub ON sub.vec_id = s2.vec_id
+       |                          AND sub.m = s2.m
+       |          GROUP BY s2.m, s2.j),
+       |d3 AS (SELECT s.vec_id, s.m, c2.j,
+       |         CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |           i -> (s.sv[i] - c2.cw[i]) * (s.sv[i] - c2.cw[i])))
+       |           AS BIGINT) AS dist
+       |       FROM sub s JOIN cent2 c2 ON c2.m = s.m),
+       |a3 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |         ORDER BY dist, j) AS rn FROM d3),
+       |s3 AS (SELECT vec_id, m, dist FROM a3 WHERE rn = 1),
+       |k2 AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_codewords
+       |       FROM cent2 GROUP BY m)
+       |SELECT CAST(s1.m AS BIGINT) AS subspace, COUNT(*) AS n,
+       |  CAST(SUM(s1.dist) AS BIGINT) AS sum_err_anchor,
+       |  CAST(SUM(s3.dist) AS BIGINT) AS sum_err_trained,
+       |  MIN(k2.n_codewords) AS n_codewords
+       |FROM s1 JOIN s3 ON s3.vec_id = s1.vec_id AND s3.m = s1.m
+       |        JOIN k2 ON k2.m = s1.m
+       |GROUP BY s1.m ORDER BY subspace""".stripMargin) { (s, d) =>
+    val codes = int8Codes(s, d).select("vec_id", "c").localCheckpoint(true)
+    // seed codebook: per subspace m, codewords j → the anchor slice's
+    // sub-vectors (bounded ks×Dim collect, anchor-id order)
+    val anchorRows = codes
+      .filter(col("vec_id") >= PqAnchorBase &&
+        col("vec_id") < PqAnchorBase + PqCentroids)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Long](1).toIndexedSeq)
+    require(anchorRows.length == PqCentroids,
+      s"PQ codebook slice missing: got ${anchorRows.length} anchors")
+    def sliceOf(full: IndexedSeq[Long], m: Int): Seq[Long] =
+      full.slice(m * PqSubDim, (m + 1) * PqSubDim)
+    // cb(m) = surviving (codeword id, sub-vector) list for subspace m
+    var cb: Map[Int, Seq[(Int, Seq[Long])]] =
+      (0 until PqSubspaces).map(m =>
+        m -> anchorRows.zipWithIndex.map { case (a, j) =>
+          (j, sliceOf(a, m))
+        }.toSeq).toMap
+    // (dist, j) of the best codeword for subspace m — zero-shuffle
+    // projection against the per-subspace literal codebook
+    def bestFor(m: Int, book: Map[Int, Seq[(Int, Seq[Long])]]): Column = {
+      val cws = book(m)
+      val dists = transform(typedlit(cws.map(_._2).toList), cc =>
+        aggregate(
+          zip_with(slice(col("c"), m * PqSubDim + 1, PqSubDim), cc,
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      array_min(zip_with(dists, typedlit(cws.map(_._1).toList),
+        (dd, j) => struct(dd.as("d"), j.as("j"))))
+    }
+    val cb0 = cb
+    // 2 floored-integer updates (the qKmeans rounds=3 protocol)
+    for (_ <- 1 to 2) {
+      val book = cb
+      val assigned = codes.select(col("vec_id"), col("c"),
+        explode(array((0 until PqSubspaces).map(m =>
+          struct(lit(m).as("m"),
+            bestFor(m, book).getField("j").as("j"))): _*)).as("a"))
+      val upd = assigned
+        .select(col("a.m").as("m"), col("a.j").as("j"),
+          posexplode(org.apache.spark.sql.functions.slice(col("c"),
+            col("a.m") * PqSubDim + 1, lit(PqSubDim)))
+            .as(Seq("pos", "v")))
+        .groupBy("m", "j", "pos")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .collect() // ≤ subspaces × codewords × subdim rows
+      cb = upd.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((m, j), rows) =>
+          (m, j, rows.sortBy(_.getInt(2)).map(r =>
+            math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong).toSeq)
+        }
+        .groupBy(_._1)
+        .map { case (m, cws) =>
+          m -> cws.toSeq.sortBy(_._2).map(t => (t._2, t._3))
+        }
+    }
+    val cb2 = cb
+    // final report: per subspace, distortion vs the seed and vs the
+    // trained book, in one pass
+    val perM = codes.select(explode(array(
+      (0 until PqSubspaces).map(m => struct(lit(m).as("m"),
+        bestFor(m, cb0).getField("d").as("e0"),
+        bestFor(m, cb2).getField("d").as("e2"),
+        lit(cb2(m).size.toLong).as("k2"))): _*)).as("r"))
+    perM.groupBy(col("r.m").cast("long").as("subspace"))
+      .agg(count(lit(1)).as("n"),
+        sum("r.e0").cast("long").as("sum_err_anchor"),
+        sum("r.e2").cast("long").as("sum_err_trained"),
+        min("r.k2").as("n_codewords"))
+      .orderBy("subspace")
+  }
+
   /** FILTERED vector search — ANN under a metadata predicate (the
     * vector-DB composition every retrieval stack needs: "nearest
     * neighbors WHERE label = mine"): candidates come from the IVF
@@ -1829,5 +1983,5 @@ object Similarity {
       qSemdedup, qAnnInt8, qAnnIvfKmeans, qLabelOutliers, qKmeans,
       qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered,
       qMmrRerank, qRandProject, qKnnClassify, qAnnRecall, qSilhouette,
-      qPqDistortion)
+      qPqDistortion, qPqTrain)
 }
