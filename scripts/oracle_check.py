@@ -64,7 +64,12 @@ def main(sf_dir, out_dir):
                       f"oracle={o[c][i]!r}")
             failures += 1
             continue
-        print(f"✓ {name}: rows={len(s)} cols={len(s.columns)}")
+        # an empty-vs-empty hash match is trivially green: flag it loudly
+        # so a gate that CANNOT fail never goes unnoticed again
+        # (VERDICT r6 wrong #1 — three gates sat vacuous for two rounds)
+        vac = "  [VACUOUS: 0 rows — this gate cannot fail]" \
+            if len(s) == 0 else ""
+        print(f"✓ {name}: rows={len(s)} cols={len(s.columns)}{vac}")
     print(f"{'FAIL' if failures else 'PASS'}: "
           f"{len(names) - failures}/{len(names)} queries match")
     return 1 if failures else 0
