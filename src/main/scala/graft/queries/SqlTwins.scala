@@ -1243,6 +1243,72 @@ object SqlTwins {
          |FROM best GROUP BY m ORDER BY subspace""".stripMargin
     },
 
+    // the q_pq_train posexploded Lloyd chain feeding the q_ann_ivfpq
+    // ADC join: train cent2, encode via (m, j) argmin, score by joining
+    // query distances on the neighbor's assigned (m, j)
+    "q_ann_ivfpq_trained" -> {
+      val (lo, hi) = graft.similarity.Similarity.PqAnchorBounds
+      val sub = graft.similarity.Similarity.PqSubDim
+      s"""WITH $sparkIvfRankedCte,
+         |im AS (SELECT vec_id, v,
+         |         array_max(transform(v, x -> abs(x))) AS mx FROM e),
+         |ic AS (SELECT vec_id,
+         |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+         |          AS c
+         |      FROM im),
+         |x AS (SELECT vec_id, pos div $sub AS m, pos % $sub AS i, val
+         |      FROM (SELECT vec_id, posexplode(c) AS (pos, val) FROM ic)),
+         |cent0 AS (SELECT vec_id - $lo AS j, m, i, val AS cv FROM x
+         |          WHERE vec_id >= $lo AND vec_id < $hi),
+         |d1t AS (SELECT x.vec_id, x.m, c0.j,
+         |         SUM((x.val - c0.cv) * (x.val - c0.cv)) AS dist
+         |       FROM x JOIN cent0 c0 ON c0.m = x.m AND c0.i = x.i
+         |       GROUP BY 1, 2, 3),
+         |s1t AS (SELECT vec_id, m, j FROM (SELECT *, ROW_NUMBER() OVER (
+         |         PARTITION BY vec_id, m ORDER BY dist, j) AS rn FROM d1t)
+         |        WHERE rn = 1),
+         |cent1 AS (SELECT s1t.m, s1t.j, x.i,
+         |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+         |                 AS BIGINT) AS cv
+         |          FROM x JOIN s1t ON s1t.vec_id = x.vec_id
+         |                         AND s1t.m = x.m
+         |          GROUP BY 1, 2, 3),
+         |d2t AS (SELECT x.vec_id, x.m, c1.j,
+         |         SUM((x.val - c1.cv) * (x.val - c1.cv)) AS dist
+         |       FROM x JOIN cent1 c1 ON c1.m = x.m AND c1.i = x.i
+         |       GROUP BY 1, 2, 3),
+         |s2t AS (SELECT vec_id, m, j FROM (SELECT *, ROW_NUMBER() OVER (
+         |         PARTITION BY vec_id, m ORDER BY dist, j) AS rn FROM d2t)
+         |        WHERE rn = 1),
+         |cent2 AS (SELECT s2t.m, s2t.j, x.i,
+         |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+         |                 AS BIGINT) AS cv
+         |          FROM x JOIN s2t ON s2t.vec_id = x.vec_id
+         |                         AND s2t.m = x.m
+         |          GROUP BY 1, 2, 3),
+         |d3t AS (SELECT x.vec_id, x.m, c2.j,
+         |         SUM((x.val - c2.cv) * (x.val - c2.cv)) AS dist
+         |       FROM x JOIN cent2 c2 ON c2.m = x.m AND c2.i = x.i
+         |       GROUP BY 1, 2, 3),
+         |enc AS (SELECT vec_id, m, j FROM (SELECT *, ROW_NUMBER() OVER (
+         |         PARTITION BY vec_id, m ORDER BY dist, j) AS rn FROM d3t)
+         |        WHERE rn = 1),
+         |scored AS (
+         |  SELECT p.query_id, cl.vec_id AS neighbor_id,
+         |         CAST(SUM(qs.dist) AS BIGINT) AS adc
+         |  FROM probes2 p
+         |  JOIN cells2 cl ON cl.cell = p.qcell AND cl.vec_id != p.query_id
+         |  JOIN enc eb ON eb.vec_id = cl.vec_id
+         |  JOIN d3t qs ON qs.vec_id = p.query_id AND qs.m = eb.m
+         |             AND qs.j = eb.j
+         |  GROUP BY 1, 2),
+         |rankedq AS (SELECT query_id, neighbor_id, adc,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY adc, neighbor_id) AS BIGINT) AS rnk FROM scored)
+         |SELECT query_id, neighbor_id, rnk, adc
+         |FROM rankedq WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    },
+
     // per-subspace Lloyd over posexploded sub-vectors: m = pos div
     // PqSubDim, i = pos % PqSubDim; codeword and vector dims meet on
     // (m, i), updates are floored means per (m, j, i)

@@ -1372,8 +1372,51 @@ object Similarity {
        |        JOIN k2 ON k2.m = s1.m
        |GROUP BY s1.m ORDER BY subspace""".stripMargin) { (s, d) =>
     val codes = int8Codes(s, d).select("vec_id", "c").localCheckpoint(true)
-    // seed codebook: per subspace m, codewords j → the anchor slice's
-    // sub-vectors (bounded ks×Dim collect, anchor-id order)
+    val (cb0, cb2) = pqTrainCodebooks(codes)
+    // final report: per subspace, distortion vs the seed and vs the
+    // trained book, in one pass
+    val perM = codes.select(explode(array(
+      (0 until PqSubspaces).map(m => struct(lit(m).as("m"),
+        pqBest(m, cb0).getField("d").as("e0"),
+        pqBest(m, cb2).getField("d").as("e2"),
+        lit(cb2(m).size.toLong).as("k2"))): _*)).as("r"))
+    perM.groupBy(col("r.m").cast("long").as("subspace"))
+      .agg(count(lit(1)).as("n"),
+        sum("r.e0").cast("long").as("sum_err_anchor"),
+        sum("r.e2").cast("long").as("sum_err_trained"),
+        min("r.k2").as("n_codewords"))
+      .orderBy("subspace")
+  }
+
+  /** Per-subspace codebook type: surviving (codeword id, sub-vector)
+    * list per subspace, codeword-id ascending. */
+  private type PqBook = Map[Int, Seq[(Int, Seq[Long])]]
+
+  /** (dist, j) struct of the nearest codeword of subspace `m` in
+    * `book` — a zero-shuffle projection against the per-subspace
+    * literal codebook (constant-size expression tree; ties break on
+    * the ascending codeword id, the same order as the oracles'
+    * `ORDER BY dist, j`). */
+  private def pqBest(m: Int, book: PqBook): Column = {
+    val cws = book(m)
+    val dists = transform(typedlit(cws.map(_._2).toList), cc =>
+      aggregate(
+        zip_with(slice(col("c"), m * PqSubDim + 1, PqSubDim), cc,
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    array_min(zip_with(dists, typedlit(cws.map(_._1).toList),
+      (dd, j) => struct(dd.as("d"), j.as("j"))))
+  }
+
+  /** Anchor-seeded per-subspace Lloyd: returns (seed book, book after
+    * 2 floored-integer updates) — the [[qKmeans]] rounds=3 protocol in
+    * each subspace (FAISS ProductQuantizer::train). Each update is one
+    * map-side (m, j, pos) aggregate whose ≤ subspaces×codewords×subdim
+    * longs are the only driver state per round; empty codewords drop
+    * out (the [[lloydUpdate]] convention). `codes` must expose
+    * (vec_id, c). */
+  private[graft] def pqTrainCodebooks(
+      codes: DataFrame): (PqBook, PqBook) = {
     val anchorRows = codes
       .filter(col("vec_id") >= PqAnchorBase &&
         col("vec_id") < PqAnchorBase + PqCentroids)
@@ -1381,34 +1424,17 @@ object Similarity {
       .map(_.getSeq[Long](1).toIndexedSeq)
     require(anchorRows.length == PqCentroids,
       s"PQ codebook slice missing: got ${anchorRows.length} anchors")
-    def sliceOf(full: IndexedSeq[Long], m: Int): Seq[Long] =
-      full.slice(m * PqSubDim, (m + 1) * PqSubDim)
-    // cb(m) = surviving (codeword id, sub-vector) list for subspace m
-    var cb: Map[Int, Seq[(Int, Seq[Long])]] =
-      (0 until PqSubspaces).map(m =>
-        m -> anchorRows.zipWithIndex.map { case (a, j) =>
-          (j, sliceOf(a, m))
-        }.toSeq).toMap
-    // (dist, j) of the best codeword for subspace m — zero-shuffle
-    // projection against the per-subspace literal codebook
-    def bestFor(m: Int, book: Map[Int, Seq[(Int, Seq[Long])]]): Column = {
-      val cws = book(m)
-      val dists = transform(typedlit(cws.map(_._2).toList), cc =>
-        aggregate(
-          zip_with(slice(col("c"), m * PqSubDim + 1, PqSubDim), cc,
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-      array_min(zip_with(dists, typedlit(cws.map(_._1).toList),
-        (dd, j) => struct(dd.as("d"), j.as("j"))))
-    }
-    val cb0 = cb
-    // 2 floored-integer updates (the qKmeans rounds=3 protocol)
+    val cb0: PqBook = (0 until PqSubspaces).map(m =>
+      m -> anchorRows.zipWithIndex.map { case (a, j) =>
+        (j, a.slice(m * PqSubDim, (m + 1) * PqSubDim): Seq[Long])
+      }.toSeq).toMap
+    var cb = cb0
     for (_ <- 1 to 2) {
       val book = cb
       val assigned = codes.select(col("vec_id"), col("c"),
         explode(array((0 until PqSubspaces).map(m =>
           struct(lit(m).as("m"),
-            bestFor(m, book).getField("j").as("j"))): _*)).as("a"))
+            pqBest(m, book).getField("j").as("j"))): _*)).as("a"))
       val upd = assigned
         .select(col("a.m").as("m"), col("a.j").as("j"),
           posexplode(org.apache.spark.sql.functions.slice(col("c"),
@@ -1416,7 +1442,7 @@ object Similarity {
             .as(Seq("pos", "v")))
         .groupBy("m", "j", "pos")
         .agg(sum("v").as("sv"), count(lit(1)).as("n"))
-        .collect() // ≤ subspaces × codewords × subdim rows
+        .collect()
       cb = upd.groupBy(r => (r.getInt(0), r.getInt(1)))
         .map { case ((m, j), rows) =>
           (m, j, rows.sortBy(_.getInt(2)).map(r =>
@@ -1427,20 +1453,144 @@ object Similarity {
           m -> cws.toSeq.sortBy(_._2).map(t => (t._2, t._3))
         }
     }
-    val cb2 = cb
-    // final report: per subspace, distortion vs the seed and vs the
-    // trained book, in one pass
-    val perM = codes.select(explode(array(
-      (0 until PqSubspaces).map(m => struct(lit(m).as("m"),
-        bestFor(m, cb0).getField("d").as("e0"),
-        bestFor(m, cb2).getField("d").as("e2"),
-        lit(cb2(m).size.toLong).as("k2"))): _*)).as("r"))
-    perM.groupBy(col("r.m").cast("long").as("subspace"))
-      .agg(count(lit(1)).as("n"),
-        sum("r.e0").cast("long").as("sum_err_anchor"),
-        sum("r.e2").cast("long").as("sum_err_trained"),
-        min("r.k2").as("n_codewords"))
-      .orderBy("subspace")
+    (cb0, cb)
+  }
+
+  /** IVFPQ with the TRAINED codebook — [[qAnnIvfPq]]'s ANN path run on
+    * [[pqTrainCodebooks]]' per-subspace Lloyd output instead of the raw
+    * anchor slice: the fully-trained FAISS IVFPQ composition (coarse
+    * IVF cells + trained product codebooks + asymmetric distance).
+    * Same scale shape as [[qAnnIvfPq]] (bounded codebook driver state,
+    * zero-shuffle literal-codebook encode, probed-cell equi-join
+    * candidates, TopKPerKey heap) plus the training rounds' bounded
+    * aggregates; [[qPqTrain]] gates the training itself, this query
+    * gates that the trained codebook actually DRIVES retrieval. The
+    * oracle recomputes training and ADC end to end; scoring joins on
+    * (subspace, codeword id) — identical to the engine's positional
+    * lookup because codewords are id-ascending on both sides. */
+  val qAnnIvfPqTrained: Q = Q("q_ann_ivfpq_trained",
+    s"""WITH $ivfRankedCteSql,
+       |cells2 AS (SELECT vec_id, anchor_id AS cell FROM ranked
+       |           WHERE arnk = 1),
+       |probes2 AS (SELECT vec_id AS query_id, anchor_id AS qcell
+       |            FROM ranked WHERE arnk <= $IvfProbe AND $QuerySet),
+       |im AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |ic AS (SELECT vec_id,
+       |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+       |          AS c
+       |      FROM im),
+       |ms AS (SELECT UNNEST(range(0, $PqSubspaces)) AS m),
+       |sub AS MATERIALIZED (SELECT ic.vec_id, ms.m,
+       |         list_transform(range(1, ${PqSubDim + 1}),
+       |           i -> ic.c[ms.m * $PqSubDim + i]) AS sv
+       |       FROM ic CROSS JOIN ms),
+       |cent0 AS (SELECT vec_id - $PqAnchorBase AS j, m, sv AS cw
+       |          FROM sub WHERE vec_id >= $PqAnchorBase
+       |            AND vec_id < ${PqAnchorBase + PqCentroids}),
+       |d1t AS (SELECT s.vec_id, s.m, c0.j,
+       |         CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |           i -> (s.sv[i] - c0.cw[i]) * (s.sv[i] - c0.cw[i])))
+       |           AS BIGINT) AS dist
+       |       FROM sub s JOIN cent0 c0 ON c0.m = s.m),
+       |s1t AS (SELECT vec_id, m, j FROM (SELECT *, ROW_NUMBER() OVER (
+       |         PARTITION BY vec_id, m ORDER BY dist, j) AS rn FROM d1t)
+       |        WHERE rn = 1),
+       |cent1 AS (SELECT s1t.m, s1t.j,
+       |            list_transform(range(1, ${PqSubDim + 1}),
+       |              i -> CAST(floor(CAST(list_sum(list_transform(
+       |                   list(sub.sv), x -> x[i])) AS DOUBLE)
+       |                   / COUNT(*)) AS BIGINT)) AS cw
+       |          FROM s1t JOIN sub ON sub.vec_id = s1t.vec_id
+       |                           AND sub.m = s1t.m
+       |          GROUP BY s1t.m, s1t.j),
+       |d2t AS (SELECT s.vec_id, s.m, c1.j,
+       |         CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |           i -> (s.sv[i] - c1.cw[i]) * (s.sv[i] - c1.cw[i])))
+       |           AS BIGINT) AS dist
+       |       FROM sub s JOIN cent1 c1 ON c1.m = s.m),
+       |s2t AS (SELECT vec_id, m, j FROM (SELECT *, ROW_NUMBER() OVER (
+       |         PARTITION BY vec_id, m ORDER BY dist, j) AS rn FROM d2t)
+       |        WHERE rn = 1),
+       |cent2 AS (SELECT s2t.m, s2t.j,
+       |            list_transform(range(1, ${PqSubDim + 1}),
+       |              i -> CAST(floor(CAST(list_sum(list_transform(
+       |                   list(sub.sv), x -> x[i])) AS DOUBLE)
+       |                   / COUNT(*)) AS BIGINT)) AS cw
+       |          FROM s2t JOIN sub ON sub.vec_id = s2t.vec_id
+       |                           AND sub.m = s2t.m
+       |          GROUP BY s2t.m, s2t.j),
+       |d3t AS MATERIALIZED (SELECT s.vec_id, s.m, c2.j,
+       |         CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |           i -> (s.sv[i] - c2.cw[i]) * (s.sv[i] - c2.cw[i])))
+       |           AS BIGINT) AS dist
+       |       FROM sub s JOIN cent2 c2 ON c2.m = s.m),
+       |enc AS (SELECT vec_id, m, j FROM (SELECT *, ROW_NUMBER() OVER (
+       |         PARTITION BY vec_id, m ORDER BY dist, j) AS rn FROM d3t)
+       |        WHERE rn = 1),
+       |scored AS (
+       |  SELECT p.query_id, cl.vec_id AS neighbor_id,
+       |         CAST(SUM(qs.dist) AS BIGINT) AS adc
+       |  FROM probes2 p
+       |  JOIN cells2 cl ON cl.cell = p.qcell AND cl.vec_id != p.query_id
+       |  JOIN enc eb ON eb.vec_id = cl.vec_id
+       |  JOIN d3t qs ON qs.vec_id = p.query_id AND qs.m = eb.m
+       |             AND qs.j = eb.j
+       |  GROUP BY 1, 2),
+       |rankedq AS (SELECT query_id, neighbor_id, adc,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id) AS BIGINT) AS rnk FROM scored)
+       |SELECT query_id, neighbor_id, rnk, adc
+       |FROM rankedq WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) {
+    (s, d) =>
+      val codes = int8Codes(s, d).select("vec_id", "c")
+        .localCheckpoint(true)
+      val (_, cb2) = pqTrainCodebooks(codes)
+      val ranked = ivfRanked(s, d)
+      val cells = ranked.filter(col("arnk") === 1)
+        .select(col("vec_id"), col("anchor_id").as("cell"))
+      // encode against the TRAINED book: positional index into the
+      // id-ascending codeword list (ties by position == ties by id)
+      def posBest(m: Int): Column = {
+        val cws = cb2(m)
+        val dists = transform(typedlit(cws.map(_._2).toList), cc =>
+          aggregate(
+            zip_with(slice(col("c"), m * PqSubDim + 1, PqSubDim), cc,
+              (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x))
+        array_min(zip_with(dists, typedlit(cws.indices.toList),
+          (dd, p) => struct(dd.as("d"), p.as("p")))).getField("p")
+      }
+      def qDists(m: Int): Column =
+        transform(typedlit(cb2(m).map(_._2).toList), cc =>
+          aggregate(
+            zip_with(slice(col("c"), m * PqSubDim + 1, PqSubDim), cc,
+              (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x))
+      val enc = codes.join(cells, "vec_id")
+        .select(col("vec_id"), col("cell"),
+          array((0 until PqSubspaces).map(posBest): _*).as("pq"))
+      val probes = ranked.filter(col("arnk") <= IvfProbe && expr(QuerySet))
+        .select(col("vec_id").as("query_id"), col("anchor_id").as("qcell"))
+      val qtab = codes.filter(expr(QuerySet))
+        .select(col("vec_id").as("query_id"),
+          array((0 until PqSubspaces).map(qDists): _*).as("dtab"))
+      val q = probes.join(qtab, "query_id")
+      val adc = (0 until PqSubspaces).map(m =>
+        element_at(element_at(col("dtab"), m + 1),
+          element_at(col("pq"), m + 1) + 1)).reduce(_ + _)
+      val scored = broadcast(q).join(enc,
+          col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          adc.cast("long").as("adc"))
+      val top = graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
+        Seq("adc" -> true, "neighbor_id" -> true), 5,
+        mapSideCombine = true)
+      val w = Window.partitionBy("query_id").orderBy(asc("adc"),
+        asc("neighbor_id"))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
+        .select("query_id", "neighbor_id", "rnk", "adc")
+        .orderBy("query_id", "rnk")
   }
 
   /** FILTERED vector search — ANN under a metadata predicate (the
@@ -1983,5 +2133,5 @@ object Similarity {
       qSemdedup, qAnnInt8, qAnnIvfKmeans, qLabelOutliers, qKmeans,
       qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered,
       qMmrRerank, qRandProject, qKnnClassify, qAnnRecall, qSilhouette,
-      qPqDistortion, qPqTrain)
+      qPqDistortion, qPqTrain, qAnnIvfPqTrained)
 }
