@@ -15,6 +15,11 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Queries KNOWN to legitimately return zero rows at the checked SF may be
+# allowlisted here by name; any OTHER vacuous (0-row) gate fails the run —
+# a gate that cannot fail is not a gate (ADVICE r7 #1, VERDICT r6 wrong #1).
+VACUOUS_ALLOWLIST = set()
+
 
 def canon(df):
     df = df[sorted(df.columns)]
@@ -33,6 +38,7 @@ def main(sf_dir, out_dir):
     names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
                    if os.path.isdir(p))
     failures = 0
+    vacuous = 0
     for name in names:
         spark_df = con.execute(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
@@ -65,14 +71,19 @@ def main(sf_dir, out_dir):
             failures += 1
             continue
         # an empty-vs-empty hash match is trivially green: flag it loudly
-        # so a gate that CANNOT fail never goes unnoticed again
-        # (VERDICT r6 wrong #1 — three gates sat vacuous for two rounds)
-        vac = "  [VACUOUS: 0 rows — this gate cannot fail]" \
-            if len(s) == 0 else ""
+        # AND count it toward the exit status (ADVICE r7 #1) — a 0-row
+        # gate cannot fail, so unless explicitly allowlisted it fails the
+        # run (VERDICT r6 wrong #1 — three gates sat vacuous for rounds)
+        vac = ""
+        if len(s) == 0 and name not in VACUOUS_ALLOWLIST:
+            vacuous += 1
+            vac = "  [VACUOUS: 0 rows — this gate cannot fail]"
         print(f"✓ {name}: rows={len(s)} cols={len(s.columns)}{vac}")
-    print(f"{'FAIL' if failures else 'PASS'}: "
-          f"{len(names) - failures}/{len(names)} queries match")
-    return 1 if failures else 0
+    ok = failures == 0 and vacuous == 0
+    print(f"{'PASS' if ok else 'FAIL'}: "
+          f"{len(names) - failures}/{len(names)} queries match, "
+          f"{vacuous} unallowlisted vacuous")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -168,20 +168,26 @@ object AviCodec {
   private def walkFrames(b: Array[Byte], start: Int, end: Int,
       out: scala.collection.mutable.ArrayBuffer[Array[Byte]])
       : Boolean = {
-    var i = start
+    // Long cursor throughout (ADVICE r7 #4): a back-cast after each step
+    // can wrap negative when a chunk abuts Int.MaxValue and turn the
+    // None-not-exception contract into an ArrayIndexOutOfBounds on the
+    // next iteration. `i + 8 <= end` in Long guarantees every toInt
+    // below is in-range.
+    var i: Long = start
     while (i + 8 <= end) {
-      if (i + 8L + le32u(b, i + 4) > end) return false
-      val size = le32u(b, i + 4).toInt // safe: bounded by end - i - 8
-      if (ascii(b, i, "LIST")) {
+      val h = i.toInt // safe: i + 8 <= end <= Int.MaxValue
+      if (i + 8L + le32u(b, h + 4) > end) return false
+      val size = le32u(b, h + 4).toInt // safe: bounded by end - i - 8
+      if (ascii(b, h, "LIST")) {
         if (size < 4) return false
-        if (ascii(b, i + 8, "rec ") &&
-            !walkFrames(b, i + 12, i + 8 + size, out)) return false
+        if (ascii(b, h + 8, "rec ") &&
+            !walkFrames(b, h + 12, h + 8 + size, out)) return false
         // other list subtypes inside movi are skipped whole
-      } else if (isFrameId(b, i)) {
-        out += java.util.Arrays.copyOfRange(b, i + 8, i + 8 + size)
+      } else if (isFrameId(b, h)) {
+        out += java.util.Arrays.copyOfRange(b, h + 8, h + 8 + size)
       }
-      // Long: the missing-final-pad-byte case lands exactly at end + 1.
-      i = (i + 8L + size + (size & 1)).toInt
+      // the missing-final-pad-byte case lands exactly at end + 1
+      i = i + 8L + size + (size & 1)
     }
     i >= end // a chunk header straddling the end is a truncation
   }
@@ -197,31 +203,34 @@ object AviCodec {
     var height = -1
     var total = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    var i = 12
+    // Long cursors, same rationale as [[walkFrames]] (ADVICE r7 #4)
+    var i: Long = 12
     while (i + 8 <= riffEnd) {
-      if (i + 8L + le32u(b, i + 4) > riffEnd) return None
-      val size = le32u(b, i + 4).toInt // safe: bounded by riffEnd - i - 8
-      if (ascii(b, i, "LIST") && size >= 4) {
-        if (ascii(b, i + 8, "hdrl")) {
+      val h = i.toInt // safe: i + 8 <= riffEnd <= Int.MaxValue
+      if (i + 8L + le32u(b, h + 4) > riffEnd) return None
+      val size = le32u(b, h + 4).toInt // safe: bounded by riffEnd - i - 8
+      if (ascii(b, h, "LIST") && size >= 4) {
+        if (ascii(b, h + 8, "hdrl")) {
           // scan the hdrl list for the avih chunk (always its first
           // member in practice, but walk rather than assume)
-          var j = i + 12
-          val end = i + 8 + size
+          var j: Long = h + 12
+          val end = h + 8 + size
           while (j + 8 <= end && total < 0) {
-            if (j + 8L + le32u(b, j + 4) > end) return None
-            val s2 = le32u(b, j + 4).toInt
-            if (ascii(b, j, "avih") && s2 >= 40) {
-              total = le32(b, j + 8 + 16)
-              width = le32(b, j + 8 + 32)
-              height = le32(b, j + 8 + 36)
+            val g = j.toInt // safe: j + 8 <= end <= Int.MaxValue
+            if (j + 8L + le32u(b, g + 4) > end) return None
+            val s2 = le32u(b, g + 4).toInt
+            if (ascii(b, g, "avih") && s2 >= 40) {
+              total = le32(b, g + 8 + 16)
+              width = le32(b, g + 8 + 32)
+              height = le32(b, g + 8 + 36)
             }
-            j = (j + 8L + s2 + (s2 & 1)).toInt
+            j = j + 8L + s2 + (s2 & 1)
           }
-        } else if (ascii(b, i + 8, "movi")) {
-          if (!walkFrames(b, i + 12, i + 8 + size, frames)) return None
+        } else if (ascii(b, h + 8, "movi")) {
+          if (!walkFrames(b, h + 12, h + 8 + size, frames)) return None
         }
       }
-      i = (i + 8L + size + (size & 1)).toInt
+      i = i + 8L + size + (size & 1)
     }
     if (width < 0 || total < 0) None
     else Some(AviVideo(width, height, total, frames.toVector))

@@ -45,30 +45,65 @@ object PartitionOps {
 
   private val built = scala.collection.mutable.Set.empty[String]
 
-  /** Build (once per sfDir per JVM; reused across JVMs via the write's
-    * `_SUCCESS` marker) the month-partitioned orders layout under the
-    * JVM temp dir, and return its path. The pre-write
-    * `repartition(o_month)` co-locates each month in one task so every
-    * partition directory gets ONE file — without it each of the 32
-    * shuffle tasks writes a sliver into each of the 80 directories
-    * (2,560 small files, the classic partitioned-write mistake). */
-  private[graft] def partitionedOrdersDir(s: SparkSession,
-      d: String): String = synchronized {
+  /** Length+mtime fingerprint of a source parquet file: keys the cached
+    * layout directory so a CHANGED source table gets a fresh layout
+    * instead of silently reusing a stale one (ADVICE r7 #3). */
+  private def sourceFingerprint(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(p)
+    java.lang.Long.toHexString(st.getLen * 31L + st.getModificationTime)
+  }
+
+  /** Build (once per source-fingerprint per JVM; reused across JVMs) a
+    * month-partitioned layout of `table` under the JVM temp dir and
+    * return its path. The pre-write `repartition(partCol)` co-locates
+    * each month in one task so every partition directory gets ONE file —
+    * without it each of the 32 shuffle tasks writes a sliver into each
+    * directory (the classic small-files mistake of partitioned writes).
+    *
+    * Cross-JVM safety (ADVICE r7 #3): the layout is built in a private
+    * `.build-<uuid>` staging dir and atomically RENAMED into place, so a
+    * concurrent JVM (sbt forked test + bench) can never observe — or
+    * overwrite-race — a half-written layout. If the rename loses the
+    * race (dst already populated, local-FS rename of a dir onto a
+    * non-empty dir fails), the winner's equivalent layout (same source
+    * fingerprint) is used and the staging dir is discarded. */
+  private[graft] def partitionedLayoutDir(s: SparkSession, d: String,
+      table: String, partCol: String,
+      key: org.apache.spark.sql.Column): String = synchronized {
     val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_part/orders_$safe"
+    val fp = sourceFingerprint(s, s"$d/$table.parquet")
+    val dir =
+      s"${sys.props("java.io.tmpdir")}/graft_part/${table}_${safe}_$fp"
     if (!built(dir)) {
+      val target = new org.apache.hadoop.fs.Path(dir)
+      val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
       val success = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
-      val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(success)) {
-        Tables.load(s, d, "orders")
-          .withColumn("o_month", monthKey(col("o_orderdate")))
-          .repartition(col("o_month"))
-          .write.mode("overwrite").partitionBy("o_month").parquet(dir)
+        val tmp = new org.apache.hadoop.fs.Path(
+          dir + ".build-" + java.util.UUID.randomUUID().toString)
+        Tables.load(s, d, table)
+          .withColumn(partCol, key)
+          .repartition(col(partCol))
+          .write.mode("overwrite").partitionBy(partCol)
+          .parquet(tmp.toString)
+        fs.mkdirs(target.getParent)
+        if (fs.exists(target) || !fs.rename(tmp, target)) {
+          fs.delete(tmp, true)
+          require(fs.exists(success),
+            s"partitioned layout $dir unusable after lost build race")
+        }
       }
       built += dir
     }
     dir
   }
+
+  private[graft] def partitionedOrdersDir(s: SparkSession,
+      d: String): String =
+    partitionedLayoutDir(s, d, "orders", "o_month",
+      monthKey(col("o_orderdate")))
 
   /** The partitioned fact as a DataFrame (schema: orders + o_month). */
   private[graft] def partitionedOrders(s: SparkSession,

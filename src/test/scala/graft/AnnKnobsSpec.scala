@@ -41,6 +41,24 @@ class AnnKnobsSpec extends AnyFunSuite {
     finally sys.props.remove(name)
   }
 
+  test("double knob: default, override channel, validation (ADVICE r7 #2)") {
+    assume(sys.env.get("GRAFT_NEAR_DUP_COS").isEmpty &&
+      sys.props.get("GRAFT_NEAR_DUP_COS").isEmpty)
+    assert(Similarity.NearDupCos == 0.40)
+    val name = "GRAFT_TEST_KNOB_DBL"
+    sys.props(name) = "0.95"
+    try assert(Similarity.doubleKnob(name, 0.4, -1.0, 1.0) == 0.95)
+    finally sys.props.remove(name)
+    sys.props(name) = "1.5"
+    try intercept[IllegalArgumentException](
+      Similarity.doubleKnob(name, 0.4, -1.0, 1.0))
+    finally sys.props.remove(name)
+    sys.props(name) = "not-a-double"
+    try intercept[IllegalArgumentException](
+      Similarity.doubleKnob(name, 0.4, -1.0, 1.0))
+    finally sys.props.remove(name)
+  }
+
   test("plane table and shift widths stay consistent with the knob values") {
     // 1L << r in the multiprobe path needs r < PlanesPerBand <= 30;
     // the plane literal table must cover Bands * PlanesPerBand rows
