@@ -510,13 +510,38 @@ object Similarity {
     * data-scaled window ([[qCosineTopk]] keeps the documented
     * brute-force window as the exact float baseline). */
   /** Per-vector int8 scalar quantization (the [[qAnnInt8]] quantizer,
-    * label carried): scale mx = max|xᵢ|, code cᵢ = ⌊xᵢ·127/mx⌋. */
+    * label carried): scale mx = max|xᵢ|, code cᵢ = ⌊xᵢ·127/mx⌋.
+    *
+    * Session-cached (VERDICT r7 next #3): ~20 similarity queries start
+    * from these codes, and before r8 each recomputed the quantization
+    * scan from parquet. The first call per (session, sfDir) materializes
+    * the codes once via an eager `localCheckpoint` (truncated lineage —
+    * exactly what the iterative Lloyd/PQ callers already wanted, several
+    * of which re-checkpointed per query); later calls reuse the
+    * checkpointed blocks. Keyed weakly by session so a stopped session's
+    * blocks are collectable; bounded: one codes frame per swept sfDir,
+    * each ~N×(8B id + 64 longs). At 100 TB the same memo holds with
+    * `persist(MEMORY_AND_DISK)` semantics — localCheckpoint stores to
+    * executor block storage, which spills the same way. */
+  private val codesCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
   private[graft] def int8Codes(s: SparkSession, d: String): DataFrame =
-    emb(s, d)
-      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-      .select(col("vec_id"), col("label"),
-        transform(col("v"),
-          x => floor(x * lit(127) / col("mx")).cast("long")).as("c"))
+    codesCache.synchronized {
+      var perSession = codesCache.get(s)
+      if (perSession == null) {
+        perSession = scala.collection.mutable.Map.empty[String, DataFrame]
+        codesCache.put(s, perSession)
+      }
+      perSession.getOrElseUpdate(d,
+        emb(s, d)
+          .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+          .select(col("vec_id"), col("label"),
+            transform(col("v"),
+              x => floor(x * lit(127) / col("mx")).cast("long")).as("c"))
+          .localCheckpoint(true))
+    }
 
   val qAnnInt8: Q = Q("q_ann_int8",
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -725,7 +750,7 @@ object Similarity {
     * wanted (spec-gated). */
   def kmeansConverged(s: SparkSession, d: String, k: Int = 8,
       maxRounds: Int = 100, tol: Long = 1): (Seq[(Long, Seq[Long])], Int) = {
-    val codes = int8Codes(s, d).select("vec_id", "c").localCheckpoint(true)
+    val codes = int8Codes(s, d).select("vec_id", "c")
     var cents = lloydSeed(codes, k)
     var rounds = 0
     var stable = false
@@ -804,7 +829,7 @@ object Similarity {
       |       CAST(SUM(d2) AS BIGINT) AS inertia,
       |       CAST(MIN(vec_id) AS BIGINT) AS min_vec
       |FROM s3 GROUP BY cl ORDER BY cluster""".stripMargin) { (s, d) =>
-    val codes = int8Codes(s, d).select("vec_id", "c").localCheckpoint(true)
+    val codes = int8Codes(s, d).select("vec_id", "c")
     lloydAssign(codes, lloydCentroids(codes, 8, rounds = 3))
       .groupBy(col("cl").cast("long").as("cluster"))
       .agg(count(lit(1)).cast("long").as("n"),
@@ -893,7 +918,7 @@ object Similarity {
        |SELECT query_id, neighbor_id, rnk, idot
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) {
     (s, d) =>
-      val codes = int8Codes(s, d).select("vec_id", "c").localCheckpoint(true)
+      val codes = int8Codes(s, d).select("vec_id", "c")
       val cents = lloydCentroids(codes, 8, rounds = 3)
       val assigned = lloydAssign(codes, cents).select("vec_id", "c", "cl")
       val scoredCells = array(cents.map { case (cl, m) =>
@@ -990,7 +1015,7 @@ object Similarity {
       |       CAST(label AS BIGINT) AS maj_label, cnt AS n_maj,
       |       CAST((cnt * 1000) // n AS BIGINT) AS purity_pm
       |FROM mj WHERE r = 1 ORDER BY cluster""".stripMargin) { (s, d) =>
-    val codes = int8Codes(s, d).localCheckpoint(true)
+    val codes = int8Codes(s, d)
     val a = lloydAssign(codes, lloydCentroids(codes, 8, rounds = 3))
     val lab = a.groupBy("cl", "label").agg(count(lit(1)).as("cnt"))
     lab.groupBy("cl")
@@ -1397,7 +1422,7 @@ object Similarity {
        |FROM s1 JOIN s3 ON s3.vec_id = s1.vec_id AND s3.m = s1.m
        |        JOIN k2 ON k2.m = s1.m
        |GROUP BY s1.m ORDER BY subspace""".stripMargin) { (s, d) =>
-    val codes = int8Codes(s, d).select("vec_id", "c").localCheckpoint(true)
+    val codes = int8Codes(s, d).select("vec_id", "c")
     val (cb0, cb2) = pqTrainCodebooks(codes)
     // final report: per subspace, distortion vs the seed and vs the
     // trained book, in one pass
@@ -2056,7 +2081,7 @@ object Similarity {
       |       CAST(MIN(s_mille) AS BIGINT) AS min_s_mille,
       |       CAST(MAX(s_mille) AS BIGINT) AS max_s_mille
       |FROM sil GROUP BY cl ORDER BY cluster""".stripMargin) { (s, d) =>
-    val codes = int8Codes(s, d).select("vec_id", "c").localCheckpoint(true)
+    val codes = int8Codes(s, d).select("vec_id", "c")
     val assigned = lloydAssign(codes, lloydCentroids(codes, 8, rounds = 3))
       .select(col("vec_id"), col("cl"), col("c"))
       .withColumn("qi", aggregate(
