@@ -1823,21 +1823,35 @@ object SqlTwins {
     val tiers = Seq("ivf" -> "q_ann_ivf", "ivf_kmeans" -> "q_ann_ivf_kmeans",
       "ivfpq" -> "q_ann_ivfpq", "int8" -> "q_ann_int8", "lsh" -> "q_ann_lsh",
       "multiprobe" -> "q_ann_multiprobe")
-    val tierSql = tiers.map { case (t, qn) =>
+    val tierSql = (tiers.map { case (t, qn) =>
       s"""SELECT '$t' AS tier, query_id, neighbor_id
          |FROM (${twin(qn).get}) WHERE rnk <= 3""".stripMargin
-    }.mkString("\n  UNION ALL\n")
-    s"""WITH ex AS (SELECT query_id, neighbor_id
-       |           FROM (${twin("q_cosine_topk").get}) WHERE rnk <= 3),
+    } :+ s"""SELECT 'filtered' AS tier, query_id, neighbor_id
+            |FROM (${twin("q_ann_filtered").get}) WHERE rnk <= 3"""
+      .stripMargin).mkString("\n  UNION ALL\n")
+    val exSql = (tiers.map { case (t, _) =>
+      s"SELECT '$t' AS tier, query_id, neighbor_id FROM exu"
+    } :+ "SELECT 'filtered' AS tier, query_id, neighbor_id FROM exf")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH exu AS (SELECT query_id, neighbor_id
+       |            FROM (${twin("q_cosine_topk").get}) WHERE rnk <= 3),
+       |exf AS (SELECT query_id, neighbor_id
+       |        FROM (${dialect(graft.similarity.Similarity
+                        .filteredExactSql)})),
+       |ex AS (
+       |  $exSql),
        |t AS (
-       |  $tierSql)
+       |  $tierSql),
+       |ek AS (SELECT tier, COUNT(*) AS exact_k FROM ex GROUP BY tier)
        |SELECT t.tier, COUNT(*) AS returned,
        |  CAST(SUM(CASE WHEN ex.query_id IS NOT NULL THEN 1 ELSE 0 END)
        |       AS BIGINT) AS hits,
-       |  CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS exact_k
-       |FROM t LEFT JOIN ex ON t.query_id = ex.query_id
-       |                   AND t.neighbor_id = ex.neighbor_id
-       |GROUP BY t.tier ORDER BY t.tier""".stripMargin
+       |  CAST(ek.exact_k AS BIGINT) AS exact_k
+       |FROM t
+       |LEFT JOIN ex ON ex.tier = t.tier AND ex.query_id = t.query_id
+       |            AND ex.neighbor_id = t.neighbor_id
+       |JOIN ek ON ek.tier = t.tier
+       |GROUP BY t.tier, ek.exact_k ORDER BY t.tier""".stripMargin
   }
 
   /** The Spark-SQL twin for a registered query, if one exists. */

@@ -2149,7 +2149,7 @@ object Similarity {
       .select("query_id", "neighbor_id")
   }
 
-  private val filteredExactSql: String =
+  private[graft] val filteredExactSql: String =
     s"""WITH el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
        |            FROM embeddings),
        |nl AS (SELECT vec_id, label, v,

@@ -331,6 +331,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("PushedFilters: [IsNotNull(o_month)"), p)
   }
 
+  test("reference q1 on the partitioned fact prunes to its month range") {
+    // the migrating user's own query (weekly units, half-year window)
+    // must hit the ship-month layout as directory pruning: 6 month dirs
+    // listed, nothing else read — not a full scan + data filter
+    val p = plan(
+      graft.queries.PartitionOps.qWeeklyUnitsPruned.fn(spark, sf001))
+    val scan = p.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail(s"no PartitionFilters in plan:\n$p"))
+    assert(scan.contains("l_month"), scan)
+    assert(scan.contains("199601") && scan.contains("199606"), scan)
+    assert(!p.contains("PushedFilters: [IsNotNull(l_month)"), p)
+  }
+
   test("dim-filtered join prunes the partitioned fact DYNAMICALLY (DPP)") {
     // the dim months are unknowable at plan time: Spark must inject a
     // dynamicpruningexpression into the fact scan's PartitionFilters
