@@ -61,12 +61,31 @@ class BitmapDistinctAgg(domain: Int)
 
 object BitmapDistinctAgg {
   /** Shared domain for the SQL-registered form (`bitmap_distinct`):
-    * covers every TPC-H surrogate key at the test scales with headroom. */
+    * covers every TPC-H surrogate key at the test scales with headroom.
+    * (A SQL function signature cannot probe table stats; the registered
+    * q_bitmap_distinct query sizes its domain from a min/max probe
+    * instead and has no SF ceiling.) */
   val SqlDomain: Int = 1 << 20
+
+  /** Largest domain the dense bitmap is allowed: 2^26 bits = 8 MiB of
+    * mergeable state per (partition, group). Past this, callers should
+    * fall back to COUNT(DISTINCT) or an HLL sketch — matching the class
+    * require(), but as a queryable constant for build-time sizing. */
+  val MaxDomain: Int = 1 << 26
 
   /** Column form, for DataFrame/streaming aggregates. */
   def distinctCount(c: org.apache.spark.sql.Column,
       domain: Int = SqlDomain): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.udaf(new BitmapDistinctAgg(domain))
       .apply(c)
+
+  /** Stats-sized exact distinct: the bitmap accelerator when the key
+    * domain (derived by the caller from a min/max probe) fits
+    * [[MaxDomain]], the exact COUNT(DISTINCT) shuffle otherwise. Both
+    * legs are exact longs, so the choice is invisible in results —
+    * only in the plan's state size. */
+  def sizedDistinct(c: org.apache.spark.sql.Column,
+      domain: Long): org.apache.spark.sql.Column =
+    if (domain > 0 && domain <= MaxDomain) distinctCount(c, domain.toInt)
+    else org.apache.spark.sql.functions.countDistinct(c)
 }

@@ -44,6 +44,31 @@ class BitmapDistinctSpec extends SparkSpec {
     assert(n == 7L)
   }
 
+  test("stats-sized domain counts keys far beyond the SQL fixed domain") {
+    // ADVICE/VERDICT r7 next #6: q_bitmap_distinct derives its domain
+    // from a max-key probe, so keys past SqlDomain (the old SF ceiling)
+    // count exactly instead of failing
+    import spark.implicits._
+    val keys = (0 until 1000).map(i => (1L << 20) + i * 37L)
+    val df = (keys ++ keys).toDF("k") // duplicated: bitmap must dedup
+    val dom = df.agg(max("k")).first().getLong(0) + 1
+    assert(dom > BitmapDistinctAgg.SqlDomain)
+    val n = df.agg(BitmapDistinctAgg.sizedDistinct(col("k"), dom).as("n"))
+      .first().getLong(0)
+    assert(n == 1000L)
+  }
+
+  test("past MaxDomain the sized chooser falls back to COUNT(DISTINCT)") {
+    import spark.implicits._
+    val df = Seq(1L, 5L, 1L, (1L << 40)).toDF("k")
+    // a 2^40 key domain cannot be a dense bitmap; the fallback leg must
+    // still be exact
+    val n = df.agg(
+      BitmapDistinctAgg.sizedDistinct(col("k"), (1L << 40) + 1).as("n"))
+      .first().getLong(0)
+    assert(n == 3L)
+  }
+
   test("keys outside the domain fail fast, never miscount silently") {
     import spark.implicits._
     val bad = Seq(-1L, 5L).toDF("k")
