@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize the sweep's fourth octave (VERDICT r7 next #5): a 5×
+  * corpus grown from sf0.1, so the steepest measured families
+  * (q_pq_distortion α 0.70, q_substring_dups 0.65, q_source_overlap
+  * 0.64, q_doc_sim_weighted 0.56 — SCALE.md round-7 tables) get one
+  * point OUTSIDE the JVM-overhead-dominated regime. /root/testdata is
+  * read-only, so the grown tables land under /tmp.
+  *
+  * Replication is PERTURBED, not verbatim — 5 copies of the same bytes
+  * would manufacture a near-dup density no real corpus has and
+  * quadratically inflate exactly the candidate-pair joins the sweep is
+  * measuring, turning a scale measurement into a worst-case-skew
+  * benchmark:
+  *   - documents: replica r>0 swaps every 8th token for a
+  *     replica-unique salt token (deterministic from (r, doc_id, pos)).
+  *     Intra-replica duplicate structure is preserved verbatim (docs
+  *     that were near-dups stay near-dups in every replica — dup
+  *     density per byte is unchanged); cross-replica 3-shingle overlap
+  *     drops below candidate thresholds, exactly like independent
+  *     corpus growth.
+  *   - embeddings: replica r>0 rotates the vector by 7·r dims (norm
+  *     and coordinate distribution preserved, cosine geometry
+  *     decorrelated). ID spaces shift by r·1,000,000, far above the
+  *     original ranges, so the fixed probe/anchor/seed sets
+  *     (vec_id < 10, PQ anchors, Lloyd seeds) stay the originals —
+  *     corpus grows, probes don't, which is what scale-up means.
+  * Other tables are copied verbatim by the caller (only documents /
+  * embeddings drive the swept families).
+  *
+  * Run: `runMain graft.tools.MakeScale5x /root/testdata/sf0.1 /tmp/graft_sf5x` */
+object MakeScale5x {
+
+  private val Offset = 1000000L
+  private val Replicas = 5
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out) = args.take(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = graft.io.Tables.load(spark, src, "documents")
+    val docReps: Seq[DataFrame] = (0 until Replicas).map { r =>
+      if (r == 0) docs
+      else {
+        val salted = array_join(
+          transform(split(col("text"), " "), (t, i) =>
+            when(i % 8 === 7,
+              concat_ws("", lit(s"s${r}x"),
+                pmod(hash(col("doc_id"), i), lit(999983)).cast("string")))
+              .otherwise(t)), " ")
+        docs.select((col("doc_id") + lit(r * Offset)).as("doc_id"),
+          salted.as("text"), col("lang"), col("source"),
+          length(salted).cast("long").as("n_chars"))
+      }
+    }
+    docReps.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = graft.io.Tables.load(spark, src, "embeddings")
+    val embReps: Seq[DataFrame] = (0 until Replicas).map { r =>
+      if (r == 0) emb
+      else {
+        val n = 64
+        val rot = (7 * r) % n
+        val rotated = concat(
+          slice(col("embedding"), rot + 1, n - rot),
+          slice(col("embedding"), 1, rot))
+        emb.select((col("vec_id") + lit(r * Offset)).as("vec_id"),
+          rotated.as("embedding"), col("label"))
+      }
+    }
+    embReps.reduce(_ unionAll _).repartition(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    spark.stop()
+  }
+}

@@ -39,8 +39,12 @@ object ScaleSweep {
     "q_global_rank", "q_pack_chunks")
 
   def main(args: Array[String]): Unit = {
-    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-      "/root/testdata/sf0.1")
+    // GRAFT_SWEEP_DIRS overrides the swept directories (comma-separated)
+    // — used for the synthetic 5× octave (tools.MakeScale5x output)
+    val sfs = sys.env.get("GRAFT_SWEEP_DIRS")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1"))
     val queries = if (args.nonEmpty) args.toSeq else DefaultQueries
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
