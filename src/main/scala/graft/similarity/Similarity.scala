@@ -385,20 +385,27 @@ object Similarity {
 
   /** The Spark twin of `ranked` in [[ivfRankedCteSql]]: N×Cells anchor
     * scores via a constant-width (Cells-row) broadcast nested-loop join —
-    * linear in the corpus, never all-pairs. */
-  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
-    val n = withNorm(emb(s, d)).select("vec_id", "v", "nrm")
-    val anch = n.filter(col("vec_id") >= IvfAnchorBase &&
-        col("vec_id") < IvfAnchorBase + IvfCells)
-      .select(col("vec_id").as("anchor_id"), col("v").as("av"),
-        col("nrm").as("anrm"))
-    val assign = n.crossJoin(broadcast(anch))
-      .select(col("vec_id"), col("v"), col("nrm"), col("anchor_id"),
-        (dot(col("v"), col("av")) / (col("nrm") * col("anrm"))).as("acos"))
-    val aw = Window.partitionBy("vec_id").orderBy(desc("acos"),
-      asc("anchor_id"))
-    assign.withColumn("arnk", row_number().over(aw))
-  }
+    * linear in the corpus, never all-pairs.
+    *
+    * Session-memoized (r8): this IS the IVF index — assignments plus
+    * probe ranks — and five tiers (plus q_ann_recall, which unions
+    * three of them) start from it. Production vector stores PERSIST
+    * the index rather than re-deriving it per query; the memo is that
+    * materialization, bounded at N×Cells rows. */
+  private def ivfRanked(s: SparkSession, d: String): DataFrame =
+    memo(s, "ivfRanked", d) {
+      val n = withNorm(emb(s, d)).select("vec_id", "v", "nrm")
+      val anch = n.filter(col("vec_id") >= IvfAnchorBase &&
+          col("vec_id") < IvfAnchorBase + IvfCells)
+        .select(col("vec_id").as("anchor_id"), col("v").as("av"),
+          col("nrm").as("anrm"))
+      val assign = n.crossJoin(broadcast(anch))
+        .select(col("vec_id"), col("v"), col("nrm"), col("anchor_id"),
+          (dot(col("v"), col("av")) / (col("nrm") * col("anrm"))).as("acos"))
+      val aw = Window.partitionBy("vec_id").orderBy(desc("acos"),
+        asc("anchor_id"))
+      assign.withColumn("arnk", row_number().over(aw))
+    }
 
   /** IVF-style ANN (the second scale path next to banded LSH): corpus
     * vectors are assigned to their nearest anchor cell (argmax cosine,
@@ -523,24 +530,31 @@ object Similarity {
     * each ~N×(8B id + 64 longs). At 100 TB the same memo holds with
     * `persist(MEMORY_AND_DISK)` semantics — localCheckpoint stores to
     * executor block storage, which spills the same way. */
-  private val codesCache =
+  private val frameCache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, DataFrame]]()
 
+  /** Session-scoped materialized-frame memo: first call per (session,
+    * tag, sfDir) eagerly localCheckpoints the built frame; later calls
+    * reuse the blocks. Weak session key keeps stopped sessions
+    * collectable. */
+  private def memo(s: SparkSession, tag: String, d: String)(
+      build: => DataFrame): DataFrame = frameCache.synchronized {
+    var perSession = frameCache.get(s)
+    if (perSession == null) {
+      perSession = scala.collection.mutable.Map.empty[String, DataFrame]
+      frameCache.put(s, perSession)
+    }
+    perSession.getOrElseUpdate(s"$tag@$d", build.localCheckpoint(true))
+  }
+
   private[graft] def int8Codes(s: SparkSession, d: String): DataFrame =
-    codesCache.synchronized {
-      var perSession = codesCache.get(s)
-      if (perSession == null) {
-        perSession = scala.collection.mutable.Map.empty[String, DataFrame]
-        codesCache.put(s, perSession)
-      }
-      perSession.getOrElseUpdate(d,
-        emb(s, d)
-          .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-          .select(col("vec_id"), col("label"),
-            transform(col("v"),
-              x => floor(x * lit(127) / col("mx")).cast("long")).as("c"))
-          .localCheckpoint(true))
+    memo(s, "int8Codes", d) {
+      emb(s, d)
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .select(col("vec_id"), col("label"),
+          transform(col("v"),
+            x => floor(x * lit(127) / col("mx")).cast("long")).as("c"))
     }
 
   val qAnnInt8: Q = Q("q_ann_int8",

@@ -81,14 +81,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p)
   }
 
-  test("semdedup self-join reuses one exchange for the cell assignment") {
-    // both pair-scan sides are the same IVF-assignment subtree: the
-    // N×Cells anchor scoring pass must run once (qEmbedNearDup pattern)
+  test("semdedup pair sides scan the materialized IVF index, not a " +
+    "recompute") {
+    // r8: ivfRanked is session-memoized (the materialized IVF index), so
+    // the N×Cells anchor scoring pass runs ZERO times per query — both
+    // pair-scan sides read the checkpointed index (ExistingRDD), which
+    // supersedes the old exchange-reuse guard (run-once per query). Any
+    // regression back to an inline anchor-scoring recompute would
+    // surface as a BroadcastNestedLoopJoin on the anchors here.
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try assert(plan(Similarity.qSemdedup.fn(spark, sf001))
-      .contains("ReusedExchange"))
-    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    try {
+      val p = plan(Similarity.qSemdedup.fn(spark, sf001))
+      assert(p.contains("ExistingRDD"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("butterfly wedge self-join reuses the capped edge-list exchange") {
