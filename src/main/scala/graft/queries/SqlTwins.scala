@@ -888,6 +888,39 @@ object SqlTwins {
          |SELECT query_id, neighbor_id, rnk, idot
          |FROM rankedf WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
+    // q_ann_filtered with the label predicate flipped to inequality and
+    // the negative's label carried (hard-negative mining, r8)
+    "q_hard_negatives" ->
+      s"""WITH $sparkIvfRankedCte,
+         |el AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v
+         |       FROM embeddings),
+         |im AS (SELECT vec_id, label, v,
+         |         array_max(transform(v, x -> abs(x))) AS mx FROM el),
+         |ic AS (SELECT vec_id, label,
+         |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+         |          AS c
+         |      FROM im),
+         |cand AS (SELECT p.query_id, qi.c AS qc,
+         |                b.vec_id AS neighbor_id, b.label AS neg_label,
+         |                b.c AS bc
+         |         FROM probes2 p
+         |         JOIN ic qi ON qi.vec_id = p.query_id
+         |         JOIN cells2 c2 ON c2.cell = p.qcell
+         |                       AND c2.vec_id != p.query_id
+         |         JOIN ic b ON b.vec_id = c2.vec_id
+         |                  AND b.label != qi.label),
+         |scored AS (SELECT query_id, neighbor_id, neg_label,
+         |    aggregate(zip_with(qc, bc, (x, y) -> x * y),
+         |      CAST(0 AS BIGINT), (acc, x) -> acc + x) AS idot
+         |  FROM cand),
+         |rankedh AS (SELECT query_id, neighbor_id, neg_label, idot,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY idot DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, CAST(neg_label AS INT) AS neg_label,
+         |       rnk, idot
+         |FROM rankedh WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
     "q_source_overlap" ->
       s"""WITH $shingleCte,
          |ss AS (SELECT DISTINCT source, h FROM (

@@ -1732,6 +1732,85 @@ object Similarity {
         .orderBy("query_id", "rnk")
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training companion of
+    * [[qAnnFiltered]]: for each query vector, the nearest neighbors
+    * whose label DIFFERS from the query's (DPR/ANCE-style mined
+    * negatives — semantically close, label-wrong examples are the
+    * gradient-rich ones; random negatives are too easy). Same candidate
+    * machinery as the filtered tier — IVF probed-cell equi-join with
+    * the label predicate applied AT the join (the heap never fills with
+    * same-label rows a post-filter would discard) — with the equality
+    * flipped to inequality. Scoring is the codegen'd integer dot on
+    * int8 codes ([[int8Codes]]) — oracle-EXACT.
+    *
+    * At 100 TB this is the mining pass of a contrastive data build: one
+    * ANN sweep per training shard, negatives materialized next to the
+    * positives. The label leg stays hash-join shaped; recall visibility
+    * comes from the tiers sharing its candidate generation in
+    * [[qAnnRecall]] (ivf / filtered). */
+  val qHardNegatives: Q = Q("q_hard_negatives",
+    s"""WITH $ivfRankedCteSql,
+       |cells2 AS (SELECT vec_id, anchor_id AS cell FROM ranked
+       |           WHERE arnk = 1),
+       |probes2 AS (SELECT vec_id AS query_id, anchor_id AS qcell
+       |            FROM ranked WHERE arnk <= $IvfProbe AND $QuerySet),
+       |el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |       FROM embeddings),
+       |im AS (SELECT vec_id, label, v,
+       |         list_max(list_transform(v, x -> abs(x))) AS mx FROM el),
+       |ic AS (SELECT vec_id, label,
+       |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+       |          AS c
+       |      FROM im),
+       |cand AS (SELECT p.query_id, qi.c AS qc,
+       |                b.vec_id AS neighbor_id, b.label AS neg_label,
+       |                b.c AS bc
+       |         FROM probes2 p
+       |         JOIN ic qi ON qi.vec_id = p.query_id
+       |         JOIN cells2 c2 ON c2.cell = p.qcell
+       |                       AND c2.vec_id != p.query_id
+       |         JOIN ic b ON b.vec_id = c2.vec_id
+       |                  AND b.label != qi.label),
+       |scored AS (SELECT query_id, neighbor_id, neg_label,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> qc[i] * bc[i])) AS BIGINT) AS idot
+       |  FROM cand),
+       |rankedh AS (SELECT query_id, neighbor_id, neg_label, idot,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY idot DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(neg_label AS INT) AS neg_label,
+       |       rnk, idot
+       |FROM rankedh WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) {
+    (s, d) =>
+      val codes = int8Codes(s, d) // vec_id, label, c
+      val ranked = ivfRanked(s, d)
+      val cells = ranked.filter(col("arnk") === 1)
+        .select(col("vec_id"), col("anchor_id").as("cell"))
+      val indexed = codes.join(cells, "vec_id")
+      val probes = ranked.filter(col("arnk") <= IvfProbe && expr(QuerySet))
+        .select(col("vec_id").as("query_id"), col("anchor_id").as("qcell"))
+      val q = probes.join(
+        codes.select(col("vec_id").as("query_id"),
+          col("label").as("qlabel"), col("c").as("qc")),
+        "query_id")
+      val scored = broadcast(q).join(indexed,
+          col("cell") === col("qcell") && col("label") =!= col("qlabel") &&
+            col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("label").cast("int").as("neg_label"),
+          call_function(graft.functions.GraftDotLong.FunctionName,
+            col("qc"), col("c")).as("idot"))
+      val top = graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
+        Seq("idot" -> false, "neighbor_id" -> true), 3,
+        mapSideCombine = true)
+      val w = Window.partitionBy("query_id").orderBy(desc("idot"),
+        asc("neighbor_id"))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
+        .select("query_id", "neighbor_id", "neg_label", "rnk", "idot")
+        .orderBy("query_id", "rnk")
+  }
+
   /** MMR candidate-pool size and picks. */
   val MmrPool = 10
   val MmrPicks = 3
@@ -2273,6 +2352,6 @@ object Similarity {
     Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup,
       qSemdedup, qAnnInt8, qAnnIvfKmeans, qLabelOutliers, qKmeans,
       qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered,
-      qMmrRerank, qRandProject, qKnnClassify, qAnnRecall, qSilhouette,
-      qPqDistortion, qPqTrain, qAnnIvfPqTrained)
+      qHardNegatives, qMmrRerank, qRandProject, qKnnClassify, qAnnRecall,
+      qSilhouette, qPqDistortion, qPqTrain, qAnnIvfPqTrained)
 }

@@ -582,6 +582,73 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Mixture-budget token target for [[qMixtureAlloc]]. */
+  val MixBudget = 1000000L
+
+  /** Temperature-weighted mixture ALLOCATION (r8) — the quota
+    * computation upstream of [[qMixtureSample]]'s hash-gated sampling:
+    * given per-source token counts, allot a fixed training budget of
+    * [[MixBudget]] tokens across sources with temperature-2 weights
+    * (w_i = ⌊√tokens_i⌋ — the standard "T = 2" up-weighting of small
+    * sources used in multilingual/multi-corpus training mixes; T = 1 is
+    * proportional, T = ∞ uniform), rounded EXACTLY with the
+    * largest-remainder method so Σ alloc == budget to the token.
+    *
+    * Everything after the single per-source √ (one IEEE op, bit-equal
+    * across engines) is integer arithmetic: base_i = (B·w_i) div Σw,
+    * leftovers go to the largest (B·w_i) mod Σw with source-name
+    * tiebreak. The only windows run over the #sources-bounded weight
+    * table (the q_window_lag_delta exception — bounded domain, never
+    * data-scaled). At 100 TB the per-source token counts are one
+    * map-side-combined aggregate over the corpus; the allocation itself
+    * is driver-scale arithmetic on #sources rows. */
+  val qMixtureAlloc: Q = Q("q_mixture_alloc",
+    s"""WITH tc AS (SELECT source,
+       |        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |      FROM documents GROUP BY source),
+       |w AS (SELECT source, tokens,
+       |        CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT)
+       |          AS weight
+       |      FROM tc),
+       |t AS (SELECT CAST(SUM(weight) AS BIGINT) AS sw FROM w),
+       |b AS (SELECT w.source, w.tokens, w.weight,
+       |        CAST(($MixBudget * w.weight) // t.sw AS BIGINT) AS base,
+       |        CAST(($MixBudget * w.weight) % t.sw AS BIGINT) AS frac
+       |      FROM w CROSS JOIN t),
+       |r AS (SELECT *,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY frac DESC, source)
+       |          AS BIGINT) AS rnk,
+       |        CAST(SUM(base) OVER () AS BIGINT) AS sum_base
+       |      FROM b)
+       |SELECT source, tokens, weight,
+       |       CAST(base + CASE WHEN rnk <= $MixBudget - sum_base
+       |                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM r ORDER BY source""".stripMargin) { (s, d) =>
+    val tc = docs(s, d)
+      .groupBy("source")
+      .agg(sum(size(TextHash.tokens(col("text"))).cast("long"))
+        .as("tokens"))
+    val w = tc.withColumn("weight",
+      floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val sw = w.agg(sum("weight").cast("long").as("sw"))
+    val b = w.crossJoin(broadcast(sw))
+      .withColumn("base", expr(s"CAST($MixBudget * weight div sw AS BIGINT)"))
+      .withColumn("frac", expr(s"CAST($MixBudget * weight % sw AS BIGINT)"))
+    // both windows run over the #sources-bounded weight table
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("frac"), asc("source"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    b.withColumn("rnk", row_number().over(rw).cast("long"))
+      .withColumn("sum_base", sum("base").over(all).cast("long"))
+      .select(col("source"), col("tokens"), col("weight"),
+        (col("base") + when(col("rnk") <= lit(MixBudget) - col("sum_base"),
+          1L).otherwise(0L)).cast("long").as("alloc"))
+      .orderBy("source")
+  }
+
   /** Deterministic train/val/test split by content hash (md5 mod 100:
     * 80/10/10) — reproducible across engines and runs, no RNG state. */
   val qSplitHash: Q = Q("q_split_hash",
@@ -1069,7 +1136,8 @@ object TextOps {
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCounts, qTokenBpe, qQualityScore, qRepetition,
     qLangId, qFingerprint, qCorpusClean, qVocabTopk, qPiiRedact,
-    qPackChunks, qSplitHash, qMixtureSample, qTokenBudget, qGlobalRank,
+    qPackChunks, qSplitHash, qMixtureSample, qMixtureAlloc, qTokenBudget,
+    qGlobalRank,
     qStratifiedSample, qCountminTokens, qHeavyHitters, qSplitDrift,
     qTokenGini, qVocabCoverage, qBpeTrain, qBpeApply)
 }

@@ -60,7 +60,14 @@ object MakeScale5x {
           length(salted).cast("long").as("n_chars"))
       }
     }
-    docReps.reduce(_ unionAll _).repartition(32)
+    // coalesce(1): the sf-series tables are SINGLE-file single-row-group
+    // parquet, so their narrow pre-shuffle stages run one task; a 5×
+    // table written as N files would get N-way scan parallelism and the
+    // sweep would measure layout, not scale (measured r8: the first cut
+    // of this tool wrote 8/32 files and half the families came out
+    // FASTER at 5× than at 1×). Same layout ⇒ same parallelism ⇒ the
+    // exponent isolates data growth.
+    docReps.reduce(_ unionAll _).coalesce(1)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = graft.io.Tables.load(spark, src, "embeddings")
@@ -76,7 +83,7 @@ object MakeScale5x {
           rotated.as("embedding"), col("label"))
       }
     }
-    embReps.reduce(_ unionAll _).repartition(8)
+    embReps.reduce(_ unionAll _).coalesce(1)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     spark.stop()
