@@ -1861,16 +1861,23 @@ object SqlTwins {
          |FROM (${twin(qn).get}) WHERE rnk <= 3""".stripMargin
     } :+ s"""SELECT 'filtered' AS tier, query_id, neighbor_id
             |FROM (${twin("q_ann_filtered").get}) WHERE rnk <= 3"""
+      .stripMargin
+      :+ s"""SELECT 'hard_neg' AS tier, query_id, neighbor_id
+            |FROM (${twin("q_hard_negatives").get}) WHERE rnk <= 3"""
       .stripMargin).mkString("\n  UNION ALL\n")
     val exSql = (tiers.map { case (t, _) =>
       s"SELECT '$t' AS tier, query_id, neighbor_id FROM exu"
-    } :+ "SELECT 'filtered' AS tier, query_id, neighbor_id FROM exf")
+    } :+ "SELECT 'filtered' AS tier, query_id, neighbor_id FROM exf"
+      :+ "SELECT 'hard_neg' AS tier, query_id, neighbor_id FROM exh")
       .mkString("\n  UNION ALL\n")
     s"""WITH exu AS (SELECT query_id, neighbor_id
        |            FROM (${twin("q_cosine_topk").get}) WHERE rnk <= 3),
        |exf AS (SELECT query_id, neighbor_id
        |        FROM (${dialect(graft.similarity.Similarity
                         .filteredExactSql)})),
+       |exh AS (SELECT query_id, neighbor_id
+       |        FROM (${dialect(graft.similarity.Similarity
+                        .hardExactSql)})),
        |ex AS (
        |  $exSql),
        |t AS (

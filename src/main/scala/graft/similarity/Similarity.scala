@@ -2259,6 +2259,43 @@ object Similarity {
        |SELECT query_id, neighbor_id FROM rankedfe WHERE rnk <= 3"""
       .stripMargin
 
+  /** Exact top-3 DIFFERENT-label float-cosine neighbors per query — the
+    * ground truth for the `hard_neg` tier ([[qHardNegatives]]): the
+    * exact metric restricted to the label complement. */
+  private def hardExact(s: SparkSession, d: String): DataFrame = {
+    val n = withNorm(emb(s, d))
+    val q = n.filter(expr(QuerySet))
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = broadcast(q)
+      .join(n, col("label") =!= col("qlabel") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id")
+  }
+
+  private[graft] val hardExactSql: String =
+    s"""WITH eh AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |            FROM embeddings),
+       |nh AS (SELECT vec_id, label, v,
+       |         sqrt(list_dot_product(v, v)) AS nrm FROM eh),
+       |qh AS (SELECT * FROM nh WHERE $QuerySet),
+       |scoredh AS (SELECT qh.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_dot_product(qh.v, b.v) / (qh.nrm * b.nrm) AS cos
+       |  FROM qh JOIN nh b ON b.label != qh.label
+       |                   AND b.vec_id != qh.vec_id),
+       |rankedhe AS (SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scoredh)
+       |SELECT query_id, neighbor_id FROM rankedhe WHERE rnk <= 3"""
+      .stripMargin
+
   /** The recall report's unfiltered tiers (name → query). Shared with
     * [[qAnnRecall]] and the absolute-floor spec (AnnRecallFloorSpec). */
   private[graft] val recallTiers: Seq[(String, Q)] =
@@ -2276,10 +2313,12 @@ object Similarity {
     * candidate buckets run dry — that shortfall is part of the report);
     * exact_k = |ground truth| PER TIER (r8: no longer a single global
     * scalar). Ground truth is [[qCosineTopk]]'s exact float-cosine top-3
-    * for the unfiltered tiers and [[filteredExact]] — the same metric
+    * for the unfiltered tiers, [[filteredExact]] — the same metric
     * restricted to the query's label — for the `filtered` tier
-    * ([[qAnnFiltered]], folded in per VERDICT r7 next #7, so every ANN
-    * tier has recall visibility).
+    * ([[qAnnFiltered]], folded in per VERDICT r7 next #7), and
+    * [[hardExact]] — the label COMPLEMENT — for the `hard_neg` tier
+    * ([[qHardNegatives]]), so every retrieval tier in the engine has
+    * recall visibility.
     *
     * Tripwire honesty (VERDICT r7 wrong #1): the oracle embeds each
     * tier's registered oracle SQL, so engine and oracle move TOGETHER
@@ -2294,16 +2333,22 @@ object Similarity {
          |FROM (${q.oracle.get}) WHERE rnk <= 3""".stripMargin
     } :+ s"""SELECT 'filtered' AS tier, query_id, neighbor_id
             |FROM (${qAnnFiltered.oracle.get}) WHERE rnk <= 3"""
+      .stripMargin
+      :+ s"""SELECT 'hard_neg' AS tier, query_id, neighbor_id
+            |FROM (${qHardNegatives.oracle.get}) WHERE rnk <= 3"""
       .stripMargin).mkString("\n  UNION ALL\n")
     val exSql = (recallTiers.map { case (t, _) =>
       s"SELECT '$t' AS tier, query_id, neighbor_id FROM exu"
-    } :+ "SELECT 'filtered' AS tier, query_id, neighbor_id FROM exf")
+    } :+ "SELECT 'filtered' AS tier, query_id, neighbor_id FROM exf"
+      :+ "SELECT 'hard_neg' AS tier, query_id, neighbor_id FROM exh")
       .mkString("\n  UNION ALL\n")
     Q("q_ann_recall",
       s"""WITH exu AS (SELECT query_id, neighbor_id
          |            FROM (${qCosineTopk.oracle.get}) WHERE rnk <= 3),
          |exf AS (SELECT query_id, neighbor_id
          |        FROM ($filteredExactSql)),
+         |exh AS (SELECT query_id, neighbor_id
+         |        FROM ($hardExactSql)),
          |ex AS (
          |  $exSql),
          |t AS (
@@ -2325,7 +2370,9 @@ object Similarity {
           exU.select(lit(t).as("tier"), col("query_id"),
             col("neighbor_id"))
         } :+ filteredExact(s, d).select(lit("filtered").as("tier"),
-          col("query_id"), col("neighbor_id")))
+          col("query_id"), col("neighbor_id"))
+          :+ hardExact(s, d).select(lit("hard_neg").as("tier"),
+            col("query_id"), col("neighbor_id")))
           .reduce(_ unionAll _)
           .withColumn("hit", lit(1L))
         val tagged = (recallTiers.map { case (t, q) =>
@@ -2334,7 +2381,10 @@ object Similarity {
               col("neighbor_id"))
         } :+ qAnnFiltered.fn(s, d).filter(col("rnk") <= 3)
           .select(lit("filtered").as("tier"), col("query_id"),
-            col("neighbor_id")))
+            col("neighbor_id"))
+          :+ qHardNegatives.fn(s, d).filter(col("rnk") <= 3)
+            .select(lit("hard_neg").as("tier"), col("query_id"),
+              col("neighbor_id")))
           .reduce(_ unionAll _)
         val ek = ex.groupBy("tier").agg(count(lit(1)).as("exact_k"))
         tagged

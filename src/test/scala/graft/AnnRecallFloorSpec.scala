@@ -35,6 +35,7 @@ class AnnRecallFloorSpec extends SparkSpec {
   /** Exact hits@3 per tier measured at sf0.01, default knobs, r8. */
   private val floors = Map(
     "filtered" -> 5L,
+    "hard_neg" -> 8L,
     "int8" -> 18L,
     "ivf" -> 7L,
     "ivf_kmeans" -> 20L,
