@@ -602,6 +602,33 @@ object TextOps {
     * data-scaled). At 100 TB the per-source token counts are one
     * map-side-combined aggregate over the corpus; the allocation itself
     * is driver-scale arithmetic on #sources rows. */
+  /** Largest-remainder allocation of `budget` over a (source, tokens)
+    * frame with temperature-2 weights — the reusable core of
+    * [[qMixtureAlloc]], property-gated in PropertySpec (Σ alloc ==
+    * budget and the quota property |alloc − B·w/Σw| < 1 on random
+    * inputs). Both windows run over the #sources-bounded weight table. */
+  private[graft] def mixtureAlloc(tc: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val w = tc.withColumn("weight",
+      floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val sw = w.agg(sum("weight").cast("long").as("sw"))
+    val b = w.crossJoin(broadcast(sw))
+      .withColumn("base", expr(s"CAST($budget * weight div sw AS BIGINT)"))
+      .withColumn("frac", expr(s"CAST($budget * weight % sw AS BIGINT)"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("frac"), asc("source"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    b.withColumn("rnk", row_number().over(rw).cast("long"))
+      .withColumn("sum_base", sum("base").over(all).cast("long"))
+      .select(col("source"), col("tokens"), col("weight"),
+        (col("base") + when(col("rnk") <= lit(budget) - col("sum_base"),
+          1L).otherwise(0L)).cast("long").as("alloc"))
+      .orderBy("source")
+  }
+
   val qMixtureAlloc: Q = Q("q_mixture_alloc",
     s"""WITH tc AS (SELECT source,
        |        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
@@ -624,29 +651,11 @@ object TextOps {
        |       CAST(base + CASE WHEN rnk <= $MixBudget - sum_base
        |                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
        |FROM r ORDER BY source""".stripMargin) { (s, d) =>
-    val tc = docs(s, d)
-      .groupBy("source")
-      .agg(sum(size(TextHash.tokens(col("text"))).cast("long"))
-        .as("tokens"))
-    val w = tc.withColumn("weight",
-      floor(sqrt(col("tokens").cast("double"))).cast("long"))
-    val sw = w.agg(sum("weight").cast("long").as("sw"))
-    val b = w.crossJoin(broadcast(sw))
-      .withColumn("base", expr(s"CAST($MixBudget * weight div sw AS BIGINT)"))
-      .withColumn("frac", expr(s"CAST($MixBudget * weight % sw AS BIGINT)"))
-    // both windows run over the #sources-bounded weight table
-    val rw = org.apache.spark.sql.expressions.Window
-      .orderBy(desc("frac"), asc("source"))
-    val all = org.apache.spark.sql.expressions.Window
-      .partitionBy().orderBy().rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    b.withColumn("rnk", row_number().over(rw).cast("long"))
-      .withColumn("sum_base", sum("base").over(all).cast("long"))
-      .select(col("source"), col("tokens"), col("weight"),
-        (col("base") + when(col("rnk") <= lit(MixBudget) - col("sum_base"),
-          1L).otherwise(0L)).cast("long").as("alloc"))
-      .orderBy("source")
+    mixtureAlloc(
+      docs(s, d).groupBy("source")
+        .agg(sum(size(TextHash.tokens(col("text"))).cast("long"))
+          .as("tokens")),
+      MixBudget)
   }
 
   /** Deterministic train/val/test split by content hash (md5 mod 100:

@@ -128,6 +128,29 @@ class PropertySpec extends SparkSpec {
     assert(df.filter(col("d0") =!= col("d1")).count() == 0)
   }
 
+  test("mixture allocation: sum == budget and quota property on random inputs") {
+    import spark.implicits._
+    // largest-remainder invariants: exact budget, and every source within
+    // one token of its real-valued quota B*w/Sw (Hamilton's method)
+    val rng = new scala.util.Random(8)
+    for (trial <- 1 to 5) {
+      val n = 1 + rng.nextInt(40)
+      val budget = 1L + rng.nextInt(1000000)
+      val tc = (0 until n)
+        .map(i => (f"s$i%03d", 1L + rng.nextInt(1 << 20)))
+        .toDF("source", "tokens")
+      val rows = graft.text.TextOps.mixtureAlloc(tc, budget).collect()
+      assert(rows.map(_.getLong(3)).sum == budget, s"trial $trial")
+      val sw = rows.map(_.getLong(2)).sum.toDouble
+      rows.foreach { r =>
+        val quota = budget * r.getLong(2) / sw
+        assert(math.abs(r.getLong(3) - quota) < 1.0,
+          s"trial $trial source ${r.getString(0)}: " +
+            s"alloc ${r.getLong(3)} vs quota $quota")
+      }
+    }
+  }
+
   test("query results are deterministic across runs") {
     val a = RefQueries.q4WeekdaySeasonality.fn(spark, sf001).collect()
     val b = RefQueries.q4WeekdaySeasonality.fn(spark, sf001).collect()
