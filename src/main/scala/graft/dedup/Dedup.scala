@@ -990,10 +990,47 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** Quality-aware CANONICAL selection (r8) — the resolution policy
+    * production dedup actually ships: instead of keep-first (min doc_id,
+    * the [[qDedupComponents]] convention), each near-dup cluster keeps
+    * its LONGEST member (token count, doc_id tiebreak) — the "keep the
+    * most complete variant" rule of Lee et al. ACL'22-style pipelines,
+    * where truncated/boilerplate-stripped copies should lose to the full
+    * document. Domain = docs that appear in a ≥0.8-Jaccard near-dup
+    * pair (same walk as the components family); clusters come from the
+    * log-round star CC, the argmax is one window partitioned by the
+    * HIGH-cardinality component id. */
+  val qDedupKeepBest: Q = Q("q_dedup_keep_best",
+    s"""$componentsWalkCteSql,
+       |comp AS (SELECT node AS doc_id, MIN(reach) AS component
+       |         FROM walk GROUP BY node),
+       |tok AS (SELECT doc_id,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |        FROM documents),
+       |jb AS (SELECT c.doc_id, c.component, t.n_tokens
+       |       FROM comp c JOIN tok t ON t.doc_id = c.doc_id),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+       |         ORDER BY n_tokens DESC, doc_id) AS krnk FROM jb)
+       |SELECT doc_id, component, n_tokens, krnk = 1 AS is_kept
+       |FROM rk ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val comp = starComponents(
+      jaccardPairs(s, d, 0.8).select("doc_a", "doc_b"))
+      .select("doc_id", "component")
+    val tok = docs(s, d).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(desc("n_tokens"), asc("doc_id"))
+    comp.join(tok, "doc_id")
+      .withColumn("krnk", row_number().over(w))
+      .select(col("doc_id"), col("component"), col("n_tokens"),
+        (col("krnk") === 1).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccardPairs, qMinhashLsh, qMinhashIncremental,
     qDedupNearRemoved, qSimhashDocs, qSimhashPairs, qSimhashWideDocs,
     qSimhashWidePairs, qDedupComponents, qDedupComponentsStar,
-    qDedupClusterSizes, qDecontaminate, qSubstringDups,
+    qDedupClusterSizes, qDedupKeepBest, qDecontaminate, qSubstringDups,
     qWinnowFingerprint, qDecontaminateContainment, qSourceOverlap)
 }

@@ -43,7 +43,9 @@ object PartitionOps {
   private val MonthSql =
     "year(CAST(o_orderdate AS DATE))*100 + month(CAST(o_orderdate AS DATE))"
 
-  private val built = scala.collection.mutable.Set.empty[String]
+  // private[graft]: PartitionLayoutCacheSpec clears it to simulate a
+  // fresh JVM hitting an already-built layout (the lost-race path)
+  private[graft] val built = scala.collection.mutable.Set.empty[String]
 
   /** Length+mtime fingerprint of a source parquet file: keys the cached
     * layout directory so a CHANGED source table gets a fresh layout

@@ -50,6 +50,10 @@ object SqlTwins {
     "q_dedup_cluster_sizes" ->
       ("aggregates the iterative star-CC labels (driver-side loop over " +
         "checkpoints); same recursion limitation as q_dedup_components"),
+    "q_dedup_keep_best" ->
+      ("ranks within the iterative star-CC clusters (driver-side loop " +
+        "over checkpoints); same recursion limitation as " +
+        "q_dedup_components"),
     "q_kcore_converged" ->
       ("run-to-convergence peel (driver-side count-gated loop); the " +
         "oracle's change-gated recursive CTE references the working " +
