@@ -246,6 +246,11 @@ class PlanShapeSpec extends SparkSpec {
     val fa = plan(Similarity.qAnnFiltered.fn(spark, sf001))
     assert(!fa.contains("CartesianProduct"), fa)
     assert(fa.contains("BroadcastHashJoin"), fa)
+    // hard negatives: label INEQUALITY must ride the cell equi-join as a
+    // post-condition, never degrade the join itself to a product
+    val hn = plan(Similarity.qHardNegatives.fn(spark, sf001))
+    assert(!hn.contains("CartesianProduct"), hn)
+    assert(hn.contains("BroadcastHashJoin"), hn)
     // MMR: the pool-pair sim frame joins on query_id (bounded pool²)
     val mm = plan(Similarity.qMmrRerank.fn(spark, sf001))
     assert(!mm.contains("CartesianProduct"), mm)
