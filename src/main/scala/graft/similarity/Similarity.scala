@@ -2221,20 +2221,28 @@ object Similarity {
       .orderBy("cluster")
   }
 
-  /** Exact top-3 same-label float-cosine neighbors of each query vector
-    * — the ground truth for the `filtered` tier of [[qAnnRecall]]: the
-    * metric space ([[qCosineTopk]]'s float cosine) restricted to the
-    * query's own label, which is what [[qAnnFiltered]] approximates. */
-  private def filteredExact(s: SparkSession, d: String): DataFrame = {
+  /** ONE exact scoring pass for all three of [[qAnnRecall]]'s ground
+    * truths: every (query, corpus vector) float cosine with the
+    * neighbor's label carried, so the unfiltered / same-label /
+    * different-label top-3 baselines are three windowed views of this
+    * single frame instead of three corpus scans (r8 plan fix — the
+    * first cut computed qCosineTopk + filteredExact + hardExact
+    * independently). Bounded at |queries|×N rows; checkpointed so the
+    * three windows don't re-execute the join. */
+  private def exactScored(s: SparkSession, d: String): DataFrame = {
     val n = withNorm(emb(s, d))
     val q = n.filter(expr(QuerySet))
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("v").as("qv"), col("nrm").as("qnrm"))
-    val scored = broadcast(q)
-      .join(n, col("label") === col("qlabel") &&
-        col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+    broadcast(q)
+      .join(n, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("label"),
+        col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .localCheckpoint(true)
+  }
+
+  private def exactTop3(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -2258,26 +2266,6 @@ object Similarity {
        |  FROM scoredf)
        |SELECT query_id, neighbor_id FROM rankedfe WHERE rnk <= 3"""
       .stripMargin
-
-  /** Exact top-3 DIFFERENT-label float-cosine neighbors per query — the
-    * ground truth for the `hard_neg` tier ([[qHardNegatives]]): the
-    * exact metric restricted to the label complement. */
-  private def hardExact(s: SparkSession, d: String): DataFrame = {
-    val n = withNorm(emb(s, d))
-    val q = n.filter(expr(QuerySet))
-      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-        col("v").as("qv"), col("nrm").as("qnrm"))
-    val scored = broadcast(q)
-      .join(n, col("label") =!= col("qlabel") &&
-        col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cos"), asc("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select("query_id", "neighbor_id")
-  }
 
   private[graft] val hardExactSql: String =
     s"""WITH eh AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
@@ -2364,14 +2352,17 @@ object Similarity {
          |JOIN ek ON ek.tier = t.tier
          |GROUP BY t.tier, ek.exact_k ORDER BY t.tier""".stripMargin) {
       (s, d) =>
-        val exU = qCosineTopk.fn(s, d).filter(col("rnk") <= 3)
-          .select(col("query_id"), col("neighbor_id"))
+        // one scored pass feeds all three exact baselines (r8 plan fix)
+        val scored = exactScored(s, d)
+        val exU = exactTop3(scored)
+        val exF = exactTop3(scored.filter(col("label") === col("qlabel")))
+        val exH = exactTop3(scored.filter(col("label") =!= col("qlabel")))
         val ex = (recallTiers.map { case (t, _) =>
           exU.select(lit(t).as("tier"), col("query_id"),
             col("neighbor_id"))
-        } :+ filteredExact(s, d).select(lit("filtered").as("tier"),
+        } :+ exF.select(lit("filtered").as("tier"),
           col("query_id"), col("neighbor_id"))
-          :+ hardExact(s, d).select(lit("hard_neg").as("tier"),
+          :+ exH.select(lit("hard_neg").as("tier"),
             col("query_id"), col("neighbor_id")))
           .reduce(_ unionAll _)
           .withColumn("hit", lit(1L))
