@@ -182,17 +182,23 @@ object Similarity {
     * non-trivial projection and InferFiltersFromGenerate would inline the
     * whole bucketing pipeline into an inferred `size(...) > 0` filter
     * (see NOTES.md round-1 measurement). */
-  private def banded(s: SparkSession, d: String): DataFrame = {
-    val bandStructs = array((0 until Bands).map { b =>
-      struct(lit(b).as("band"), bandKey(col("v"), b).as("key"))
-    }: _*)
-    withNorm(emb(s, d))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        explode_outer(bandStructs).as("bk"))
-      .filter(col("bk").isNotNull)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-  }
+  // Session-memoized like [[ivfRanked]] (r8): the banded rows ARE the
+  // LSH index — four queries (lsh / multiprobe ANN, embedding near-dup,
+  // and the recall report via the first two) start from it, and a
+  // production store persists the banding rather than re-hashing the
+  // corpus per query. Bounded at N×Bands rows.
+  private def banded(s: SparkSession, d: String): DataFrame =
+    memo(s, "banded", d) {
+      val bandStructs = array((0 until Bands).map { b =>
+        struct(lit(b).as("band"), bandKey(col("v"), b).as("key"))
+      }: _*)
+      withNorm(emb(s, d))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          explode_outer(bandStructs).as("bk"))
+        .filter(col("bk").isNotNull)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    }
 
   /** Shared oracle CTE: `bd` = the banded rows (UNION ALL over bands). */
   private val bandedCteSql: String = {
