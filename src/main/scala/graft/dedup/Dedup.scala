@@ -32,9 +32,16 @@ object Dedup {
   private def docs(s: SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
-  /** Distinct-shingle-hash sets per doc: (doc_id, hs). */
+  /** Distinct-shingle-hash sets per doc: (doc_id, hs). Session-memoized
+    * ([[graft.plans.FrameMemo]], r8): this is the shingle INDEX the
+    * whole near-dup family (Jaccard pairs, MinHash, components, keep-
+    * best, source overlap) starts from — materialized once per
+    * (session, sfDir) instead of re-hashing the corpus per query, the
+    * same posture as the similarity module's int8/IVF/banding indexes. */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
-    addShingleHashes(docs(s, d), col("text")).select("doc_id", "hs")
+    graft.plans.FrameMemo.memo(s, "shingleSets", d) {
+      addShingleHashes(docs(s, d), col("text")).select("doc_id", "hs")
+    }
 
   /** Shared oracle CTE producing the same (doc_id, hs). */
   private val shingleCte: String = shingleCteSql

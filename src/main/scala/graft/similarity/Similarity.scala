@@ -536,23 +536,12 @@ object Similarity {
     * each ~N×(8B id + 64 longs). At 100 TB the same memo holds with
     * `persist(MEMORY_AND_DISK)` semantics — localCheckpoint stores to
     * executor block storage, which spills the same way. */
-  private val frameCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]()
-
-  /** Session-scoped materialized-frame memo: first call per (session,
-    * tag, sfDir) eagerly localCheckpoints the built frame; later calls
-    * reuse the blocks. Weak session key keeps stopped sessions
-    * collectable. */
+  /** Session-scoped materialized-frame memo — see
+    * [[graft.plans.FrameMemo]] (shared with the dedup family's shingle
+    * index). */
   private def memo(s: SparkSession, tag: String, d: String)(
-      build: => DataFrame): DataFrame = frameCache.synchronized {
-    var perSession = frameCache.get(s)
-    if (perSession == null) {
-      perSession = scala.collection.mutable.Map.empty[String, DataFrame]
-      frameCache.put(s, perSession)
-    }
-    perSession.getOrElseUpdate(s"$tag@$d", build.localCheckpoint(true))
-  }
+      build: => DataFrame): DataFrame =
+    graft.plans.FrameMemo.memo(s, tag, d)(build)
 
   private[graft] def int8Codes(s: SparkSession, d: String): DataFrame =
     memo(s, "int8Codes", d) {
