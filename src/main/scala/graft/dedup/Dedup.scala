@@ -1034,10 +1034,110 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The END-TO-END curation funnel (r8) — the single verdict query a
+    * migrating pipeline user runs over the whole corpus: every document
+    * gets ONE reason by fixed precedence
+    *
+    *   benchmark (eval-set member, doc_id % 50 = 0 — never trains) >
+    *   exact_dup (identical text, md5 keep-first) >
+    *   near_dup  (≥0.8-Jaccard cluster, loses [[qDedupKeepBest]]'s
+    *              longest-member argmax) >
+    *   contaminated ([[qDecontaminate]]'s shingle overlap with the
+    *              benchmark slice) >
+    *   kept.
+    *
+    * Each stage is evaluated INDEPENDENTLY over the full corpus and
+    * precedence picks the reported reason — deterministic and
+    * composable, vs sequential stages whose domains depend on upstream
+    * removals (documented semantics; the marker frames are reusable
+    * either way). Plan: three marker builds off the session-memoized
+    * shingle index + one md5 window, left-joined back to the corpus —
+    * no stage rescans raw text more than the index build already did. */
+  val qCurationFunnel: Q = Q("q_curation_funnel",
+    s"""$componentsWalkCteSql,
+       |comp AS (SELECT node AS doc_id, MIN(reach) AS component
+       |         FROM walk GROUP BY node),
+       |tokc AS (SELECT doc_id,
+       |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |         FROM documents),
+       |jb AS (SELECT c.doc_id, c.component, t.n_tokens
+       |       FROM comp c JOIN tokc t ON t.doc_id = c.doc_id),
+       |rkb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+       |          ORDER BY n_tokens DESC, doc_id) AS krnk FROM jb),
+       |nearlose AS (SELECT doc_id FROM rkb WHERE krnk != 1),
+       |exdup AS (SELECT doc_id FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text))
+       |             AS keeper
+       |    FROM documents) WHERE doc_id != keeper),
+       |contam AS (SELECT DISTINCT e.doc_id FROM
+       |    (SELECT doc_id, unnest(hs) AS h FROM sh
+       |     WHERE doc_id % 50 != 0) e
+       |  JOIN (SELECT DISTINCT unnest(hs) AS h FROM sh
+       |        WHERE doc_id % 50 = 0) b ON b.h = e.h),
+       |verdict AS (SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % 50 = 0 THEN 'benchmark'
+       |         WHEN d.doc_id IN (SELECT doc_id FROM exdup)
+       |           THEN 'exact_dup'
+       |         WHEN d.doc_id IN (SELECT doc_id FROM nearlose)
+       |           THEN 'near_dup'
+       |         WHEN d.doc_id IN (SELECT doc_id FROM contam)
+       |           THEN 'contaminated'
+       |         ELSE 'kept' END AS reason
+       |  FROM documents d)
+       |SELECT doc_id, reason, reason = 'kept' AS is_kept
+       |FROM verdict ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docsF = docs(s, d)
+    val keeperW = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    val exdup = docsF
+      .select(col("doc_id"),
+        (col("doc_id") =!= min("doc_id").over(keeperW)).as("is_exdup"))
+      .filter(col("is_exdup")).select("doc_id")
+      .withColumn("exd", lit(true))
+    val nearLose = {
+      val comp = starComponents(
+        jaccardPairs(s, d, 0.8).select("doc_a", "doc_b"))
+        .select("doc_id", "component")
+      val tok = docsF.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component")
+        .orderBy(desc("n_tokens"), asc("doc_id"))
+      comp.join(tok, "doc_id")
+        .withColumn("krnk", row_number().over(w))
+        .filter(col("krnk") =!= 1).select("doc_id")
+        .withColumn("nld", lit(true))
+    }
+    val sh = shingleSets(s, d)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull).distinct()
+    val contam = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
+      .join(broadcast(bench), "h")
+      .select("doc_id").distinct()
+      .withColumn("ctd", lit(true))
+    val reason =
+      when(col("doc_id") % 50 === 0, "benchmark")
+        .when(col("exd"), "exact_dup")
+        .when(col("nld"), "near_dup")
+        .when(col("ctd"), "contaminated")
+        .otherwise("kept")
+    docsF.select("doc_id")
+      .join(exdup, Seq("doc_id"), "left")
+      .join(nearLose, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), reason.as("reason"))
+      .withColumn("is_kept", col("reason") === "kept")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccardPairs, qMinhashLsh, qMinhashIncremental,
     qDedupNearRemoved, qSimhashDocs, qSimhashPairs, qSimhashWideDocs,
     qSimhashWidePairs, qDedupComponents, qDedupComponentsStar,
-    qDedupClusterSizes, qDedupKeepBest, qDecontaminate, qSubstringDups,
-    qWinnowFingerprint, qDecontaminateContainment, qSourceOverlap)
+    qDedupClusterSizes, qDedupKeepBest, qCurationFunnel, qDecontaminate,
+    qSubstringDups, qWinnowFingerprint, qDecontaminateContainment,
+    qSourceOverlap)
 }

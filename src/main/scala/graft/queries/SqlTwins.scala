@@ -54,6 +54,10 @@ object SqlTwins {
       ("ranks within the iterative star-CC clusters (driver-side loop " +
         "over checkpoints); same recursion limitation as " +
         "q_dedup_components"),
+    "q_curation_funnel" ->
+      ("its near-dup stage consumes the iterative star-CC clusters " +
+        "(driver-side loop over checkpoints); same recursion " +
+        "limitation as q_dedup_components"),
     "q_kcore_converged" ->
       ("run-to-convergence peel (driver-side count-gated loop); the " +
         "oracle's change-gated recursive CTE references the working " +
