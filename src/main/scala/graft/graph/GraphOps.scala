@@ -40,25 +40,34 @@ object GraphOps {
   val Iterations = 3
 
   /** Symmetrized customer↔supplier edges: node ids are customers at
-    * key·2, suppliers at key·2+1 (disjoint id spaces). */
-  private def symEdges(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.load(s, d, "orders")
-      .join(Tables.load(s, d, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("a"),
-        (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
-    pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-  }
+    * key·2, suppliers at key·2+1 (disjoint id spaces).
+    *
+    * Session-materialized via [[graft.plans.FrameMemo]] (VERDICT r8
+    * next #2): every one of the ~12 graph queries shares this frame,
+    * and the distinct orders⋈lineitem + union build was the one derived
+    * index the r8 memo pattern did not reach — rebuilt per query it was
+    * the single largest bench block. Returned frames are already
+    * checkpointed; callers must not re-checkpoint. */
+  private def symEdges(s: SparkSession, d: String): DataFrame =
+    graft.plans.FrameMemo.memo(s, "symEdges", d) {
+      val pairs = Tables.load(s, d, "orders")
+        .join(Tables.load(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    }
 
-  /** [[symEdges]] with out-degrees attached, checkpointed once for the
-    * PageRank loop. */
-  private def edgesWithDeg(s: SparkSession, d: String): DataFrame = {
-    val e = symEdges(s, d)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    e.join(deg, "src").localCheckpoint(true)
-  }
+  /** [[symEdges]] with out-degrees attached, session-materialized for
+    * the PageRank-family loops. */
+  private def edgesWithDeg(s: SparkSession, d: String): DataFrame =
+    graft.plans.FrameMemo.memo(s, "edgesWithDeg", d) {
+      val e = symEdges(s, d)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      e.join(deg, "src")
+    }
 
   /** Fixed-point PageRank, [[Iterations]] rounds, top-20 nodes.
     * r⁰(v) = ⌊Mass/N⌋; rᵏ⁺¹(v) = ⌊15·Mass/(100·N)⌋ +
@@ -163,7 +172,7 @@ object GraphOps {
     * [[Iterations]] synchronous majority rounds). */
   private def lpaLabels(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val e = symEdges(s, d).localCheckpoint(true)
+    val e = symEdges(s, d)
     var lbl = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint(true)
@@ -526,7 +535,7 @@ object GraphOps {
        |SELECT CAST(hop AS BIGINT) AS hop, COUNT(*) AS n_nodes
        |FROM d$BfsRounds GROUP BY 1 ORDER BY 1""".stripMargin
   }) { (s, d) =>
-    val e = symEdges(s, d).localCheckpoint(true)
+    val e = symEdges(s, d)
     var labels: DataFrame = Tables.load(s, d, "customer")
       .filter(col("c_nationkey") === 0)
       .select((col("c_custkey") * 2).as("node"), lit(0).as("hop"))
@@ -580,7 +589,7 @@ object GraphOps {
        |       CAST(MAX(dg) AS BIGINT) AS max_deg
        |FROM k$PeelRounds GROUP BY 1 ORDER BY 1""".stripMargin
   }) { (s, d) =>
-    var e = symEdges(s, d).localCheckpoint(true)
+    var e = symEdges(s, d)
     var keep: DataFrame = null
     for (_ <- 0 until PeelRounds) {
       keep = e.groupBy("src").agg(count(lit(1)).as("dg"))

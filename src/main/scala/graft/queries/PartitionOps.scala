@@ -49,12 +49,19 @@ object PartitionOps {
 
   /** Length+mtime fingerprint of a source parquet file: keys the cached
     * layout directory so a CHANGED source table gets a fresh layout
-    * instead of silently reusing a stale one (ADVICE r7 #3). */
+    * instead of silently reusing a stale one (ADVICE r7 #3). The two
+    * values are concatenated LOSSLESSLY (ADVICE r8: the earlier
+    * len*31+mtime fold let a +31-byte length change cancel a −1 ms
+    * mtime change); for a directory-shaped source the child count folds
+    * in too, so add/remove-a-file rewrites can't alias a same-len
+    * same-mtime root. */
   private def sourceFingerprint(s: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val st = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(p)
-    java.lang.Long.toHexString(st.getLen * 31L + st.getModificationTime)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val kids = if (st.isDirectory) fs.listStatus(p).length else -1
+    s"${java.lang.Long.toHexString(st.getLen)}_" +
+      s"${java.lang.Long.toHexString(st.getModificationTime)}_$kids"
   }
 
   /** Build (once per source-fingerprint per JVM; reused across JVMs) a

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -258,10 +258,14 @@ object RelOps {
     * COUNT(DISTINCT): the whole point is that the accelerator's answer
     * is bit-identical to the naive spelling.
     *
-    * Domain sizing (r8, VERDICT r7 next #6 — no more fixed SF ceiling):
-    * the query derives the bitmap domain from TABLE STATS at build — one
-    * bounded min/max probe over the two key columns (column-pruned scan,
-    * single driver row) sizes the words array to the actual key range.
+    * Domain sizing (r8, VERDICT r7 next #6 — no more fixed SF ceiling;
+    * rebased r9 per ADVICE): the query derives the bitmap domain from
+    * TABLE STATS at build — one bounded min/max probe over the two key
+    * columns (column-pruned scan, single driver row) sizes each words
+    * array to that column's actual RANGE (max−min+1), with the key
+    * REBASED by its min so a keyspace starting at 10⁹ still gets a
+    * tight bitmap. An empty table (null min/max) falls back to
+    * COUNT(DISTINCT) instead of NPE-ing on the aggregate row.
     * Past [[graft.functions.BitmapDistinctAgg.MaxDomain]] (2^26 bits =
     * 8 MiB of mergeable state per group — the memory bound where a
     * dense bitmap stops being the right tool) the plan falls back to
@@ -279,14 +283,22 @@ object RelOps {
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) {
     (s, d) =>
       val li = Tables.load(s, d, "lineitem")
-      val mx = li.agg(
-        max(col("l_partkey")).cast("long"),
-        max(col("l_suppkey")).cast("long")).head()
-      val dom = math.max(mx.getLong(0), mx.getLong(1)) + 1
+      val st = li.agg(
+        min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"),
+        min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long"))
+        .head()
+      // per-column (rebase, range): a null min/max (empty table) takes
+      // the COUNT(DISTINCT) fallback via domain 0
+      def keyCol(c: String, lo: Int, hi: Int): (Column, Long) =
+        if (st.isNullAt(lo)) (col(c), 0L)
+        else (col(c) - lit(st.getLong(lo)),
+          st.getLong(hi) - st.getLong(lo) + 1)
+      val (pk, pDom) = keyCol("l_partkey", 0, 1)
+      val (sk, sDom) = keyCol("l_suppkey", 2, 3)
       val sized = graft.functions.BitmapDistinctAgg.sizedDistinct _
       li.groupBy("l_returnflag")
-        .agg(sized(col("l_partkey"), dom).as("n_parts"),
-          sized(col("l_suppkey"), dom).as("n_supps"),
+        .agg(sized(pk, pDom).as("n_parts"),
+          sized(sk, sDom).as("n_supps"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
   }

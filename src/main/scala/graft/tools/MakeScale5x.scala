@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * measuring, turning a scale measurement into a worst-case-skew
   * benchmark:
   *   - documents: replica r>0 swaps every 8th token for a
-  *     replica-unique salt token (deterministic from (r, doc_id, pos)).
+  *     replica-unique salt token (deterministic from (r, replaced
+  *     token, pos) — CONTENT-derived, not doc_id-derived, per ADVICE
+  *     r8: a doc_id-seeded salt gave two identical-text docs different
+  *     salts, silently dissolving intra-replica exact/near-dup pairs).
   *     Intra-replica duplicate structure is preserved verbatim (docs
   *     that were near-dups stay near-dups in every replica — dup
   *     density per byte is unchanged); cross-replica 3-shingle overlap
@@ -53,7 +56,7 @@ object MakeScale5x {
           transform(split(col("text"), " "), (t, i) =>
             when(i % 8 === 7,
               concat_ws("", lit(s"s${r}x"),
-                pmod(hash(col("doc_id"), i), lit(999983)).cast("string")))
+                pmod(hash(t, i), lit(999983)).cast("string")))
               .otherwise(t)), " ")
         docs.select((col("doc_id") + lit(r * Offset)).as("doc_id"),
           salted.as("text"), col("lang"), col("source"),
