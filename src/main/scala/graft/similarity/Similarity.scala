@@ -2280,10 +2280,14 @@ object Similarity {
       .stripMargin
 
   /** The recall report's unfiltered tiers (name → query). Shared with
-    * [[qAnnRecall]] and the absolute-floor spec (AnnRecallFloorSpec). */
+    * [[qAnnRecall]] and the absolute-floor spec (AnnRecallFloorSpec).
+    * `ivfpq_trained` joined in r9 (VERDICT r8 next #6): the trained-book
+    * IVFPQ was green as a standalone gate but invisible in the recall
+    * report, leaving the weakest floor pinned to the UNTRAINED book. */
   private[graft] val recallTiers: Seq[(String, Q)] =
     Seq("ivf" -> qAnnIvf, "ivf_kmeans" -> qAnnIvfKmeans,
-      "ivfpq" -> qAnnIvfPq, "int8" -> qAnnInt8, "lsh" -> qAnnLsh,
+      "ivfpq" -> qAnnIvfPq, "ivfpq_trained" -> qAnnIvfPqTrained,
+      "int8" -> qAnnInt8, "lsh" -> qAnnLsh,
       "multiprobe" -> qAnnMultiprobe)
 
   /** Recall@3 of every ANN tier against its exact ground truth, as a
