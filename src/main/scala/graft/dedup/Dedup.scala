@@ -1133,11 +1133,148 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SEQUENTIAL-domain funnel twin (r9, VERDICT r8 wrong #3): the same
+    * four verdicts as [[qCurationFunnel]], but each stage's DOMAIN is
+    * the previous stage's survivors — the Lee et al. ACL'22 pipeline
+    * ordering production curation actually runs:
+    *
+    *   1. benchmark docs (doc_id % 50 = 0) leave the pool first;
+    *   2. exact dedup runs over NON-benchmark docs only (keep-first by
+    *      md5 — so a doc whose only identical twin is a benchmark doc
+    *      is NOT an exact_dup here, unlike the independent funnel);
+    *   3. near-dup clusters are computed over the EXACT-DUP-SURVIVOR
+    *      domain: ≥0.8-Jaccard pairs with BOTH endpoints surviving,
+    *      connected components of that restricted edge set (a removed
+    *      exact-dup can no longer bridge two clusters), keep-best
+    *      longest-member argmax per component;
+    *   4. decontamination runs over the near-dup survivors.
+    *
+    * Restricting the PAIR set restricts the clusters correctly because
+    * Jaccard is pairwise — no pair between survivors is lost by
+    * removing other docs; only bridges through removed docs (and
+    * removed docs' own membership, which shifts the longest-member
+    * argmax) change. The two funnels therefore disagree exactly where
+    * stage coupling matters: benchmark-twin exact dups, clusters
+    * bridged by a removed doc, and clusters whose longest member was
+    * itself removed upstream (CurationFunnelSpec pins the observed
+    * disagreements). Plan shape matches the independent funnel — every
+    * marker builds off the session-memoized shingle index; the
+    * restricted pair join adds two semi-joins against the survivor
+    * set, still bucketed-not-all-pairs. */
+  val qCurationFunnelSeq: Q = Q("q_curation_funnel_seq",
+    s"""WITH RECURSIVE $shingleCte,
+       |nb AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0),
+       |exl AS (SELECT doc_id FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text))
+       |             AS keeper
+       |    FROM nb) WHERE doc_id != keeper),
+       |s2 AS (SELECT doc_id FROM nb
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM exl)),
+       |ex2 AS (SELECT e.doc_id, e.h, len(s.hs) AS n
+       |        FROM (SELECT doc_id, unnest(hs) AS h FROM sh) e
+       |        JOIN sh s ON s.doc_id = e.doc_id
+       |        WHERE e.doc_id IN (SELECT doc_id FROM s2)),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+       |         CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb
+       |  FROM ex2 a JOIN ex2 b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 4, 5),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM p
+       |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(node, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.reach FROM walk w JOIN edges e ON e.src = w.node),
+       |comp AS (SELECT node AS doc_id, MIN(reach) AS component
+       |         FROM walk GROUP BY node),
+       |tokc AS (SELECT doc_id,
+       |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |         FROM documents),
+       |rkb AS (SELECT c.doc_id, ROW_NUMBER() OVER (
+       |          PARTITION BY c.component
+       |          ORDER BY t.n_tokens DESC, c.doc_id) AS krnk
+       |        FROM comp c JOIN tokc t ON t.doc_id = c.doc_id),
+       |nearlose AS (SELECT doc_id FROM rkb WHERE krnk != 1),
+       |s3 AS (SELECT doc_id FROM s2
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM nearlose)),
+       |contam AS (SELECT DISTINCT e.doc_id FROM
+       |    (SELECT doc_id, unnest(hs) AS h FROM sh
+       |     WHERE doc_id IN (SELECT doc_id FROM s3)) e
+       |  JOIN (SELECT DISTINCT unnest(hs) AS h FROM sh
+       |        WHERE doc_id % 50 = 0) b ON b.h = e.h),
+       |verdict AS (SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % 50 = 0 THEN 'benchmark'
+       |         WHEN d.doc_id IN (SELECT doc_id FROM exl)
+       |           THEN 'exact_dup'
+       |         WHEN d.doc_id IN (SELECT doc_id FROM nearlose)
+       |           THEN 'near_dup'
+       |         WHEN d.doc_id IN (SELECT doc_id FROM contam)
+       |           THEN 'contaminated'
+       |         ELSE 'kept' END AS reason
+       |  FROM documents d)
+       |SELECT doc_id, reason, reason = 'kept' AS is_kept
+       |FROM verdict ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docsF = docs(s, d)
+    val nonBench = docsF.filter(col("doc_id") % 50 =!= 0)
+    val keeperW = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    val exLosers = nonBench
+      .select(col("doc_id"),
+        (col("doc_id") =!= min("doc_id").over(keeperW)).as("l"))
+      .filter(col("l")).select("doc_id")
+    val s2 = nonBench.select("doc_id")
+      .join(exLosers, Seq("doc_id"), "left_anti")
+    val pairs2 = jaccardPairs(s, d, 0.8).select("doc_a", "doc_b")
+      .join(s2.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+        "left_semi")
+      .join(s2.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+        "left_semi")
+    val nearLose = {
+      val comp = starComponents(pairs2).select("doc_id", "component")
+      val tok = docsF.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component")
+        .orderBy(desc("n_tokens"), asc("doc_id"))
+      comp.join(tok, "doc_id")
+        .withColumn("krnk", row_number().over(w))
+        .filter(col("krnk") =!= 1).select("doc_id")
+    }
+    val s3 = s2.join(nearLose, Seq("doc_id"), "left_anti")
+    val sh = shingleSets(s, d)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull).distinct()
+    val contam = sh.join(s3, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
+      .join(broadcast(bench), "h")
+      .select("doc_id").distinct()
+    val reason =
+      when(col("doc_id") % 50 === 0, "benchmark")
+        .when(col("exd"), "exact_dup")
+        .when(col("nld"), "near_dup")
+        .when(col("ctd"), "contaminated")
+        .otherwise("kept")
+    docsF.select("doc_id")
+      .join(exLosers.withColumn("exd", lit(true)), Seq("doc_id"), "left")
+      .join(nearLose.withColumn("nld", lit(true)), Seq("doc_id"), "left")
+      .join(contam.withColumn("ctd", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), reason.as("reason"))
+      .withColumn("is_kept", col("reason") === "kept")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccardPairs, qMinhashLsh, qMinhashIncremental,
     qDedupNearRemoved, qSimhashDocs, qSimhashPairs, qSimhashWideDocs,
     qSimhashWidePairs, qDedupComponents, qDedupComponentsStar,
-    qDedupClusterSizes, qDedupKeepBest, qCurationFunnel, qDecontaminate,
+    qDedupClusterSizes, qDedupKeepBest, qCurationFunnel,
+    qCurationFunnelSeq, qDecontaminate,
     qSubstringDups, qWinnowFingerprint, qDecontaminateContainment,
     qSourceOverlap)
 }
