@@ -31,8 +31,9 @@ import org.apache.spark.sql.functions._
   *     original ranges, so the fixed probe/anchor/seed sets
   *     (vec_id < 10, PQ anchors, Lloyd seeds) stay the originals —
   *     corpus grows, probes don't, which is what scale-up means.
-  * Other tables are copied verbatim by the caller (only documents /
-  * embeddings drive the swept families).
+  * orders/lineitem grow 5× too (r9 — they drive the graph family's
+  * edge set; see the graph-octave block below); remaining tables
+  * (dims, events) are copied verbatim by the caller.
   *
   * Run: `runMain graft.tools.MakeScale5x /root/testdata/sf0.1 /tmp/graft_sf5x` */
 object MakeScale5x {
@@ -88,6 +89,39 @@ object MakeScale5x {
     }
     embReps.reduce(_ unionAll _).coalesce(1)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // Graph octave (r9, VERDICT r8 missing #2): the graph family derives
+    // its edges from orders⋈lineitem, so those two tables grow 5× as
+    // well — every key column shifts by r·Offset (orderkey links the
+    // two tables inside a replica; custkey/suppkey/partkey keep the
+    // replica node spaces disjoint, so the 5× graph is 5 disconnected
+    // copies: nodes ×5, edges ×5, degree distribution preserved — no
+    // artificial hub that would turn a scale measurement into a skew
+    // benchmark). Non-key columns ride verbatim, so quantity filters
+    // (triangles/butterflies) select the same per-replica subgraph.
+    // Seed sets (BFS nation-0 customers, PPR custkey ≤ 5) live in the
+    // verbatim-copied dims / original id range: corpus grows, probes
+    // don't. Same coalesce(1) layout-parity rule as above.
+    val ord = graft.io.Tables.load(spark, src, "orders")
+    val ordReps = (0 until Replicas).map { r =>
+      if (r == 0) ord
+      else ord
+        .withColumn("o_orderkey", col("o_orderkey") + lit(r * Offset))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * Offset))
+    }
+    ordReps.reduce(_ unionAll _).coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val li = graft.io.Tables.load(spark, src, "lineitem")
+    val liReps = (0 until Replicas).map { r =>
+      if (r == 0) li
+      else li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(r * Offset))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * Offset))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * Offset))
+    }
+    liReps.reduce(_ unionAll _).coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     spark.stop()
   }
