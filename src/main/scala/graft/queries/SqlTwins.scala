@@ -58,6 +58,10 @@ object SqlTwins {
       ("its near-dup stage consumes the iterative star-CC clusters " +
         "(driver-side loop over checkpoints); same recursion " +
         "limitation as q_dedup_components"),
+    "q_curation_funnel_seq" ->
+      ("sequential-domain funnel twin — consumes the same iterative " +
+        "star-CC clusters as q_curation_funnel; same recursion " +
+        "limitation as q_dedup_components"),
     "q_kcore_converged" ->
       ("run-to-convergence peel (driver-side count-gated loop); the " +
         "oracle's change-gated recursive CTE references the working " +
@@ -1854,15 +1858,16 @@ object SqlTwins {
   }
 
   /** [[graft.similarity.Similarity.qAnnRecall]]'s twin, composed from
-    * the six tier TWINS exactly as its oracle is composed from the six
-    * tier oracles — four tiers have hand-written override twins (their
+    * the per-tier TWINS exactly as its oracle is composed from the
+    * tier oracles — some tiers have hand-written override twins (their
     * oracles aren't mechanically dialect-convertible), so the recall
     * twin must reuse the twins, not `dialect(oracle)`. Lazy: it calls
     * [[twin]], which reads [[overrides]], so it cannot run during map
     * construction. */
   private lazy val annRecallTwin: String = {
     val tiers = Seq("ivf" -> "q_ann_ivf", "ivf_kmeans" -> "q_ann_ivf_kmeans",
-      "ivfpq" -> "q_ann_ivfpq", "int8" -> "q_ann_int8", "lsh" -> "q_ann_lsh",
+      "ivfpq" -> "q_ann_ivfpq", "ivfpq_trained" -> "q_ann_ivfpq_trained",
+      "int8" -> "q_ann_int8", "lsh" -> "q_ann_lsh",
       "multiprobe" -> "q_ann_multiprobe")
     val tierSql = (tiers.map { case (t, qn) =>
       s"""SELECT '$t' AS tier, query_id, neighbor_id
