@@ -279,6 +279,106 @@ object Dedup {
     }
   }
 
+  /** Incremental (delta) dedup: screen a NEW BATCH of documents against
+    * the EXISTING corpus — the shape of continuous ingestion, where the
+    * corpus index is persisted and each arriving batch probes it rather
+    * than re-running whole-corpus dedup. Batch = `doc_id % 10 = 0`
+    * (~10 %), base = the rest. For every batch doc: its best base match
+    * at Jaccard ≥ 0.8 (max jaccard, ties to the smallest base doc_id)
+    * and an `is_dup` admission verdict.
+    *
+    * Scale posture: the candidate join is DIRECTIONAL — batch bands
+    * ⋈ base bands on (band, key) — so unlike the self-join the
+    * candidate volume is bounded by |batch| × bucket-occupancy, never
+    * |corpus|². The batch side is `broadcast()` (a delta is small by
+    * definition; at 100 TB the base banding is the persisted index —
+    * here the session [[lshBands]] over the memoized shingle sets —
+    * and only the delta moves). Both aggregates group on the
+    * HIGH-cardinality batch doc_id, so the reduction is
+    * map-side-combined and shuffle-bounded by |batch|. */
+  val qDedupDelta: Q = {
+    val sigSqlCols = (0 until K)
+      .map(k => s"${minhashSql("hs", k)} AS m$k").mkString(",\n       ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until R).map(r => s"m${b * R + r}::VARCHAR")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    Q("q_dedup_delta",
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, hs,
+         |       $sigSqlCols
+         |FROM sh),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS base_doc
+         |  FROM bands n JOIN bands o
+         |    ON n.band = o.band AND n.key = o.key
+         |  WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 != 0),
+         |hits AS (
+         |  SELECT c.new_doc, c.base_doc,
+         |    CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
+         |         AS DOUBLE)
+         |      / (len(sa.hs) + len(sb.hs)
+         |         - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))))
+         |      AS jaccard
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.new_doc
+         |  JOIN sh sb ON sb.doc_id = c.base_doc),
+         |hits8 AS (SELECT * FROM hits WHERE jaccard >= 0.8),
+         |best AS (SELECT new_doc, MAX(jaccard) AS best_jaccard
+         |         FROM hits8 GROUP BY 1),
+         |pick AS (SELECT h.new_doc, b.best_jaccard,
+         |                MIN(h.base_doc) AS best_base
+         |         FROM hits8 h JOIN best b
+         |           ON b.new_doc = h.new_doc
+         |          AND h.jaccard = b.best_jaccard
+         |         GROUP BY 1, 2)
+         |SELECT d.doc_id, p.best_base, p.best_jaccard,
+         |       p.best_jaccard IS NOT NULL AS is_dup
+         |FROM documents d
+         |LEFT JOIN pick p ON p.new_doc = d.doc_id
+         |WHERE d.doc_id % 10 = 0
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val sh = shingleSets(s, d)
+      val bands = lshBands(sh).select("doc_id", "band", "key")
+      val isBatch = col("doc_id") % 10 === 0
+      val cand = bands.filter(!isBatch).as("o")
+        .join(broadcast(bands.filter(isBatch).as("n")),
+          col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+        .select(col("n.doc_id").as("new_doc"), col("o.doc_id").as("base_doc"))
+        .distinct()
+      val hits = cand
+        .join(broadcast(
+          sh.filter(isBatch)
+            .select(col("doc_id").as("new_doc"), col("hs").as("hs_n"))),
+          "new_doc")
+        .join(sh.select(col("doc_id").as("base_doc"), col("hs").as("hs_b")),
+          "base_doc")
+        .withColumn("inter",
+          size(array_intersect(col("hs_n"), col("hs_b"))).cast("long"))
+        .withColumn("un",
+          size(col("hs_n")).cast("long") + size(col("hs_b")).cast("long")
+            - col("inter"))
+        .withColumn("jaccard", col("inter").cast("double") / col("un"))
+        .filter(col("jaccard") >= 0.8)
+        .select("new_doc", "base_doc", "jaccard")
+      val best = hits.groupBy("new_doc").agg(max("jaccard").as("best_jaccard"))
+      // ties (same engine, same double) to the smallest base doc_id
+      val pick = hits.join(best, "new_doc")
+        .filter(col("jaccard") === col("best_jaccard"))
+        .groupBy("new_doc", "best_jaccard")
+        .agg(min("base_doc").as("best_base"))
+      docs(s, d).filter(isBatch).select("doc_id")
+        .join(pick.withColumnRenamed("new_doc", "doc_id"), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"), col("best_base"), col("best_jaccard"),
+          col("best_jaccard").isNotNull.as("is_dup"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** Greedy near-dup resolution: from the exact-Jaccard pairs ≥ 0.8, drop
     * the higher doc_id of each pair (keep-first policy). */
   val qDedupNearRemoved: Q = Q("q_dedup_near_removed",
@@ -1271,7 +1371,8 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccardPairs, qMinhashLsh, qMinhashIncremental,
-    qDedupNearRemoved, qSimhashDocs, qSimhashPairs, qSimhashWideDocs,
+    qDedupDelta, qDedupNearRemoved, qSimhashDocs, qSimhashPairs,
+    qSimhashWideDocs,
     qSimhashWidePairs, qDedupComponents, qDedupComponentsStar,
     qDedupClusterSizes, qDedupKeepBest, qCurationFunnel,
     qCurationFunnelSeq, qDecontaminate,

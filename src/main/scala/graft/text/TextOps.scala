@@ -682,6 +682,54 @@ object TextOps {
       .orderBy("split")
   }
 
+  /** Shards per epoch for [[qTrainOrder]]. 8 here; in production sized so
+    * a shard is one trainer's read unit (corpus_rows / shards ≈ the rows
+    * one data-loader worker streams per epoch). */
+  private val TrainShards = 8
+
+  /** Deterministic training order: every (epoch, doc) gets a
+    * reproducible (shard, position) from a seeded content-independent
+    * hash — the data-ordering step of a training pipeline, where each
+    * epoch must be a DIFFERENT pseudo-random permutation yet exactly
+    * reproducible from the seed (resumable jobs, ablation reruns,
+    * deterministic data loaders à la Megatron/torchdata index files).
+    *
+    * Scale posture: there is NO global permutation materialized — the
+    * order is (shard, pos-within-shard), so ranking is a window
+    * PARTITIONED by (epoch, shard): corpus/shards rows per window task,
+    * and shards grow with the corpus (each trainer reads its shard
+    * sequentially). A single global `row_number()` window — the naive
+    * spelling — would funnel 100 TB through one task; the sharded order
+    * is how production loaders actually consume data. Hash is the
+    * portable md5-mod-P ([[graft.functions.TextHash.hash32]]), keyed by
+    * doc_id not text, so identical documents still land at independent
+    * positions. */
+  val qTrainOrder: Q = Q("q_train_order",
+    s"""WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+       |h AS (SELECT e.epoch, d.doc_id,
+       |        ${TextHash.hash32Sql(
+                  "'ep' || CAST(e.epoch AS VARCHAR) || ':' " +
+                    "|| CAST(d.doc_id AS VARCHAR)")} AS h
+       |      FROM documents d CROSS JOIN e)
+       |SELECT epoch, CAST(h % $TrainShards AS BIGINT) AS shard,
+       |       CAST(ROW_NUMBER() OVER (
+       |              PARTITION BY epoch, h % $TrainShards
+       |              ORDER BY h, doc_id) AS BIGINT) AS pos,
+       |       doc_id
+       |FROM h ORDER BY epoch, shard, pos""".stripMargin) { (s, d) =>
+    val h = TextHash.hash32(concat(lit("ep"), col("epoch").cast("string"),
+      lit(":"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    docs(s, d)
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("epoch"))
+      .withColumn("h", h)
+      .withColumn("shard", col("h") % TrainShards)
+      .select(col("epoch"), col("shard"),
+        row_number().over(w).cast("long").as("pos"), col("doc_id"))
+      .orderBy("epoch", "shard", "pos")
+  }
+
   /** Distributed GLOBAL rank without a global window — the scale-safe
     * spelling of `row_number().over(Window.orderBy(...))` (which funnels
     * all data through one partition): range-partition by the sort key,
@@ -1145,8 +1193,8 @@ object TextOps {
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCounts, qTokenBpe, qQualityScore, qRepetition,
     qLangId, qFingerprint, qCorpusClean, qVocabTopk, qPiiRedact,
-    qPackChunks, qSplitHash, qMixtureSample, qMixtureAlloc, qTokenBudget,
-    qGlobalRank,
+    qPackChunks, qSplitHash, qTrainOrder, qMixtureSample, qMixtureAlloc,
+    qTokenBudget, qGlobalRank,
     qStratifiedSample, qCountminTokens, qHeavyHitters, qSplitDrift,
     qTokenGini, qVocabCoverage, qBpeTrain, qBpeApply)
 }
