@@ -36,6 +36,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh.size >= (exact.size * 0.8).toInt)
   }
 
+  test("delta dedup: verdicts agree with the whole-corpus pair set") {
+    val rows = Dedup.qDedupDelta.fn(spark, sf001).collect()
+    // covers the whole batch, batch docs only
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) % 10 == 0))
+    // whole-corpus ground truth: exact-jaccard >= 0.8 pairs that CROSS
+    // the batch/base split, keyed by batch doc
+    val cross = Dedup.qNgramJaccardPairs.fn(spark, sf001)
+      .filter(col("jaccard") >= 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        Seq(a -> b, b -> a).filter(p => p._1 % 10 == 0 && p._2 % 10 != 0)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      if (!r.isNullAt(1)) {
+        // a flagged doc's best match must be a real cross-split pair,
+        // from the base side, and is_dup must say so
+        assert(cross.getOrElse(r.getLong(0), Set.empty)(r.getLong(1)),
+          s"${r.getLong(0)} -> ${r.getLong(1)} not a true cross pair")
+        assert(r.getLong(1) % 10 != 0 && r.getBoolean(3))
+      } else assert(!r.getBoolean(3))
+    }
+    // the fixture plants near-dups across the split; LSH recall at >= 0.8
+    // is high, so the delta must actually flag some of them
+    val flagged = rows.count(_.getBoolean(3))
+    assert(flagged > 0 && flagged >= (cross.size * 0.8).toInt,
+      s"flagged $flagged of ${cross.size} true cross-split dups")
+  }
+
+  test("train order: per-epoch permutations, contiguous shard positions") {
+    val rows = TextOps.qTrainOrder.fn(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = rows.map(_._4).distinct.length
+    // each doc appears exactly once per epoch
+    assert(rows.length == 2 * nDocs)
+    (0 to 1).foreach { e =>
+      val ep = rows.filter(_._1 == e)
+      assert(ep.map(_._4).distinct.length == nDocs)
+      // positions are 1..n within every shard — a permutation, no gaps
+      ep.groupBy(_._2).values.foreach { sh =>
+        assert(sh.map(_._3).sorted.sameElements(1L to sh.length))
+      }
+    }
+    // the two epochs are DIFFERENT permutations (that's the point)
+    val place = rows.groupBy(_._4).view
+      .mapValues(_.sortBy(_._1).map(t => (t._2, t._3))).toMap
+    assert(place.values.count(v => v.head != v.last) > nDocs / 2)
+  }
+
   test("simhash: near-dup pairs have much smaller hamming than random") {
     val sims = Dedup.qSimhashDocs.fn(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -258,6 +258,14 @@ class PlanShapeSpec extends SparkSpec {
     val so = plan(Dedup.qSourceOverlap.fn(spark, sf001))
     assert(!so.contains("CartesianProduct"), so)
     assert(!so.contains("BroadcastNestedLoopJoin"), so)
+    // delta dedup: the batch side is BROADCAST against the base banding
+    // (the delta-ingest shape) and candidates come from a (band, key)
+    // equi-join — a regression to a product would make the delta pay
+    // corpus-squared at ingest time
+    val dd = plan(Dedup.qDedupDelta.fn(spark, sf001))
+    assert(!dd.contains("CartesianProduct"), dd)
+    assert(!dd.contains("BroadcastNestedLoopJoin"), dd)
+    assert(dd.contains("BroadcastHashJoin"), dd)
   }
 
   test("triangle and weighted-sim pair generation is equi-join, never " +
