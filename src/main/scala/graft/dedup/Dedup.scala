@@ -104,6 +104,26 @@ object Dedup {
       threshold: Double): DataFrame =
     jaccardPairsFrom(shingleSets(s, d), threshold, dfCap = None)
 
+  /** Verified exact-Jaccard ≥ 0.8 pair set, session-memoized (r9): the
+    * near-dup PAIR GRAPH is the next derived artifact after the shingle
+    * index — every resolution query (removal, both CC spellings,
+    * keep-best, both funnels) starts from the identical verified pairs,
+    * and production pipelines persist exactly this (it is the expensive
+    * candidate-verify output), so the engine materializes it once per
+    * (session, sfDir). */
+  private def jacPairs08(s: SparkSession, d: String): DataFrame =
+    graft.plans.FrameMemo.memo(s, "jacPairs08", d)(jaccardPairs(s, d, 0.8))
+
+  /** Star-CC component labels over [[jacPairs08]], session-memoized
+    * (r9): the cluster assignment is likewise a persisted artifact —
+    * four queries consume the identical labeling; the iterative
+    * large-star/small-star rounds run once per session instead of once
+    * per query. (The sequential funnel's RESTRICTED-domain CC cannot
+    * reuse this — its pair set differs by construction.) */
+  private def starComps08(s: SparkSession, d: String): DataFrame =
+    graft.plans.FrameMemo.memo(s, "starComps08", d)(
+      starComponents(jacPairs08(s, d).select("doc_a", "doc_b")))
+
   def jaccardPairsFrom(sh: DataFrame, threshold: Double,
       dfCap: Option[Long]): DataFrame = {
     // explode_outer, NOT explode: InferFiltersFromGenerate would turn
@@ -395,7 +415,7 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = p.doc_b
        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
        |ORDER BY removed_doc""".stripMargin) { (s, d) =>
-    jaccardPairs(s, d, 0.8)
+    jacPairs08(s, d)
       .select(col("doc_b").as("removed_doc"))
       .distinct()
       .orderBy("removed_doc")
@@ -699,7 +719,7 @@ object Dedup {
 
   val qDedupComponents: Q = Q("q_dedup_components",
     componentsOracleSql) { (s, d) =>
-    val pairs = jaccardPairs(s, d, 0.8).select("doc_a", "doc_b")
+    val pairs = jacPairs08(s, d).select("doc_a", "doc_b")
     // materialize the (small) edge list once — every propagation round
     // joins against it, and unchecked lineage would re-run the whole
     // Jaccard pipeline per round
@@ -842,7 +862,7 @@ object Dedup {
     * output to [[qDedupComponents]] (same oracle), logarithmic rounds. */
   val qDedupComponentsStar: Q = Q("q_dedup_components_star",
     componentsOracleSql) { (s, d) =>
-    starComponents(jaccardPairs(s, d, 0.8).select("doc_a", "doc_b"))
+    starComps08(s, d)
       .orderBy("doc_id")
   }
 
@@ -863,7 +883,7 @@ object Dedup {
        |SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters,
        |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
        |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    starComponents(jaccardPairs(s, d, 0.8).select("doc_a", "doc_b"))
+    starComps08(s, d)
       .groupBy("component")
       .agg(count(lit(1)).cast("long").as("cluster_size"))
       .groupBy("cluster_size")
@@ -1120,8 +1140,7 @@ object Dedup {
        |         ORDER BY n_tokens DESC, doc_id) AS krnk FROM jb)
        |SELECT doc_id, component, n_tokens, krnk = 1 AS is_kept
        |FROM rk ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val comp = starComponents(
-      jaccardPairs(s, d, 0.8).select("doc_a", "doc_b"))
+    val comp = starComps08(s, d)
       .select("doc_id", "component")
     val tok = docs(s, d).select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
@@ -1195,8 +1214,7 @@ object Dedup {
       .filter(col("is_exdup")).select("doc_id")
       .withColumn("exd", lit(true))
     val nearLose = {
-      val comp = starComponents(
-        jaccardPairs(s, d, 0.8).select("doc_a", "doc_b"))
+      val comp = starComps08(s, d)
         .select("doc_id", "component")
       val tok = docsF.select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
@@ -1328,7 +1346,7 @@ object Dedup {
       .filter(col("l")).select("doc_id")
     val s2 = nonBench.select("doc_id")
       .join(exLosers, Seq("doc_id"), "left_anti")
-    val pairs2 = jaccardPairs(s, d, 0.8).select("doc_a", "doc_b")
+    val pairs2 = jacPairs08(s, d).select("doc_a", "doc_b")
       .join(s2.select(col("doc_id").as("doc_a")), Seq("doc_a"),
         "left_semi")
       .join(s2.select(col("doc_id").as("doc_b")), Seq("doc_b"),

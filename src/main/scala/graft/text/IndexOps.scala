@@ -82,12 +82,17 @@ object IndexOps {
   private val IdfScale = 1000000L
 
   /** (doc_id, token) term frequencies. */
+  /** (doc_id, token, tf) term-frequency index, session-memoized (r9):
+    * the tokenized postings a search stack persists rather than
+    * re-derives per query. */
   private def termFreq(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"), explode(TextHash.tokens(col("text")))
-        .as("token"))
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
+    graft.plans.FrameMemo.memo(s, "termFreq", d) {
+      docs(s, d)
+        .select(col("doc_id"), explode(TextHash.tokens(col("text")))
+          .as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("tf"))
+    }
 
   /** One-row document count, broadcast into the scoring join. */
   private def docCount(s: SparkSession, d: String): DataFrame =
@@ -480,20 +485,23 @@ object IndexOps {
        |       GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_shared, dot FROM pr
        |ORDER BY dot DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, d) =>
-    val ex = TextHash.addWindowHashes(docs(s, d), col("text"), 3)
-      .select(col("doc_id"), explode(col("ws")).as("h"))
-    val tf = ex.groupBy("doc_id", "h")
-      .agg(least(count(lit(1)), lit(SimTfClamp)).cast("long").as("tf"))
-    val df_ = tf.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= SimDfCap)
-    // both pair-join sides are this same subtree: dataset aliases (not
-    // column renames) keep the two sides canonicalization-identical so
-    // ReuseExchange runs the explode→tf→df→weight pipeline ONCE
-    // (the jaccard/butterfly pattern, plan-spec-guarded)
-    val wt = tf.join(df_, "h")
-      .select(col("doc_id"), col("h"),
-        (col("tf") * expr(s"${SimIdfScale}L div df")).as("w"))
-      .hint("shuffle_hash")
+    // the weighted trigram posting index is session-memoized (r9): the
+    // explode→tf→df→weight pipeline — formerly run once per query via
+    // exchange reuse across the two pair sides — now materializes once
+    // per session, and BOTH pair sides scan the checkpointed index
+    // (the semdedup/ivfRanked posture, plan-spec-guarded via
+    // ExistingRDD)
+    val wt = graft.plans.FrameMemo.memo(s, "simWt", d) {
+      val ex = TextHash.addWindowHashes(docs(s, d), col("text"), 3)
+        .select(col("doc_id"), explode(col("ws")).as("h"))
+      val tf = ex.groupBy("doc_id", "h")
+        .agg(least(count(lit(1)), lit(SimTfClamp)).cast("long").as("tf"))
+      val df_ = tf.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= SimDfCap)
+      tf.join(df_, "h")
+        .select(col("doc_id"), col("h"),
+          (col("tf") * expr(s"${SimIdfScale}L div df")).as("w"))
+    }.hint("shuffle_hash")
     wt.as("a").join(wt.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -287,14 +287,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(ds.contains("ShuffledHashJoin") || ds.contains("SortMergeJoin"),
       ds)
     assert(ds.contains("TakeOrderedAndProject"), ds)
-    // and the two pair-join sides are ONE reused exchange — without it
-    // the explode→tf→df→weight pipeline runs twice (AQE off for a
-    // reliable plan-string check, as in the dedup reuse tests)
+    // and the two pair-join sides scan the session-materialized weighted
+    // posting index (r9: ExistingRDD supersedes the old exchange-reuse
+    // guard — the explode→tf→df→weight pipeline runs ZERO times per
+    // query; AQE off for a reliable plan-string check)
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val p = plan(graft.text.IndexOps.qDocSimWeighted.fn(spark, sf001))
-      assert(p.contains("ReusedExchange"), p)
+      assert(p.contains("ExistingRDD"), p)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
