@@ -173,19 +173,26 @@ object GraphOps {
   private def lpaLabels(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val e = symEdges(s, d)
-    var lbl = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
-    for (_ <- 0 until Iterations) {
-      val votes = e.join(lbl, e("src") === lbl("node"))
-        .groupBy(e("dst").as("node2"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-      lbl = graft.plans.TopKPerKey.topKPerKey(votes, Seq("node2"),
-          Seq("c" -> false, "lbl" -> true), 1, mapSideCombine = true)
-        .select(col("node2").as("node"), col("lbl"))
+    // the converged labeling is session-memoized (r9): community
+    // assignments are a persisted artifact — the communities report and
+    // the modularity report consume the IDENTICAL labeling, and
+    // production computes it once, not once per report
+    val labels = graft.plans.FrameMemo.memo(s, "lpaLabels", d) {
+      var lbl = e.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
         .localCheckpoint(true)
+      for (_ <- 0 until Iterations) {
+        val votes = e.join(lbl, e("src") === lbl("node"))
+          .groupBy(e("dst").as("node2"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        lbl = graft.plans.TopKPerKey.topKPerKey(votes, Seq("node2"),
+            Seq("c" -> false, "lbl" -> true), 1, mapSideCombine = true)
+          .select(col("node2").as("node"), col("lbl"))
+          .localCheckpoint(true)
+      }
+      lbl
     }
-    (e, lbl)
+    (e, labels)
   }
 
   /** Personalized PageRank (the "related to THESE" variant every

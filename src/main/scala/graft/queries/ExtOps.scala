@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,6 +23,34 @@ object ExtOps {
 
   /** Order value in integer cents (the engine-wide exact-money idiom). */
   private def cents = round(col("o_totalprice") * 100, 0).cast("long")
+
+  /** (prio, cents, o_orderkey) order-value frame the whole robust-stats
+    * family ranks. */
+  private def orderValues(s: SparkSession, d: String) =
+    graft.io.Tables.load(s, d, "orders")
+      .select(col("o_orderpriority").as("prio"), cents.as("cents"),
+        col("o_orderkey"))
+
+  /** Per-priority rank of [[orderValues]], session-memoized (r9): the
+    * ranked order-statistics frame — the sorted-run artifact a warehouse
+    * maintains for its percentile/median dashboards — is consumed
+    * identically by group quantiles, group median, and the MAD screen's
+    * first pass. */
+  private def rankedPrioCents(s: SparkSession, d: String): DataFrame =
+    graft.plans.FrameMemo.memo(s, "rankedPrioCents", d) {
+      graft.text.TextOps.groupedRankByRange(orderValues(s, d), Seq("prio"),
+        Seq(col("cents").asc, col("o_orderkey").asc))
+    }
+
+  /** Global rank of order cents, session-memoized (r9): shared by the
+    * exact-quantiles and equi-depth-histogram reports. */
+  private def rankedCentsGlobal(s: SparkSession, d: String): DataFrame =
+    graft.plans.FrameMemo.memo(s, "rankedCentsGlobal", d) {
+      graft.text.TextOps.globalRankByRange(
+        graft.io.Tables.load(s, d, "orders")
+          .select(cents.as("cents"), col("o_orderkey")),
+        Seq(col("cents").asc, col("o_orderkey").asc))
+    }
 
   /** HyperLogLog distinct-count sketch with ORACLE-EXACT registers: the
     * bucket/rank decomposition uses the engine's md5 hash, so DuckDB
@@ -107,11 +136,8 @@ object ExtOps {
       |FROM t JOIN r ON r.prio = t.prio AND r.rk = t.rank
       |ORDER BY t.prio, t.pct""".stripMargin) { (s, d) =>
     import s.implicits._
-    val v = Tables.load(s, d, "orders")
-      .select(col("o_orderpriority").as("prio"), cents.as("cents"),
-        col("o_orderkey"))
-    val ranked = graft.text.TextOps.groupedRankByRange(v, Seq("prio"),
-      Seq(col("cents").asc, col("o_orderkey").asc))
+    val v = orderValues(s, d)
+    val ranked = rankedPrioCents(s, d)
     // #groups-row count frame → #groups × #pcts broadcastable targets
     val counts = v.groupBy(col("prio").as("tp"))
       .agg(count(lit(1)).as("n"))
@@ -813,8 +839,7 @@ object ExtOps {
     val v = Tables.load(s, d, "orders")
       .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
         col("o_orderkey"))
-    val ranked = graft.text.TextOps.globalRankByRange(v,
-      Seq(col("cents").asc, col("o_orderkey").asc))
+    val ranked = rankedCentsGlobal(s, d)
     // N from a plain narrow count — reading it off `ranked` (limit 1)
     // would re-execute the whole range-partition + offsets subtree
     val targets = Seq(25L, 50L, 75L, 90L, 99L).toDF("pct")
@@ -850,12 +875,7 @@ object ExtOps {
       |SELECT prio, n AS n_orders, rnk AS med_rank, cents AS median_cents
       |FROM r WHERE rnk = (n + 1) // 2 ORDER BY prio""".stripMargin) {
     (s, d) =>
-      val v = Tables.load(s, d, "orders")
-        .select(col("o_orderpriority").as("prio"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"),
-          col("o_orderkey"))
-      graft.text.TextOps.groupedRankByRange(v, Seq("prio"),
-          Seq(col("cents").asc, col("o_orderkey").asc))
+      rankedPrioCents(s, d)
         .filter(col("rnk") === expr("(n_group + 1) div 2"))
         .select(col("prio"), col("n_group").as("n_orders"),
           col("rnk").as("med_rank"), col("cents").as("median_cents"))
@@ -907,11 +927,8 @@ object ExtOps {
       |       o.n_out
       |FROM med m JOIN mad ma ON ma.prio = m.prio JOIN o ON o.prio = m.prio
       |ORDER BY m.prio""".stripMargin) { (s, d) =>
-    val v = Tables.load(s, d, "orders")
-      .select(col("o_orderpriority").as("prio"), cents.as("cents"),
-        col("o_orderkey"))
-    val med = graft.text.TextOps.groupedRankByRange(v, Seq("prio"),
-        Seq(col("cents").asc, col("o_orderkey").asc))
+    val v = orderValues(s, d)
+    val med = rankedPrioCents(s, d)
       .filter(col("rnk") === expr("(n_group + 1) div 2"))
       .select(col("prio"), col("n_group").as("n_orders"),
         col("cents").as("med"))
@@ -972,8 +989,7 @@ object ExtOps {
     import s.implicits._
     val v = Tables.load(s, d, "orders")
       .select(cents.as("cents"), col("o_orderkey"))
-    val ranked = graft.text.TextOps.globalRankByRange(v,
-      Seq(col("cents").asc, col("o_orderkey").asc))
+    val ranked = rankedCentsGlobal(s, d)
     val targets = (1L to 10L).toDF("bucket")
       .crossJoin(broadcast(v.agg(count(lit(1)).as("n_total"))))
       .select(col("bucket"),

@@ -148,13 +148,24 @@ class PlanShapeSpec extends SparkSpec {
     // a window partitioned ONLY by prio gives each priority one reducer
     // (5 reducers for a 100 TB fact); the grouped-rank machinery must
     // window sliced data on (pid, prio) and reserve bare-prio windows
-    // for the #slices×#groups offsets aggregate (slice_n rows)
-    val p = plan(graft.queries.ExtOps.qGroupMedian.fn(spark, sf001))
+    // for the #slices×#groups offsets aggregate (slice_n rows). r9: the
+    // median query itself scans the session-memoized ranked frame
+    // (ExistingRDD), so the discipline is asserted on the BUILD plan —
+    // the same groupedRankByRange call the memo materializes.
+    val v = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+    val p = plan(graft.text.TextOps.groupedRankByRange(v, Seq("prio"),
+      Seq(col("cents").asc, col("o_orderkey").asc)))
     val dataWindows = p.linesIterator.filter(w =>
       w.contains("windowspecdefinition(") && !w.contains("slice_n"))
     assert(dataWindows.nonEmpty, p)
     assert(dataWindows.forall(_.contains("pid#")),
       dataWindows.mkString("\n"))
+    // and the registered query consumes the materialized frame
+    val q = plan(graft.queries.ExtOps.qGroupMedian.fn(spark, sf001))
+    assert(q.contains("ExistingRDD"), q)
   }
 
   test("interval join buckets to an equi-join, never a nested loop") {
