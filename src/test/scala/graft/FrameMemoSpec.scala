@@ -1,0 +1,72 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.FrameMemo
+
+/** Unit gates for the session memo behind every materialized index
+  * (shingle sets, IVF assignments, pair graph, CC/LPA labels, posting
+  * and ranked frames): build-once semantics, failure retry, and the
+  * rows-proportional re-spread (the r9 lesson — an unconditional
+  * re-spread taxed every small-index consumer with full-width task
+  * scheduling). */
+class FrameMemoSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("memo builds once per (tag, dir); distinct keys build separately") {
+    val builds = new AtomicInteger(0)
+    def build = {
+      builds.incrementAndGet()
+      Seq(1L, 2L, 3L).toDF("x")
+    }
+    val a1 = FrameMemo.memo(spark, "fm_spec_a", "d1")(build)
+    val a2 = FrameMemo.memo(spark, "fm_spec_a", "d1")(build)
+    assert(builds.get() == 1)
+    assert(a1.collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L, 3L)))
+    assert(a2.collect().length == 3)
+    FrameMemo.memo(spark, "fm_spec_a", "d2")(build) // other dir
+    FrameMemo.memo(spark, "fm_spec_b", "d1")(build) // other tag
+    assert(builds.get() == 3)
+  }
+
+  test("a failed build is evicted and retried, not replayed forever") {
+    val attempts = new AtomicInteger(0)
+    def build = {
+      if (attempts.incrementAndGet() == 1) sys.error("transient boom")
+      Seq(42L).toDF("x")
+    }
+    val e = intercept[RuntimeException](
+      FrameMemo.memo(spark, "fm_spec_fail", "d")(build))
+    assert(e.getMessage.contains("transient boom"))
+    val ok = FrameMemo.memo(spark, "fm_spec_fail", "d")(build)
+    assert(ok.collect().head.getLong(0) == 42L)
+    assert(attempts.get() == 2)
+  }
+
+  test("re-spread scales with rows: small frames keep their narrow layout") {
+    // a 100-row index collapsed to one partition must NOT fan out —
+    // width would be pure scheduling tax on every consumer (r9 lesson)
+    val small = FrameMemo.memo(spark, "fm_spec_small", "d")(
+      spark.range(0, 100).toDF("x").coalesce(1))
+    assert(small.rdd.getNumPartitions == 1,
+      s"small memo re-spread to ${small.rdd.getNumPartitions}")
+    // a frame already at healthy width is checkpointed as-is
+    val wide = FrameMemo.memo(spark, "fm_spec_wide", "d")(
+      spark.range(0, 100).toDF("x").repartition(4))
+    assert(wide.rdd.getNumPartitions == 4)
+    // a LARGE collapsed frame fans back out (rows/65536, capped at
+    // defaultParallelism) so one narrow checkpoint can't serialize
+    // every downstream consumer
+    val big = FrameMemo.memo(spark, "fm_spec_big", "d")(
+      spark.range(0, 200000).toDF("x").coalesce(1))
+    val par = spark.sparkContext.defaultParallelism
+    val expected = math.min(par.toLong, (200000L + 65535) / 65536).toInt
+    assert(expected > 1, s"fixture too small to exercise the re-spread")
+    assert(big.rdd.getNumPartitions == expected,
+      s"big memo has ${big.rdd.getNumPartitions} partitions, want $expected")
+    assert(big.count() == 200000)
+  }
+}
