@@ -497,9 +497,10 @@ object SqlTwins {
          |        graft_md5_mod31(concat('ep', CAST(e.epoch AS STRING),
          |          ':', CAST(d.doc_id AS STRING))) AS h
          |      FROM documents d CROSS JOIN e)
-         |SELECT epoch, CAST(h % 8 AS BIGINT) AS shard,
+         |SELECT epoch, CAST(h % ${graft.text.TextOps.TrainShards} AS BIGINT)
+         |         AS shard,
          |       CAST(ROW_NUMBER() OVER (
-         |              PARTITION BY epoch, h % 8
+         |              PARTITION BY epoch, h % ${graft.text.TextOps.TrainShards}
          |              ORDER BY h, doc_id) AS BIGINT) AS pos,
          |       doc_id
          |FROM h ORDER BY epoch, shard, pos""".stripMargin,
@@ -692,6 +693,8 @@ object SqlTwins {
     "q_minhash_lsh_pairs" -> minhashLshTwin,
 
     "q_dedup_delta" -> dedupDeltaTwin,
+
+    "q_dedup_index_update" -> dedupIndexUpdateTwin,
 
     // groups with the registered incremental aggregator (minhash_sig) —
     // the SQL surface exercises the same typed Aggregator as the
@@ -1791,6 +1794,72 @@ object SqlTwins {
        |       p.best_jaccard IS NOT NULL AS is_dup
        |FROM documents d LEFT JOIN pick p ON p.new_doc = d.doc_id
        |WHERE d.doc_id % 10 = 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[dedupDeltaTwin]]'s two-batch maintenance variant — batch-1
+    * admission, survivor fold, batch-2 screen against the updated
+    * index, mirroring q_dedup_index_update. */
+  private lazy val dedupIndexUpdateTwin: String = {
+    import TextHash.{Bands, K, R}
+    val sigCols = (0 until K)
+      .map(k => s"${minhashSql("hs", k)} AS m$k").mkString(",\n       ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until R).map(r => s"CAST(m${b * R + r} AS STRING)")
+        .mkString("concat_ws('_', ", ", ", ")")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, hs,
+       |       $sigCols
+       |FROM sh),
+       |bands AS (
+       |  $bandSelects),
+       |c1 AS (
+       |  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS base_doc
+       |  FROM bands n JOIN bands o
+       |    ON n.band = o.band AND n.key = o.key
+       |  WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 NOT IN (0, 5)),
+       |b1dups AS (
+       |  SELECT DISTINCT c.new_doc
+       |  FROM c1 c
+       |  JOIN sh sa ON sa.doc_id = c.new_doc
+       |  JOIN sh sb ON sb.doc_id = c.base_doc
+       |  WHERE CAST(size(array_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / (CAST(size(sa.hs) AS BIGINT) + CAST(size(sb.hs) AS BIGINT)
+       |         - CAST(size(array_intersect(sa.hs, sb.hs)) AS BIGINT))
+       |      >= 0.8),
+       |c2 AS (
+       |  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS base_doc
+       |  FROM bands n JOIN bands o
+       |    ON n.band = o.band AND n.key = o.key
+       |  WHERE n.doc_id % 10 = 5
+       |    AND (o.doc_id % 10 NOT IN (0, 5)
+       |         OR (o.doc_id % 10 = 0
+       |             AND o.doc_id NOT IN (SELECT new_doc FROM b1dups)))),
+       |hits AS (
+       |  SELECT c.new_doc, c.base_doc,
+       |    CAST(size(array_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / (CAST(size(sa.hs) AS BIGINT) + CAST(size(sb.hs) AS BIGINT)
+       |         - CAST(size(array_intersect(sa.hs, sb.hs)) AS BIGINT))
+       |      AS jaccard
+       |  FROM c2 c
+       |  JOIN sh sa ON sa.doc_id = c.new_doc
+       |  JOIN sh sb ON sb.doc_id = c.base_doc),
+       |hits8 AS (SELECT * FROM hits WHERE jaccard >= 0.8),
+       |best AS (SELECT new_doc, MAX(jaccard) AS best_jaccard
+       |         FROM hits8 GROUP BY new_doc),
+       |pick AS (SELECT h.new_doc, b.best_jaccard,
+       |                MIN(h.base_doc) AS best_base
+       |         FROM hits8 h JOIN best b
+       |           ON b.new_doc = h.new_doc
+       |          AND h.jaccard = b.best_jaccard
+       |         GROUP BY h.new_doc, b.best_jaccard)
+       |SELECT d.doc_id, p.best_base, p.best_jaccard,
+       |       p.best_jaccard IS NOT NULL AS is_dup,
+       |       p.best_base % 10 = 0 AS from_batch1
+       |FROM documents d LEFT JOIN pick p ON p.new_doc = d.doc_id
+       |WHERE d.doc_id % 10 = 5
        |ORDER BY doc_id""".stripMargin
   }
 

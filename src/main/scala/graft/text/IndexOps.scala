@@ -81,7 +81,6 @@ object IndexOps {
     * any monotone transform of 1/df ranks identically). */
   private val IdfScale = 1000000L
 
-  /** (doc_id, token) term frequencies. */
   /** (doc_id, token, tf) term-frequency index, session-memoized (r9):
     * the tokenized postings a search stack persists rather than
     * re-derives per query. */

@@ -685,7 +685,7 @@ object TextOps {
   /** Shards per epoch for [[qTrainOrder]]. 8 here; in production sized so
     * a shard is one trainer's read unit (corpus_rows / shards ≈ the rows
     * one data-loader worker streams per epoch). */
-  private val TrainShards = 8
+  private[graft] val TrainShards = 8
 
   /** Deterministic training order: every (epoch, doc) gets a
     * reproducible (shard, position) from a seeded content-independent

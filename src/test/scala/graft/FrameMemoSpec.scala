@@ -63,8 +63,11 @@ class FrameMemoSpec extends SparkSpec {
     val big = FrameMemo.memo(spark, "fm_spec_big", "d")(
       spark.range(0, 200000).toDF("x").coalesce(1))
     val par = spark.sparkContext.defaultParallelism
-    val expected = math.min(par.toLong, (200000L + 65535) / 65536).toInt
-    assert(expected > 1, s"fixture too small to exercise the re-spread")
+    // mirror the production rule exactly (ADVICE r9): with <4 cores the
+    // 1-partition frame already satisfies cur >= par/2 and stays narrow
+    val expected =
+      if (1 >= math.max(1, par / 2)) 1
+      else math.min(par.toLong, (200000L + 65535) / 65536).toInt
     assert(big.rdd.getNumPartitions == expected,
       s"big memo has ${big.rdd.getNumPartitions} partitions, want $expected")
     assert(big.count() == 200000)

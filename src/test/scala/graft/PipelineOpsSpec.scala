@@ -64,6 +64,56 @@ class PipelineOpsSpec extends SparkSpec {
       s"flagged $flagged of ${cross.size} true cross-split dups")
   }
 
+  test("index update: batch-1 survivors join the index; rejected docs " +
+    "do not") {
+    // synthetic two-batch corpus exercising BOTH maintenance properties:
+    //   A (id 1)  base
+    //   B (id 10) batch 1, novel            -> admitted, folded in
+    //   D (id 20) batch 1, near-copy of A   -> rejected, NOT folded in
+    //   C (id 5)  batch 2, near-copy of B   -> must match the SURVIVOR B
+    //   E (id 15) batch 2, EXACT copy of D  -> must match base A (j<1),
+    //             never D (j=1.0) — rejected docs are invisible
+    //   F (id 25) batch 2, novel            -> admitted
+    import spark.implicits._
+    def txt(p: String) = (1 to 50).map(i => s"$p$i").mkString(" ")
+    def mut(p: String) = ((1 to 49).map(i => s"$p$i") :+ "zz").mkString(" ")
+    val docsDf = Seq(1L -> txt("w"), 10L -> txt("v"), 20L -> mut("w"),
+      5L -> mut("v"), 15L -> mut("w"), 25L -> txt("q"))
+      .toDF("doc_id", "text")
+    val sh = graft.functions.TextHash
+      .addShingleHashes(docsDf, col("text")).select("doc_id", "hs")
+    val bands = Dedup.lshBands(sh).select("doc_id", "band", "key")
+    val inB1 = col("doc_id") % 10 === 0
+    val inB2 = col("doc_id") % 10 === 5
+    val isBase = !inB1 && !inB2
+    val v1 = Dedup.screenBatch(docsDf.filter(inB1), bands.filter(inB1),
+      bands.filter(isBase), sh.filter(inB1), sh).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(v1(20L).getBoolean(3) && v1(20L).getLong(1) == 1L,
+      s"D must be rejected against base A: ${v1(20L)}")
+    assert(!v1(10L).getBoolean(3), s"novel B must survive: ${v1(10L)}")
+    // the fold: append ONLY the survivors' bands (same expression as
+    // qDedupIndexUpdate's memo build)
+    val survivors = docsDf.filter(inB1).select("doc_id")
+      .join(Dedup.screenBatch(docsDf.filter(inB1), bands.filter(inB1),
+        bands.filter(isBase), sh.filter(inB1), sh)
+        .filter(!col("is_dup")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val updated = bands.filter(isBase)
+      .unionByName(bands.join(survivors, Seq("doc_id"), "left_semi"))
+    val v2 = Dedup.screenBatch(docsDf.filter(inB2), bands.filter(inB2),
+      updated, sh.filter(inB2), sh).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // C is caught BY THE FOLDED SURVIVOR — the property the operator adds
+    assert(v2(5L).getBoolean(3) && v2(5L).getLong(1) == 10L,
+      s"C must match folded survivor B: ${v2(5L)}")
+    // E (exact copy of rejected D) matches base A at j < 1.0; a naive
+    // fold of ALL of batch 1 would have matched D at j = 1.0 instead
+    assert(v2(15L).getBoolean(3) && v2(15L).getLong(1) == 1L,
+      s"E must match base A, never rejected D: ${v2(15L)}")
+    assert(v2(15L).getDouble(2) < 1.0)
+    assert(!v2(25L).getBoolean(3), s"novel F must be admitted: ${v2(25L)}")
+  }
+
   test("train order: per-epoch permutations, contiguous shard positions") {
     val rows = TextOps.qTrainOrder.fn(spark, sf001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
