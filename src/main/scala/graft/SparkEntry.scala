@@ -20,7 +20,8 @@ object SparkEntry {
       graft.text.TextOps.all ++ graft.text.IndexOps.all ++
       graft.dedup.Dedup.all ++ graft.graph.GraphOps.all ++
       graft.similarity.Similarity.all ++
-      graft.multimodal.Multimodal.all
+      graft.multimodal.Multimodal.all ++
+      graft.streaming.StreamOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q2-shaped: scan → broadcast join → agg → top-k (SURVEY.md §7.2). */

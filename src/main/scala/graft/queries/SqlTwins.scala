@@ -39,6 +39,10 @@ object SqlTwins {
 
   /** Queries with no single-statement SQL twin, with the reason. */
   val skips: Map[String, String] = Map(
+    "q_stream_hourly" ->
+      ("micro-batch Structured Streaming pipeline (readStream -> memory " +
+        "sink); a SQL string cannot start a streaming query, and its " +
+        "batch SQL is already registered as q_tumbling_hour"),
     "q_dedup_components" ->
       ("iterative label propagation (driver-side loop over checkpoints); " +
         "the recursive-CTE spelling needs UNION-distinct recursion to " +

@@ -35,7 +35,17 @@ import org.apache.spark.sql.functions._
   * edge set; see the graph-octave block below); remaining tables
   * (dims, events) are copied verbatim by the caller.
   *
-  * Run: `runMain graft.tools.MakeScale5x /root/testdata/sf0.1 /tmp/graft_sf5x` */
+  * Run: `runMain graft.tools.MakeScale5x /root/testdata/sf0.1 /tmp/graft_sf5x`
+  *
+  * Optional third arg `out1x` (r10, VERDICT r9 wrong #3 — encoder
+  * parity): also re-encode the UNREPLICATED grown tables with THIS
+  * tool's writer into `out1x`, so both sweep points of the 5× octave
+  * share one parquet encoder. The sf-series files are pyarrow-written
+  * (RLE_DICTIONARY key columns) while this tool's output is
+  * Spark-written; measuring sf0.1-as-shipped against the 5× point
+  * therefore mixed per-row decode costs into sub-second timings —
+  * the r9 relational octave's negative-α noise. With `out1x` both
+  * points decode identically and the exponent isolates data growth. */
 object MakeScale5x {
 
   private val Offset = 1000000L
@@ -43,6 +53,7 @@ object MakeScale5x {
 
   def main(args: Array[String]): Unit = {
     val Array(src, out) = args.take(2)
+    val out1x = args.lift(2)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -73,6 +84,8 @@ object MakeScale5x {
     // exponent isolates data growth.
     docReps.reduce(_ unionAll _).coalesce(1)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out1x.foreach(o => docs.coalesce(1)
+      .write.mode("overwrite").parquet(s"$o/documents.parquet"))
 
     val emb = graft.io.Tables.load(spark, src, "embeddings")
     val embReps: Seq[DataFrame] = (0 until Replicas).map { r =>
@@ -89,6 +102,8 @@ object MakeScale5x {
     }
     embReps.reduce(_ unionAll _).coalesce(1)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out1x.foreach(o => emb.coalesce(1)
+      .write.mode("overwrite").parquet(s"$o/embeddings.parquet"))
 
     // Graph octave (r9, VERDICT r8 missing #2): the graph family derives
     // its edges from orders⋈lineitem, so those two tables grow 5× as
@@ -111,6 +126,8 @@ object MakeScale5x {
     }
     ordReps.reduce(_ unionAll _).coalesce(1)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    out1x.foreach(o => ord.coalesce(1)
+      .write.mode("overwrite").parquet(s"$o/orders.parquet"))
 
     val li = graft.io.Tables.load(spark, src, "lineitem")
     val liReps = (0 until Replicas).map { r =>
@@ -122,6 +139,8 @@ object MakeScale5x {
     }
     liReps.reduce(_ unionAll _).coalesce(1)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    out1x.foreach(o => li.coalesce(1)
+      .write.mode("overwrite").parquet(s"$o/lineitem.parquet"))
 
     spark.stop()
   }
