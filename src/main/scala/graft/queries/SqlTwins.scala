@@ -43,6 +43,10 @@ object SqlTwins {
       ("micro-batch Structured Streaming pipeline (readStream -> memory " +
         "sink); a SQL string cannot start a streaming query, and its " +
         "batch SQL is already registered as q_tumbling_hour"),
+    "q_stream_merge" ->
+      ("micro-batch MERGE sink (readStream -> foreachBatch version-chain " +
+        "merge); a SQL string cannot start a streaming query, and its " +
+        "batch aggregate is the q_merge_upsert/CDC family's surface"),
     "q_dedup_components" ->
       ("iterative label propagation (driver-side loop over checkpoints); " +
         "the recursive-CTE spelling needs UNION-distinct recursion to " +

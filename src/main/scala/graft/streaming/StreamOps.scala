@@ -733,7 +733,75 @@ object StreamOps {
     s.table(name).orderBy("hour_start", "event_type")
   }
 
+  /** Read surface of the flat merge sink: the newest COMMITTED state
+    * version under `statePath` (torn versions invisible — same
+    * `_SUCCESS`-gated rule the merge itself chains by). */
+  def readMergedState(spark: SparkSession, statePath: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath), spark.sessionState.newHadoopConf())
+    val v = committedVersions(fs,
+      new org.apache.hadoop.fs.Path(statePath)).sorted.lastOption
+      .getOrElse(sys.error(s"no committed merge state under $statePath"))
+    spark.read.parquet(s"$statePath/v=$v")
+  }
+
+  /** One split of the events table into 4 parquet files per sfDir, so
+    * the file source delivers a genuine MULTI-batch stream
+    * (maxFilesPerTrigger=1 → 4 micro-batches, 4 chained merge steps)
+    * instead of collapsing the whole table into one batch. Built once
+    * per sfDir per JVM — the final merged state is batching-invariant
+    * (per-user sums are associative), which is exactly what the oracle
+    * gate checks. */
+  private val splitCache =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Oracle-gated run of the MERGE upsert sink (VERDICT r9 next #6,
+    * second streaming row): events stream through
+    * [[mergeUpsertSink]]'s foreachBatch version-chain merge in 4
+    * micro-batches — each step full-outer-merges the batch's per-user
+    * delta into the newest committed state version and writes the next
+    * version — and the FINAL committed state is the result. The DuckDB
+    * oracle is the whole-table aggregate, so the gate checks that 4
+    * chained incremental merges land value-exactly on the batch
+    * answer: the exactly-once versioning (replay reads newest v <
+    * batchId, never its own output) composed across a real micro-batch
+    * sequence, not a single-step spec fixture.
+    *
+    * Scale posture: state rewrite per batch is the flat chain's
+    * O(|state|) — the bucketed sibling ([[mergeUpsertSinkBucketed]],
+    * chaos-spec'd) is the 100 TB shape; the gate runs the flat chain
+    * because its read surface is one directory. Fresh state/checkpoint
+    * dirs per invocation (a reused checkpoint would replay zero
+    * batches against an empty fresh state). */
+  val qStreamMerge: graft.queries.Q = graft.queries.Q("q_stream_merge",
+    """SELECT user_id, COUNT(*) AS n,
+      |       CAST(COALESCE(SUM(CAST(ROUND(value*100) AS BIGINT)), 0)
+      |            AS BIGINT) AS cents
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    graft.io.Tables.ensureSessionRegistered(s)
+    val src = splitCache.synchronized {
+      splitCache.getOrElseUpdate(d, {
+        val p = s"/tmp/graft_stream_split_${java.util.UUID.randomUUID()}"
+        graft.io.Tables.load(s, d, "events").select("user_id", "value")
+          .repartition(4).write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    // globally unique, not a per-JVM counter: a reused checkpoint from
+    // an earlier process would resume ITS file-source log (pointing at
+    // that process's split dir) instead of streaming this one
+    val runId = java.util.UUID.randomUUID()
+    val state = s"/tmp/graft_merge_state_$runId"
+    val ckpt = s"/tmp/graft_merge_ckpt_$runId"
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = mergeUpsertSink(stream, state, ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    readMergedState(s, state).orderBy("user_id")
+  }
+
   /** The streaming family's registered (oracle-gated) queries; the
     * remaining operators above are spec-gated batch/stream twins. */
-  val all: Seq[graft.queries.Q] = Seq(qStreamHourly)
+  val all: Seq[graft.queries.Q] = Seq(qStreamHourly, qStreamMerge)
 }
