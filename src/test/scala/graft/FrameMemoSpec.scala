@@ -46,6 +46,17 @@ class FrameMemoSpec extends SparkSpec {
     assert(attempts.get() == 2)
   }
 
+  test("build times are recorded once per key, under the memo's tag") {
+    // the serving-vs-build split in bench_full.json's memo_builds
+    // section (VERDICT r9 missing #2) depends on every build landing
+    // exactly one timed entry keyed "tag@dir"
+    FrameMemo.memo(spark, "fm_spec_bt", "dbt")(Seq(1L).toDF("x"))
+    FrameMemo.memo(spark, "fm_spec_bt", "dbt")(Seq(2L).toDF("x")) // cached
+    val t = FrameMemo.buildTimes
+    assert(t.contains("fm_spec_bt@dbt"), t.keys.mkString(","))
+    assert(t("fm_spec_bt@dbt") >= 0.0 && t("fm_spec_bt@dbt") < 60.0)
+  }
+
   test("re-spread scales with rows: small frames keep their narrow layout") {
     // a 100-row index collapsed to one partition must NOT fan out —
     // width would be pure scheduling tax on every consumer (r9 lesson)
