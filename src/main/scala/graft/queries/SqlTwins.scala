@@ -47,6 +47,10 @@ object SqlTwins {
       ("micro-batch MERGE sink (readStream -> foreachBatch version-chain " +
         "merge); a SQL string cannot start a streaming query, and its " +
         "batch aggregate is the q_merge_upsert/CDC family's surface"),
+    "q_stream_merge_bucketed" ->
+      ("micro-batch bucketed MERGE sink (per-bucket version chains, " +
+        "partial rewrites); same streaming-query limitation as " +
+        "q_stream_merge"),
     "q_dedup_components" ->
       ("iterative label propagation (driver-side loop over checkpoints); " +
         "the recursive-CTE spelling needs UNION-distinct recursion to " +

@@ -459,6 +459,111 @@ object Similarity {
         .orderBy("query_id", "rnk")
   }
 
+  /** SQL predicate naming the NEW-VECTOR batch for the incremental IVF
+    * maintenance gate: every 10th vector, excluding the fixed query set
+    * (vec_id < 10) and the anchor slice — queries and the coarse
+    * quantizer belong to the BASE corpus by construction (the index is
+    * trained on what exists; the delta is what arrives). */
+  private val IvfBatchSql: String =
+    s"vec_id % 10 = 7 AND vec_id >= 10 AND NOT " +
+      s"(vec_id >= $IvfAnchorBase AND vec_id < ${IvfAnchorBase + IvfCells})"
+
+  /** Incremental ANN index maintenance — the embedding-side sibling of
+    * [[graft.dedup.Dedup.qDedupIndexUpdate]], closing the
+    * continuous-ingest loop for the IVF scale path:
+    *
+    *   1. the BASE index is the persisted cell assignment restricted to
+    *      base vectors (a filter of the memoized [[ivfRanked]] —
+    *      per-vector assignment is independent, so the slice IS what a
+    *      base-only build would produce);
+    *   2. the arriving batch ([[IvfBatchSql]]) is assigned FRESH
+    *      against the existing anchors — |batch| × Cells work, the
+    *      append cost, never a corpus re-cluster — and FOLDED into the
+    *      index (union), memoized as the session's `ivfIncr1` artifact;
+    *   3. the fixed query set serves top-3 against the UPDATED index.
+    *
+    * The oracle recomputes the from-scratch assignment of the whole
+    * corpus, so the gate checks that incremental append + serve lands
+    * value-exactly on the from-scratch index (IVF's append-only
+    * invariant: with anchors fixed, per-vector assignment is
+    * batching-invariant — the same property that makes real IVF stores
+    * append without retraining). `is_new` marks neighbors that arrived
+    * with the batch — non-vacuously present in the result (2/30 rows
+    * at sf0.01), proving the folded vectors actually SERVE.
+    *
+    * Scale posture: the fold is |batch| × Cells broadcast-nested-loop
+    * (Cells rows broadcast — constant width) + an append-shaped union;
+    * the serve is [[qAnnIvf]]'s probe-cell equi-join unchanged. At
+    * 100 TB the anchor set grows ~√N via the GRAFT_IVF_CELLS knob and
+    * a retrain is a scheduled rebuild, not a per-batch cost. */
+  val qAnnIndexUpdate: Q = Q("q_ann_index_update",
+    s"""WITH $ivfRankedCteSql,
+       |cells AS (SELECT vec_id, v, nrm, anchor_id AS cell FROM ranked
+       |          WHERE arnk = 1),
+       |probes AS (SELECT vec_id, v, nrm, anchor_id AS cell FROM ranked
+       |           WHERE arnk <= $IvfProbe AND $QuerySet),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |  FROM probes q JOIN cells c ON c.cell = q.cell
+       |                AND c.vec_id != q.vec_id),
+       |ranked2 AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim,
+       |       (neighbor_id % 10 = 7 AND neighbor_id >= 10 AND NOT
+       |        (neighbor_id >= $IvfAnchorBase
+       |         AND neighbor_id < ${IvfAnchorBase + IvfCells})) AS is_new
+       |FROM ranked2 WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) {
+    (s, d) =>
+      val ranked = ivfRanked(s, d)
+      val isBatch = expr(IvfBatchSql)
+      val updated = memo(s, "ivfIncr1", d) {
+        val baseCells = ranked.filter(col("arnk") === 1 && !isBatch)
+          .select(col("vec_id"), col("v"), col("nrm"),
+            col("anchor_id").as("cell"))
+        // fresh assignment of ONLY the batch against the existing
+        // anchors — the append step of a persisted IVF store
+        val n = withNorm(emb(s, d)).select("vec_id", "v", "nrm")
+        val anch = n.filter(col("vec_id") >= IvfAnchorBase &&
+            col("vec_id") < IvfAnchorBase + IvfCells)
+          .select(col("vec_id").as("anchor_id"), col("v").as("av"),
+            col("nrm").as("anrm"))
+        val bAssign = n.filter(isBatch).crossJoin(broadcast(anch))
+          .select(col("vec_id"), col("v"), col("nrm"), col("anchor_id"),
+            (dot(col("v"), col("av")) / (col("nrm") * col("anrm")))
+              .as("acos"))
+        val aw = Window.partitionBy("vec_id")
+          .orderBy(desc("acos"), asc("anchor_id"))
+        val batchCells = bAssign
+          .withColumn("arnk", row_number().over(aw))
+          .filter(col("arnk") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"),
+            col("anchor_id").as("cell"))
+        baseCells.unionByName(batchCells)
+      }
+      val probes = ranked.filter(col("arnk") <= IvfProbe && expr(QuerySet))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("anchor_id").as("qcell"))
+      val scored = broadcast(probes).join(updated,
+          col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("cos"), asc("neighbor_id"))
+      val nb = col("neighbor_id")
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), nb, col("rnk"),
+          round(col("cos"), 6).as("cos_sim"),
+          (nb % 10 === 7 && nb >= 10 &&
+            !(nb >= IvfAnchorBase && nb < IvfAnchorBase + IvfCells))
+            .as("is_new"))
+        .orderBy("query_id", "rnk")
+  }
+
   /** SemDeDup cosine threshold. On a real corpus this sits at ~0.95+
     * (near-identical paraphrases); this synthetic corpus's embeddings are
     * near-orthogonal random vectors (max pairwise cos ≈ 0.6 at sf0.1), so
@@ -2389,7 +2494,8 @@ object Similarity {
   }
 
   val all: Seq[Q] =
-    Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qEmbedNearDup,
+    Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qAnnIndexUpdate,
+      qEmbedNearDup,
       qSemdedup, qAnnInt8, qAnnIvfKmeans, qLabelOutliers, qKmeans,
       qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered,
       qHardNegatives, qMmrRerank, qRandProject, qKnnClassify, qAnnRecall,

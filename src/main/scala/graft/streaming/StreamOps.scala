@@ -801,7 +801,44 @@ object StreamOps {
     readMergedState(s, state).orderBy("user_id")
   }
 
+  /** [[qStreamMerge]]'s BUCKETED sibling — the 100 TB merge shape gets
+    * its own oracle row: the same 4-file micro-batch stream drives
+    * [[mergeUpsertSinkBucketed]] (8 hash buckets, each with its own
+    * version chain; a batch rewrites ONLY the buckets its delta keys
+    * hash into), and the result is [[readBucketedState]]'s union of
+    * per-bucket newest committed versions. The oracle is the identical
+    * whole-table aggregate, so the gate checks that per-bucket chains +
+    * partial rewrites compose to the exact batch answer — O(touched)
+    * rewrite cost with zero correctness discount. */
+  val qStreamMergeBucketed: graft.queries.Q =
+    graft.queries.Q("q_stream_merge_bucketed",
+      """SELECT user_id, COUNT(*) AS n,
+        |       CAST(COALESCE(SUM(CAST(ROUND(value*100) AS BIGINT)), 0)
+        |            AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.io.Tables.ensureSessionRegistered(s)
+      val src = splitCache.synchronized {
+        splitCache.getOrElseUpdate(d, {
+          val p = s"/tmp/graft_stream_split_${java.util.UUID.randomUUID()}"
+          graft.io.Tables.load(s, d, "events").select("user_id", "value")
+            .repartition(4).write.mode("overwrite").parquet(p)
+          p
+        })
+      }
+      val runId = java.util.UUID.randomUUID()
+      val state = s"/tmp/graft_merge_bstate_$runId"
+      val ckpt = s"/tmp/graft_merge_bckpt_$runId"
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = mergeUpsertSinkBucketed(stream, state, ckpt, buckets = 8)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      readBucketedState(s, state).orderBy("user_id")
+    }
+
   /** The streaming family's registered (oracle-gated) queries; the
     * remaining operators above are spec-gated batch/stream twins. */
-  val all: Seq[graft.queries.Q] = Seq(qStreamHourly, qStreamMerge)
+  val all: Seq[graft.queries.Q] =
+    Seq(qStreamHourly, qStreamMerge, qStreamMergeBucketed)
 }

@@ -185,6 +185,27 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF index update: incremental append serves the from-scratch " +
+    "answer") {
+    // with anchors fixed, per-vector assignment is batching-invariant:
+    // base-slice + fresh batch assignment unioned (q_ann_index_update's
+    // memoized fold) must serve EXACTLY what the from-scratch index
+    // (q_ann_ivf) serves — IVF's append-only invariant, pinned here so
+    // a fold that dropped/duplicated cells fails the build
+    val incr = Similarity.qAnnIndexUpdate.fn(spark, sf001).collect()
+    val scratch = Similarity.qAnnIvf.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr.nonEmpty && incr.length == scratch.size)
+    incr.foreach { r =>
+      assert(scratch((r.getLong(0), r.getLong(1), r.getLong(2))), r)
+      // is_new marks exactly the batch membership rule
+      val nb = r.getLong(1)
+      val expected = nb % 10 == 7 && nb >= 10 &&
+        !(nb >= 100 && nb < 100 + Similarity.IvfCells)
+      assert(r.getBoolean(4) == expected, r)
+    }
+  }
+
   test("LSH ANN results appear in the brute-force ranking of same query") {
     val brute = Similarity.qCosineTopk.fn(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
