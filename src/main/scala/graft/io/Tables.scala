@@ -29,7 +29,15 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     ensureSessionRegistered(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** The ts-spelling normalization alone, for frames [[load]] cannot
+    * produce — e.g. a `readStream` source, which must be built from a
+    * supplied schema (set the nanosAsLong conf before reading the
+    * schema, as load does). Shared so a new ts spelling is handled in
+    * ONE place for batch and streaming alike. */
+  def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -37,7 +45,6 @@ object Tables {
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
-  }
 
   /** Idempotently install the engine's session-level extras (native
     * functions, the optimizer rule, the SQL-callable MinHash aggregator).

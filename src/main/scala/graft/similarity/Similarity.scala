@@ -443,20 +443,30 @@ object Similarity {
       val cells = ranked.filter(col("arnk") === 1)
         .select(col("vec_id"), col("v"), col("nrm"),
           col("anchor_id").as("cell"))
-      val probes = ranked.filter(col("arnk") <= IvfProbe && expr(QuerySet))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qnrm"), col("anchor_id").as("qcell"))
-      val scored = broadcast(probes).join(cells,
-          col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(desc("cos"), asc("neighbor_id"))
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select(col("query_id"), col("neighbor_id"), col("rnk"),
-          round(col("cos"), 6).as("cos_sim"))
-        .orderBy("query_id", "rnk")
+      ivfServeTop3(ranked, cells).orderBy("query_id", "rnk")
+  }
+
+  /** [[qAnnIvf]]'s serve stage over an arbitrary cell index: the fixed
+    * query probes (arnk ≤ nprobe) equi-join `cells`, cosine-score,
+    * top-3 per query. SHARED with [[qAnnIndexUpdate]] on purpose — the
+    * append-only gate (incremental index ≡ from-scratch index) is only
+    * meaningful if both queries serve through the expression-identical
+    * plan, so a scoring/tie-break edit cannot silently diverge them. */
+  private def ivfServeTop3(ranked: DataFrame, cells: DataFrame)
+      : DataFrame = {
+    val probes = ranked.filter(col("arnk") <= IvfProbe && expr(QuerySet))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("anchor_id").as("qcell"))
+    val scored = broadcast(probes).join(cells,
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
   }
 
   /** SQL predicate naming the NEW-VECTOR batch for the incremental IVF
@@ -544,23 +554,11 @@ object Similarity {
             col("anchor_id").as("cell"))
         baseCells.unionByName(batchCells)
       }
-      val probes = ranked.filter(col("arnk") <= IvfProbe && expr(QuerySet))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qnrm"), col("anchor_id").as("qcell"))
-      val scored = broadcast(probes).join(updated,
-          col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(desc("cos"), asc("neighbor_id"))
       val nb = col("neighbor_id")
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select(col("query_id"), nb, col("rnk"),
-          round(col("cos"), 6).as("cos_sim"),
-          (nb % 10 === 7 && nb >= 10 &&
+      ivfServeTop3(ranked, updated)
+        .withColumn("is_new",
+          nb % 10 === 7 && nb >= 10 &&
             !(nb >= IvfAnchorBase && nb < IvfAnchorBase + IvfCells))
-            .as("is_new"))
         .orderBy("query_id", "rnk")
   }
 

@@ -697,10 +697,12 @@ object StreamOps {
     *
     * Scale posture: identical to [[hourlyCounts]] (watermark-bounded
     * state, map-side-combined counts); the memory sink holds only the
-    * hour × event_type aggregate (#hours × #types rows, not events).
-    * The nanos/NTZ `ts` normalization mirrors
-    * [[graft.io.Tables.load]], which a streaming source can't use
-    * directly (schema must be supplied, not inferred). */
+    * hour × event_type aggregate (#hours × #types rows, not events),
+    * and the sink's temp view is dropped after the result is
+    * materialized so repeated runs don't accumulate session tables.
+    * The `ts` normalization is [[graft.io.Tables.normalizeTs]] itself
+    * — `Tables.load` can't build a streaming frame (schema must be
+    * supplied, not inferred), but the spelling logic is shared. */
   val qStreamHourly: graft.queries.Q = graft.queries.Q("q_stream_hourly",
     """SELECT date_trunc('hour', ts) AS hour_start, event_type,
       |       COUNT(*) AS n,
@@ -708,29 +710,23 @@ object StreamOps {
       |         AS value_cents
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
       .stripMargin) { (s, d) =>
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType,
-      TimestampType}
     graft.io.Tables.ensureSessionRegistered(s)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$d/events.parquet"
-    val schema = s.read.parquet(path).schema
+    val schema = s.read.parquet(s"$d/events.parquet").schema
     // the sf layout stores each table as ONE parquet file; the file
     // source monitors a DIRECTORY, so stream the sf dir with a glob
     // filter selecting just the events table
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    val ev = schema.fields.find(_.name == "ts").map(_.dataType) match {
-      case Some(LongType) =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case Some(TimestampNTZType) =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
-    }
+    val ev = graft.io.Tables.normalizeTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
     val name = s"stream_hourly_${memSinkId.incrementAndGet()}"
     val q = hourlyCounts(ev).writeStream.format("memory")
       .queryName(name).outputMode(OutputMode.Complete()).start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name).orderBy("hour_start", "event_type")
+    val out = s.table(name).orderBy("hour_start", "event_type")
+      .localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    out
   }
 
   /** Read surface of the flat merge sink: the newest COMMITTED state
@@ -755,6 +751,55 @@ object StreamOps {
   private val splitCache =
     new scala.collection.concurrent.TrieMap[String, String]()
 
+  private def eventsSplit(s: SparkSession, d: String): String =
+    splitCache.synchronized {
+      splitCache.getOrElseUpdate(d, {
+        val p = s"/tmp/graft_stream_split_${java.util.UUID.randomUUID()}"
+        graft.io.Tables.load(s, d, "events").select("user_id", "value")
+          .repartition(4).write.mode("overwrite").parquet(p)
+        // scratch: reused for the whole JVM, deleted at exit
+        sys.addShutdownHook {
+          def del(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+          }
+          del(new java.io.File(p))
+        }
+        p
+      })
+    }
+
+  /** Drive one merge-sink flavor over the 4-file micro-batch stream,
+    * read its final state, and CLEAN UP the run's scratch: state and
+    * checkpoint dirs are per-invocation (globally UUID-unique — a
+    * reused checkpoint from an earlier process would resume ITS
+    * file-source log instead of streaming this split), so repeated
+    * bench/verify runs must not grow /tmp without bound. The state is
+    * localCheckpointed into block storage BEFORE deletion so the
+    * returned frame stays valid. */
+  private def runMergeStream(s: SparkSession, d: String,
+      sink: (DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row],
+      read: (SparkSession, String) => DataFrame): DataFrame = {
+    graft.io.Tables.ensureSessionRegistered(s)
+    val src = eventsSplit(s, d)
+    val runId = java.util.UUID.randomUUID()
+    val state = s"/tmp/graft_merge_state_$runId"
+    val ckpt = s"/tmp/graft_merge_ckpt_$runId"
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = sink(stream, state, ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = read(s, state).orderBy("user_id").localCheckpoint(true)
+    for (p <- Seq(state, ckpt)) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+        s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    out
+  }
+
   /** Oracle-gated run of the MERGE upsert sink (VERDICT r9 next #6,
     * second streaming row): events stream through
     * [[mergeUpsertSink]]'s foreachBatch version-chain merge in 4
@@ -768,37 +813,15 @@ object StreamOps {
     * sequence, not a single-step spec fixture.
     *
     * Scale posture: state rewrite per batch is the flat chain's
-    * O(|state|) — the bucketed sibling ([[mergeUpsertSinkBucketed]],
-    * chaos-spec'd) is the 100 TB shape; the gate runs the flat chain
-    * because its read surface is one directory. Fresh state/checkpoint
-    * dirs per invocation (a reused checkpoint would replay zero
-    * batches against an empty fresh state). */
+    * O(|state|) — the bucketed sibling ([[qStreamMergeBucketed]]) is
+    * the 100 TB shape; this gate runs the flat chain because its read
+    * surface is one directory. */
   val qStreamMerge: graft.queries.Q = graft.queries.Q("q_stream_merge",
     """SELECT user_id, COUNT(*) AS n,
       |       CAST(COALESCE(SUM(CAST(ROUND(value*100) AS BIGINT)), 0)
       |            AS BIGINT) AS cents
       |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
-    graft.io.Tables.ensureSessionRegistered(s)
-    val src = splitCache.synchronized {
-      splitCache.getOrElseUpdate(d, {
-        val p = s"/tmp/graft_stream_split_${java.util.UUID.randomUUID()}"
-        graft.io.Tables.load(s, d, "events").select("user_id", "value")
-          .repartition(4).write.mode("overwrite").parquet(p)
-        p
-      })
-    }
-    // globally unique, not a per-JVM counter: a reused checkpoint from
-    // an earlier process would resume ITS file-source log (pointing at
-    // that process's split dir) instead of streaming this one
-    val runId = java.util.UUID.randomUUID()
-    val state = s"/tmp/graft_merge_state_$runId"
-    val ckpt = s"/tmp/graft_merge_ckpt_$runId"
-    val schema = s.read.parquet(src).schema
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
-    val q = mergeUpsertSink(stream, state, ckpt).start()
-    try q.processAllAvailable() finally q.stop()
-    readMergedState(s, state).orderBy("user_id")
+    runMergeStream(s, d, mergeUpsertSink(_, _, _), readMergedState)
   }
 
   /** [[qStreamMerge]]'s BUCKETED sibling — the 100 TB merge shape gets
@@ -816,25 +839,8 @@ object StreamOps {
         |       CAST(COALESCE(SUM(CAST(ROUND(value*100) AS BIGINT)), 0)
         |            AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
-      graft.io.Tables.ensureSessionRegistered(s)
-      val src = splitCache.synchronized {
-        splitCache.getOrElseUpdate(d, {
-          val p = s"/tmp/graft_stream_split_${java.util.UUID.randomUUID()}"
-          graft.io.Tables.load(s, d, "events").select("user_id", "value")
-            .repartition(4).write.mode("overwrite").parquet(p)
-          p
-        })
-      }
-      val runId = java.util.UUID.randomUUID()
-      val state = s"/tmp/graft_merge_bstate_$runId"
-      val ckpt = s"/tmp/graft_merge_bckpt_$runId"
-      val schema = s.read.parquet(src).schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(src)
-      val q = mergeUpsertSinkBucketed(stream, state, ckpt, buckets = 8)
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      readBucketedState(s, state).orderBy("user_id")
+      runMergeStream(s, d,
+        mergeUpsertSinkBucketed(_, _, _, buckets = 8), readBucketedState)
     }
 
   /** The streaming family's registered (oracle-gated) queries; the

@@ -92,12 +92,10 @@ class PipelineOpsSpec extends SparkSpec {
     assert(v1(20L).getBoolean(3) && v1(20L).getLong(1) == 1L,
       s"D must be rejected against base A: ${v1(20L)}")
     assert(!v1(10L).getBoolean(3), s"novel B must survive: ${v1(10L)}")
-    // the fold: append ONLY the survivors' bands (same expression as
-    // qDedupIndexUpdate's memo build)
-    val survivors = docsDf.filter(inB1).select("doc_id")
-      .join(Dedup.screenBatch(docsDf.filter(inB1), bands.filter(inB1),
-        bands.filter(isBase), sh.filter(inB1), sh)
-        .filter(!col("is_dup")).select("doc_id"), Seq("doc_id"), "left_semi")
+    // the fold: append ONLY the survivors' bands (same union shape as
+    // qDedupIndexUpdate's memo build, survivors taken from v1's verdicts)
+    val survivors = v1.values.filter(!_.getBoolean(3))
+      .map(_.getLong(0)).toSeq.toDF("doc_id")
     val updated = bands.filter(isBase)
       .unionByName(bands.join(survivors, Seq("doc_id"), "left_semi"))
     val v2 = Dedup.screenBatch(docsDf.filter(inB2), bands.filter(inB2),

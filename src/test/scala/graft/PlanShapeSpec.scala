@@ -287,12 +287,14 @@ class PlanShapeSpec extends SparkSpec {
     }
     val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val ddS = plan(Dedup.qDedupDelta.fn(spark, sf001))
-      assert(!ddS.contains("CartesianProduct"), ddS)
-      assert(!ddS.contains("BroadcastNestedLoopJoin"), ddS)
-      assert(hashJoined(ddS), ddS)
-    } finally
+    try
+      for (q <- Seq(Dedup.qDedupDelta, Dedup.qDedupIndexUpdate)) {
+        val ddS = plan(q.fn(spark, sf001))
+        assert(!ddS.contains("CartesianProduct"), ddS)
+        assert(!ddS.contains("BroadcastNestedLoopJoin"), ddS)
+        assert(hashJoined(ddS), ddS)
+      }
+    finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
   }
 
