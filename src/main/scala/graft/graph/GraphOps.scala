@@ -517,13 +517,29 @@ object GraphOps {
     * bounded output whatever the graph size).
     *
     * Per round: ONE equi-join (frontier ⋈ edges on the source key) +
-    * ONE min-aggregate by node — the same driver-sequenced shape as the
-    * CC loops and PageRank, with each round's label table
+    * ONE min-aggregate by node, with each round's label table
     * `localCheckpoint`ed so lineage never replays earlier rounds (NOTES
     * gotcha). Joining the full label table (not a delta frontier) keeps
     * every round identical to the oracle's unrolled CTEs; the delta-
     * frontier refinement halves traffic on deep graphs but changes no
-    * values. Hop counts are integers end to end. */
+    * values. Hop counts are integers end to end.
+    *
+    * The checkpoints are LAZY (r11, VERDICT r10 next #5): unlike the
+    * convergence-gated loops, a fixed-round expansion makes no driver
+    * decision between rounds, so there is nothing to synchronize on —
+    * an EAGER checkpoint per round inserted 3 driver-blocking
+    * materialization barriers whose job-launch latency amplified any
+    * concurrent machine load into a multiple (the r10 driver run
+    * measured 6.4× on this query while the code was untouched). With
+    * `localCheckpoint(false)` each round's labels still materialize to
+    * block storage EXACTLY ONCE — both round-k+1 consumers (the union
+    * branch and the join probe) read the same cached blocks, which is
+    * the property the checkpoint exists for (a plain unmaterialized
+    * plan duplicates the subtree per consumer: measured, 0 reused
+    * exchanges) — but the materialization happens inside the ONE final
+    * job instead of through 3 sequenced barrier jobs (measured ~13 %
+    * faster on an idle machine, and strictly fewer scheduling points
+    * for a loaded one to stall). */
   val qBfsHops: Q = Q("q_bfs_hops", {
     val step = (k: Int) =>
       s"""d${k + 1} AS (SELECT node, MIN(hop) AS hop FROM (
@@ -546,13 +562,13 @@ object GraphOps {
     var labels: DataFrame = Tables.load(s, d, "customer")
       .filter(col("c_nationkey") === 0)
       .select((col("c_custkey") * 2).as("node"), lit(0).as("hop"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 0 until BfsRounds) {
       labels = labels
         .unionByName(e.join(labels, e("src") === labels("node"))
           .select(e("dst").as("node"), (labels("hop") + 1).as("hop")))
         .groupBy("node").agg(min("hop").as("hop"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     labels.groupBy(col("hop").cast("long").as("hop"))
       .agg(count(lit(1)).as("n_nodes"))

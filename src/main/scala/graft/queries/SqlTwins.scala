@@ -51,6 +51,15 @@ object SqlTwins {
       ("micro-batch bucketed MERGE sink (per-bucket version chains, " +
         "partial rewrites); same streaming-query limitation as " +
         "q_stream_merge"),
+    "q_stream_sessionize" ->
+      ("micro-batch flatMapGroupsWithState run (readStream -> interval " +
+        "state -> append memory sink); a SQL string cannot start a " +
+        "streaming query, and its batch SQL surface is q_sessionize's " +
+        "registered twin"),
+    "q_stream_conversion_lag" ->
+      ("micro-batch flatMapGroupsWithState run (watermark-sealed " +
+        "first-view/first-purchase state); same streaming-query " +
+        "limitation, batch SQL surface is q_conversion_lag's twin"),
     "q_dedup_components" ->
       ("iterative label propagation (driver-side loop over checkpoints); " +
         "the recursive-CTE spelling needs UNION-distinct recursion to " +
@@ -707,6 +716,7 @@ object SqlTwins {
     "q_dedup_delta" -> dedupDeltaTwin,
 
     "q_dedup_index_update" -> dedupIndexUpdateTwin,
+    "q_dedup_index_update3" -> dedupIndexUpdate3Twin,
 
     // groups with the registered incremental aggregator (minhash_sig) —
     // the SQL surface exercises the same typed Aggregator as the
@@ -1227,6 +1237,70 @@ object SqlTwins {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rnk, idot
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // Same 3 unrolled Lloyd rounds, then the retrained-quantizer
+    // float-cosine serve (q_ann_ivf's tail over trained cells)
+    "q_ann_ivf_retrain" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |           FROM embeddings),
+        |nn AS (SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e),
+        |m AS (SELECT vec_id, v,
+        |        array_max(transform(v, x -> abs(x))) AS mx FROM e),
+        |c AS (SELECT vec_id,
+        |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+        |          AS c
+        |      FROM m),
+        |x AS (SELECT vec_id, pos, val
+        |      FROM (SELECT vec_id, posexplode(c) AS (pos, val) FROM c)),
+        |cent0 AS (SELECT vec_id AS cl, pos, val AS m FROM x
+        |          WHERE vec_id < 8),
+        |d1 AS (SELECT x.vec_id, cent0.cl,
+        |         SUM((x.val - cent0.m) * (x.val - cent0.m)) AS d2
+        |       FROM x JOIN cent0 ON cent0.pos = x.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cl,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d1),
+        |s1 AS (SELECT vec_id, cl FROM a1 WHERE rn = 1),
+        |cent1 AS (SELECT s1.cl, x.pos,
+        |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+        |                 AS BIGINT) AS m
+        |          FROM x JOIN s1 ON s1.vec_id = x.vec_id GROUP BY 1, 2),
+        |d2r AS (SELECT x.vec_id, cent1.cl,
+        |          SUM((x.val - cent1.m) * (x.val - cent1.m)) AS d2
+        |        FROM x JOIN cent1 ON cent1.pos = x.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cl,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d2r),
+        |s2 AS (SELECT vec_id, cl FROM a2 WHERE rn = 1),
+        |cent2 AS (SELECT s2.cl, x.pos,
+        |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+        |                 AS BIGINT) AS m
+        |          FROM x JOIN s2 ON s2.vec_id = x.vec_id GROUP BY 1, 2),
+        |d3 AS (SELECT x.vec_id, cent2.cl,
+        |         SUM((x.val - cent2.m) * (x.val - cent2.m)) AS d2
+        |       FROM x JOIN cent2 ON cent2.pos = x.pos GROUP BY 1, 2),
+        |a3 AS (SELECT vec_id, cl, d2,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d3),
+        |cells AS (SELECT a3.vec_id, a3.cl, nn.v, nn.nrm FROM a3
+        |          JOIN nn ON nn.vec_id = a3.vec_id WHERE a3.rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cl FROM a3
+        |           WHERE rn <= ${graft.similarity.Similarity.IvfProbe}
+        |             AND ${graft.similarity.Similarity.QuerySet}),
+        |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+        |    graft_dot(q.v, b.v) / (q.nrm * b.nrm) AS cos
+        |  FROM probes p
+        |  JOIN nn q ON q.vec_id = p.query_id
+        |  JOIN cells b ON b.cl = p.cl AND b.vec_id != p.query_id),
+        |ranked2 AS (SELECT query_id, neighbor_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim
+        |FROM ranked2 WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     // Same 3 unrolled Lloyd rounds as the q_kmeans twin, plus the
     // (cluster, label) purity tail
@@ -1872,6 +1946,80 @@ object SqlTwins {
        |       p.best_base % 10 = 0 AS from_batch1
        |FROM documents d LEFT JOIN pick p ON p.new_doc = d.doc_id
        |WHERE d.doc_id % 10 = 5
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[dedupIndexUpdateTwin]]'s three-batch chain — phase-k candidates
+    * are eligible against the base plus every earlier batch's
+    * survivors, mirroring q_dedup_index_update3. */
+  private lazy val dedupIndexUpdate3Twin: String = {
+    import TextHash.{Bands, K, R}
+    val sigCols = (0 until K)
+      .map(k => s"${minhashSql("hs", k)} AS m$k").mkString(",\n       ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until R).map(r => s"CAST(m${b * R + r} AS STRING)")
+        .mkString("concat_ws('_', ", ", ", ")")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val jac =
+      """CAST(size(array_intersect(sa.hs, sb.hs)) AS DOUBLE)
+        |      / (CAST(size(sa.hs) AS BIGINT) + CAST(size(sb.hs) AS BIGINT)
+        |         - CAST(size(array_intersect(sa.hs, sb.hs)) AS BIGINT))"""
+        .stripMargin
+    def elig(earlier: Seq[(Int, String)]): String =
+      (s"o.doc_id % 10 NOT IN (0, 5, 3)" +:
+        earlier.map { case (m, dups) =>
+          s"(o.doc_id % 10 = $m AND o.doc_id NOT IN " +
+            s"(SELECT new_doc FROM $dups))"
+        }).mkString("(", "\n         OR ", ")")
+    def candCte(name: String, m: Int, earlier: Seq[(Int, String)]): String =
+      s"""$name AS (
+         |  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS base_doc
+         |  FROM bands n JOIN bands o
+         |    ON n.band = o.band AND n.key = o.key
+         |  WHERE n.doc_id % 10 = $m
+         |    AND ${elig(earlier)})"""
+    def dupsCte(name: String, cand: String): String =
+      s"""$name AS (
+         |  SELECT DISTINCT c.new_doc
+         |  FROM $cand c
+         |  JOIN sh sa ON sa.doc_id = c.new_doc
+         |  JOIN sh sb ON sb.doc_id = c.base_doc
+         |  WHERE $jac
+         |      >= 0.8)"""
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, hs,
+       |       $sigCols
+       |FROM sh),
+       |bands AS (
+       |  $bandSelects),
+       |${candCte("c1", 0, Seq.empty)},
+       |${dupsCte("b1dups", "c1")},
+       |${candCte("c2", 5, Seq(0 -> "b1dups"))},
+       |${dupsCte("b2dups", "c2")},
+       |${candCte("c3", 3, Seq(0 -> "b1dups", 5 -> "b2dups"))},
+       |hits AS (
+       |  SELECT c.new_doc, c.base_doc,
+       |    $jac
+       |      AS jaccard
+       |  FROM c3 c
+       |  JOIN sh sa ON sa.doc_id = c.new_doc
+       |  JOIN sh sb ON sb.doc_id = c.base_doc),
+       |hits8 AS (SELECT * FROM hits WHERE jaccard >= 0.8),
+       |best AS (SELECT new_doc, MAX(jaccard) AS best_jaccard
+       |         FROM hits8 GROUP BY new_doc),
+       |pick AS (SELECT h.new_doc, b.best_jaccard,
+       |                MIN(h.base_doc) AS best_base
+       |         FROM hits8 h JOIN best b
+       |           ON b.new_doc = h.new_doc
+       |          AND h.jaccard = b.best_jaccard
+       |         GROUP BY h.new_doc, b.best_jaccard)
+       |SELECT d.doc_id, p.best_base, p.best_jaccard,
+       |       p.best_jaccard IS NOT NULL AS is_dup,
+       |       p.best_base % 10 = 0 AS from_b1,
+       |       p.best_base % 10 = 5 AS from_b2
+       |FROM documents d LEFT JOIN pick p ON p.new_doc = d.doc_id
+       |WHERE d.doc_id % 10 = 3
        |ORDER BY doc_id""".stripMargin
   }
 

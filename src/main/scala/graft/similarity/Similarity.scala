@@ -474,9 +474,37 @@ object Similarity {
     * (vec_id < 10) and the anchor slice — queries and the coarse
     * quantizer belong to the BASE corpus by construction (the index is
     * trained on what exists; the delta is what arrives). */
-  private val IvfBatchSql: String =
-    s"vec_id % 10 = 7 AND vec_id >= 10 AND NOT " +
+  private val IvfBatchSql: String = ivfBatchSql(7)
+
+  /** [[IvfBatchSql]] parameterized by the mod-10 slice, so the N-fold
+    * gate ([[qAnnIndexUpdate3]]) can name further batches. */
+  private def ivfBatchSql(m: Int): String =
+    s"vec_id % 10 = $m AND vec_id >= 10 AND NOT " +
       s"(vec_id >= $IvfAnchorBase AND vec_id < ${IvfAnchorBase + IvfCells})"
+
+  /** The APPEND step of a persisted IVF store, shared by the one- and
+    * N-fold maintenance gates: assign ONLY the arriving batch against
+    * the existing anchors (|batch| × Cells broadcast NLJ — constant
+    * width) and return its cell rows, ready to union into the index. */
+  private def assignBatchCells(s: SparkSession, d: String,
+      isBatch: Column): DataFrame = {
+    val n = withNorm(emb(s, d)).select("vec_id", "v", "nrm")
+    val anch = n.filter(col("vec_id") >= IvfAnchorBase &&
+        col("vec_id") < IvfAnchorBase + IvfCells)
+      .select(col("vec_id").as("anchor_id"), col("v").as("av"),
+        col("nrm").as("anrm"))
+    val bAssign = n.filter(isBatch).crossJoin(broadcast(anch))
+      .select(col("vec_id"), col("v"), col("nrm"), col("anchor_id"),
+        (dot(col("v"), col("av")) / (col("nrm") * col("anrm")))
+          .as("acos"))
+    val aw = Window.partitionBy("vec_id")
+      .orderBy(desc("acos"), asc("anchor_id"))
+    bAssign
+      .withColumn("arnk", row_number().over(aw))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("anchor_id").as("cell"))
+  }
 
   /** Incremental ANN index maintenance — the embedding-side sibling of
     * [[graft.dedup.Dedup.qDedupIndexUpdate]], closing the
@@ -536,23 +564,7 @@ object Similarity {
             col("anchor_id").as("cell"))
         // fresh assignment of ONLY the batch against the existing
         // anchors — the append step of a persisted IVF store
-        val n = withNorm(emb(s, d)).select("vec_id", "v", "nrm")
-        val anch = n.filter(col("vec_id") >= IvfAnchorBase &&
-            col("vec_id") < IvfAnchorBase + IvfCells)
-          .select(col("vec_id").as("anchor_id"), col("v").as("av"),
-            col("nrm").as("anrm"))
-        val bAssign = n.filter(isBatch).crossJoin(broadcast(anch))
-          .select(col("vec_id"), col("v"), col("nrm"), col("anchor_id"),
-            (dot(col("v"), col("av")) / (col("nrm") * col("anrm")))
-              .as("acos"))
-        val aw = Window.partitionBy("vec_id")
-          .orderBy(desc("acos"), asc("anchor_id"))
-        val batchCells = bAssign
-          .withColumn("arnk", row_number().over(aw))
-          .filter(col("arnk") === 1)
-          .select(col("vec_id"), col("v"), col("nrm"),
-            col("anchor_id").as("cell"))
-        baseCells.unionByName(batchCells)
+        baseCells.unionByName(assignBatchCells(s, d, isBatch))
       }
       val nb = col("neighbor_id")
       ivfServeTop3(ranked, updated)
@@ -560,6 +572,178 @@ object Similarity {
           nb % 10 === 7 && nb >= 10 &&
             !(nb >= IvfAnchorBase && nb < IvfAnchorBase + IvfCells))
         .orderBy("query_id", "rnk")
+  }
+
+  /** N-batch IVF fold — the induction step behind [[qAnnIndexUpdate]]'s
+    * two-batch base case (VERDICT r10 next #2, embedding side): TWO
+    * successive batches (`vec_id % 10` ∈ {7, 3}, anchors and the query
+    * set excluded) are assigned fresh against the existing anchors and
+    * folded into the index SEQUENTIALLY (per-step session memos
+    * `ivfIncr3_1`, `ivfIncr3_2`, each append billed in `memo_builds`),
+    * and the query set serves against the twice-folded index. With
+    * anchors fixed, per-vector assignment is batching-invariant, so the
+    * from-scratch oracle is the whole-corpus assignment — what the gate
+    * checks is that the chained append plumbing (slice exclusions,
+    * unions, the shared serve) neither loses nor duplicates rows across
+    * N steps. `is_new1`/`is_new2` mark neighbors that arrived with each
+    * batch. Serve is the expression-identical [[ivfServeTop3]] shared
+    * with [[qAnnIvf]]/[[qAnnIndexUpdate]]. */
+  val qAnnIndexUpdate3: Q = Q("q_ann_index_update3",
+    s"""WITH $ivfRankedCteSql,
+       |cells AS (SELECT vec_id, v, nrm, anchor_id AS cell FROM ranked
+       |          WHERE arnk = 1),
+       |probes AS (SELECT vec_id, v, nrm, anchor_id AS cell FROM ranked
+       |           WHERE arnk <= $IvfProbe AND $QuerySet),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |  FROM probes q JOIN cells c ON c.cell = q.cell
+       |                AND c.vec_id != q.vec_id),
+       |ranked2 AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim,
+       |       (neighbor_id % 10 = 7 AND neighbor_id >= 10 AND NOT
+       |        (neighbor_id >= $IvfAnchorBase
+       |         AND neighbor_id < ${IvfAnchorBase + IvfCells})) AS is_new1,
+       |       (neighbor_id % 10 = 3 AND neighbor_id >= 10 AND NOT
+       |        (neighbor_id >= $IvfAnchorBase
+       |         AND neighbor_id < ${IvfAnchorBase + IvfCells})) AS is_new2
+       |FROM ranked2 WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) {
+    (s, d) =>
+      val ranked = ivfRanked(s, d)
+      val preds = Seq(expr(ivfBatchSql(7)), expr(ivfBatchSql(3)))
+      val base = ranked
+        .filter(col("arnk") === 1 && !preds.reduce(_ || _))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("anchor_id").as("cell"))
+      val folded = preds.zipWithIndex.foldLeft(base) {
+        case (index, (pred, i)) =>
+          memo(s, s"ivfIncr3_${i + 1}", d)(
+            index.unionByName(assignBatchCells(s, d, pred)))
+      }
+      val nb = col("neighbor_id")
+      def isNew(m: Int) = nb % 10 === m && nb >= 10 &&
+        !(nb >= IvfAnchorBase && nb < IvfAnchorBase + IvfCells)
+      ivfServeTop3(ranked, folded)
+        .withColumn("is_new1", isNew(7))
+        .withColumn("is_new2", isNew(3))
+        .orderBy("query_id", "rnk")
+  }
+
+  /** Scheduled IVF RETRAIN (VERDICT r10 next #3): the other half of the
+    * "append cheap / retrain scheduled" contract the fold gates
+    * ([[qAnnIndexUpdate]]/[[qAnnIndexUpdate3]]) rely on. The appends
+    * keep the coarse quantizer FIXED; as batches accumulate, the
+    * quantizer drifts away from the data distribution, and a production
+    * IVF store periodically RETRAINS it offline and swaps the index.
+    * This operator performs that rebuild: [[lloydCentroids]] (the
+    * [[qKmeans]] integer-exact machinery, k = 8, 3 rounds) trains new
+    * cells over the int8 codes of the base PLUS all accumulated batches
+    * (= the whole corpus at this point of the ingest chronology), every
+    * vector re-assigns to its nearest trained centroid — a ZERO-shuffle
+    * projection against the k literal centroids, argmin by integer
+    * distance with cluster-id tiebreak — and the query set serves
+    * through the expression-identical [[ivfServeTop3]] (float-cosine
+    * probe-cell scoring, so the serve stage is the one shared with the
+    * whole IVF family, only the quantizer changed). The rebuilt index
+    * is session-memoized as `ivfRetrain`, so its one-shot cost lands in
+    * `memo_builds` NEXT TO the `ivfIncr*` append costs — the
+    * append-vs-retrain bill the scaladoc claim used to assert without
+    * measuring.
+    *
+    * Oracle-exact like [[qAnnIvfKmeans]]: training and assignment are
+    * all integer after the exactly-rounded centroid division; the
+    * cosine tail is the [[qAnnIvf]]-proven float expression. At 100 TB
+    * the retrain is the scheduled O(rounds × N × k) rebuild; the swap
+    * is a pointer flip (here: a new memo tag), and serving never
+    * changes shape. */
+  val qAnnIvfRetrain: Q = Q("q_ann_ivf_retrain",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |m AS (SELECT vec_id, v,
+       |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |c AS (SELECT vec_id,
+       |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+       |          AS c
+       |      FROM m),
+       |cent0 AS (SELECT vec_id AS cl, c AS m FROM c WHERE vec_id < 8),
+       |a1 AS (SELECT vec_id, cl, c, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+       |           AS rn
+       |       FROM (SELECT c.vec_id, cent0.cl, c.c,
+       |               list_sum(list_transform(range(1, 65),
+       |                 i -> (c.c[i] - cent0.m[i])
+       |                      * (c.c[i] - cent0.m[i]))) AS d2
+       |             FROM c CROSS JOIN cent0)),
+       |s1 AS (SELECT vec_id, cl, c FROM a1 WHERE rn = 1),
+       |cent1 AS (SELECT cl,
+       |            list_transform(range(1, 65),
+       |              i -> CAST(floor(CAST(list_sum(list_transform(list(c),
+       |                   cc -> cc[i])) AS DOUBLE) / COUNT(*)) AS BIGINT))
+       |              AS m
+       |          FROM s1 GROUP BY cl),
+       |a2 AS (SELECT vec_id, cl, c, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+       |           AS rn
+       |       FROM (SELECT c.vec_id, cent1.cl, c.c,
+       |               list_sum(list_transform(range(1, 65),
+       |                 i -> (c.c[i] - cent1.m[i])
+       |                      * (c.c[i] - cent1.m[i]))) AS d2
+       |             FROM c CROSS JOIN cent1)),
+       |s2 AS (SELECT vec_id, cl, c FROM a2 WHERE rn = 1),
+       |cent2 AS (SELECT cl,
+       |            list_transform(range(1, 65),
+       |              i -> CAST(floor(CAST(list_sum(list_transform(list(c),
+       |                   cc -> cc[i])) AS DOUBLE) / COUNT(*)) AS BIGINT))
+       |              AS m
+       |          FROM s2 GROUP BY cl),
+       |a3 AS (SELECT vec_id, cl, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+       |           AS rn
+       |       FROM (SELECT c.vec_id, cent2.cl,
+       |               list_sum(list_transform(range(1, 65),
+       |                 i -> (c.c[i] - cent2.m[i])
+       |                      * (c.c[i] - cent2.m[i]))) AS d2
+       |             FROM c CROSS JOIN cent2)),
+       |cells AS (SELECT a3.vec_id, a3.cl, n.v, n.nrm
+       |          FROM a3 JOIN n ON n.vec_id = a3.vec_id WHERE a3.rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cl FROM a3
+       |           WHERE rn <= $IvfProbe AND $QuerySet),
+       |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
+       |  FROM probes p
+       |  JOIN n q ON q.vec_id = p.query_id
+       |  JOIN cells b ON b.cl = p.cl AND b.vec_id != p.query_id),
+       |ranked2 AS (SELECT query_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim
+       |FROM ranked2 WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) {
+    (s, d) =>
+      val retrained = memo(s, "ivfRetrain", d) {
+        val codes = int8Codes(s, d).select("vec_id", "c")
+        val cents = lloydCentroids(codes, 8, rounds = 3)
+        // trained-cell ranks for every vector: integer distance against
+        // the k LITERAL centroids, sorted in-row — zero shuffle
+        val scored = array_sort(array(cents.map { case (cl, m) =>
+          struct(lloydD2(m).as("d2"), lit(cl).as("cl"))
+        }: _*))
+        withNorm(emb(s, d)).select("vec_id", "v", "nrm")
+          .join(codes, "vec_id")
+          .withColumn("sc", slice(scored, 1, IvfProbe))
+          .select(col("vec_id"), col("v"), col("nrm"),
+            posexplode(col("sc")))
+          .select(col("vec_id"), col("v"), col("nrm"),
+            (col("pos") + 1).as("arnk"), col("col.cl").as("anchor_id"))
+      }
+      val cells = retrained.filter(col("arnk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("anchor_id").as("cell"))
+      ivfServeTop3(retrained, cells).orderBy("query_id", "rnk")
   }
 
   /** SemDeDup cosine threshold. On a real corpus this sits at ~0.95+
@@ -2493,6 +2677,7 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qAnnIndexUpdate,
+      qAnnIndexUpdate3, qAnnIvfRetrain,
       qEmbedNearDup,
       qSemdedup, qAnnInt8, qAnnIvfKmeans, qLabelOutliers, qKmeans,
       qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered,

@@ -49,7 +49,18 @@ import org.apache.spark.sql.functions._
 object MakeScale5x {
 
   private val Offset = 1000000L
-  private val Replicas = 5
+
+  /** Replication factor (r11): default 5 keeps the established octave;
+    * `GRAFT_SCALE_REPLICAS=25` grows a second octave above it (a
+    * two-octave span shows a knee a single point can hide). Capped so
+    * replica id spaces (r·Offset) stay disjoint and well under the
+    * fixed probe/anchor ranges' 10⁶ shift. */
+  private val Replicas: Int =
+    sys.env.get("GRAFT_SCALE_REPLICAS").map(_.toInt) match {
+      case Some(n) if n >= 1 && n <= 100 => n
+      case Some(n) => sys.error(s"GRAFT_SCALE_REPLICAS out of range: $n")
+      case None => 5
+    }
 
   def main(args: Array[String]): Unit = {
     val Array(src, out) = args.take(2)

@@ -802,4 +802,92 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.catalog.listTables().count() == viewsBefore,
       "memory-sink temp view leaked")
   }
+
+  test("stateful split: 6 ordered files, out-of-order delivery, no row " +
+    "lost, sentinels last") {
+    val sp = StreamOps.statefulSplit(spark, sf001)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(sp.path), spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(sp.path))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(files == (0 to 5).map(k => f"ev_$k%02d.parquet"),
+      files.mkString(","))
+    // strictly increasing modification times drive file-source order
+    val mts = files.map(f => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(sp.path, f)).getModificationTime)
+    assert(mts == mts.sorted && mts.distinct.size == mts.size)
+    val all = spark.read.parquet(sp.path)
+    val nEvents = Tables.load(spark, sf001, "events").count()
+    assert(all.count() == nEvents + 2, "split must lose no event")
+    assert(all.filter(col("user_id") < 0).count() == 2)
+    // sentinels sit in the LAST two files (they must arrive after all
+    // real data to flush, not drop, it)
+    val sentFiles = all.withColumn("f", input_file_name())
+      .filter(col("user_id") < 0).select("f").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(sentFiles.forall(f => f.contains("ev_04") || f.contains("ev_05")),
+      sentFiles.mkString(","))
+    // genuine out-of-order delivery: some file k carries an event OLDER
+    // than an earlier file's maximum — the displaced ~20 %
+    val stats = all.filter(col("user_id") >= 0)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))
+      .orderBy("f").collect()
+    val crossesBoundary = stats.indices.drop(1).exists(k =>
+      stats(k).getLong(1) < stats.take(k).map(_.getLong(2)).max)
+    assert(crossesBoundary, "no displaced event crosses a batch boundary")
+  }
+
+  test("stateful streaming gates equal their batch twins at sf0.001") {
+    import spark.implicits._
+    // sessionize: the streamed sessions ≡ the windowed-SQL batch twin
+    val streamed = StreamOps.qStreamSessionize.fn(spark, sf001)
+    val twin = RelOps.qSessionize.fn(spark, sf001)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    assert(streamed.count() == twin.count())
+    assert(streamed.select(twin.columns.map(col): _*)
+      .except(twin).count() == 0)
+    assert(twin.except(streamed.select(twin.columns.map(col): _*))
+      .count() == 0)
+    // conversionLag: the streamed pairs ≡ the batch endpoint aggregates
+    val pairs = StreamOps.qStreamConversionLag.fn(spark, sf001)
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("view_us"))
+    val expected = ev.filter(col("event_type") === "purchase")
+      .join(fv, "user_id").filter(col("t") >= col("view_us"))
+      .groupBy("user_id", "view_us").agg(min("t").as("buy_us"))
+      .select(col("user_id"), col("view_us"), col("buy_us"),
+        (col("buy_us") - col("view_us")).as("lag_us"))
+    assert(pairs.count() == expected.count() && pairs.count() > 0)
+    assert(pairs.except(expected).count() == 0)
+    assert(expected.except(pairs).count() == 0)
+  }
+
+  test("streaming scratch root is conf-resolved: an alternate root " +
+    "receives all scratch, /tmp stays untouched") {
+    val alt = java.nio.file.Files
+      .createTempDirectory("graft_alt_root_").toString
+    def tmpScratch(): Set[String] =
+      new java.io.File("/tmp").list().toSet.filter(_.startsWith("graft_"))
+    val before = tmpScratch()
+    spark.conf.set("spark.graft.scratchRoot", alt)
+    try {
+      assert(StreamOps.qStreamMerge.fn(spark, sf001).count() > 0)
+      assert(StreamOps.qStreamSessionize.fn(spark, sf001).count() > 0)
+      val altDirs = new java.io.File(alt).list().toSet
+      // the per-JVM splits persist (deleted at exit); per-run state/ckpt
+      // dirs are already gone
+      assert(altDirs.exists(_.startsWith("graft_stream_split_")), altDirs)
+      assert(altDirs.exists(_.startsWith("graft_stateful_split_")), altDirs)
+      assert(!altDirs.exists(_.startsWith("graft_merge_state_")), altDirs)
+      assert(!altDirs.exists(_.startsWith("graft_sink_ckpt_")), altDirs)
+      assert(tmpScratch() == before,
+        s"/tmp grew: ${(tmpScratch() -- before).mkString(",")}")
+    } finally spark.conf.unset("spark.graft.scratchRoot")
+  }
 }
