@@ -207,12 +207,23 @@ object Dedup {
     * the same index shape serves the batch self-join
     * ([[qMinhashLsh]]'s inlined spelling) and the stream-static
     * admission join ([[graft.streaming.StreamOps.nearDupAlerts]]). */
-  def lshBands(sh: DataFrame): DataFrame = {
+  def lshBands(sh: DataFrame): DataFrame = lshBandsWith(sh, Bands, R)
+
+  /** [[lshBands]] at an explicit banding shape (bands × r ≤ K minhashes
+    * used): the retune surface — [[qDedupReband]] rebuilds the index at
+    * a WIDER r as the corpus grows, the standard occupancy-control move
+    * (a band key of r minhashes has collision probability s^r, so
+    * raising r thins every bucket at the cost of the S-curve's knee
+    * moving right). The K minhash functions are fixed; only the
+    * grouping into keys changes, so a re-band never re-hashes the
+    * corpus — it re-projects the signature columns. */
+  def lshBandsWith(sh: DataFrame, bands: Int, r: Int): DataFrame = {
+    require(bands * r <= K, s"banding $bands x $r exceeds K=$K minhashes")
     val sig = array((0 until K).map(k => minhash(col("hs"), k)): _*)
-    val bandStructs = array((0 until Bands).map { b =>
+    val bandStructs = array((0 until bands).map { b =>
       val key = concat_ws("_",
-        (0 until R).map(r =>
-          col("__sig").getItem(b * R + r).cast("string")): _*)
+        (0 until r).map(i =>
+          col("__sig").getItem(b * r + i).cast("string")): _*)
       struct(lit(b).as("band"), key.as("key"))
     }: _*)
     sh.withColumn("__sig", sig)
@@ -657,6 +668,88 @@ object Dedup {
         sh)
         .withColumn("from_b1", col("best_base") % 10 === 0)
         .withColumn("from_b2", col("best_base") % 10 === 5)
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Scheduled banding RETUNE (the dedup half of VERDICT r10 missing
+    * #3, next to [[graft.similarity.Similarity.qAnnIvfRetrain]]'s IVF
+    * half): the append-only folds keep the banding SHAPE fixed, and as
+    * the corpus grows every (band, key) bucket fills — candidate volume
+    * per probe is |batch| × occupancy, so occupancy is the number the
+    * operator of a 100 TB dedup store actually watches. The standard
+    * scheduled move is a re-band at wider r: the K = 16 minhash
+    * signatures are already persisted (a re-band re-PROJECTS them into
+    * new keys — [[lshBandsWith]] — it never re-hashes text), and a key
+    * of r = 8 minhashes collides at s⁸ instead of s⁴, thinning every
+    * bucket while the ≥ 0.8 verify keeps emitted scores exact.
+    *
+    * This operator performs that rebuild: re-band the accumulated
+    * corpus (everything except the arriving batch, `doc_id % 10 = 7` —
+    * a slice no fold gate uses) at 2 bands × r = 8, memoized as
+    * `bandsReband` so the rebuild's one-shot cost lands in
+    * `memo_builds` NEXT TO the `bandsIncr*` append costs (the
+    * append-vs-retune bill, measured), then screen the batch against
+    * the retuned index. Oracle: the same 2×8 banding and screen from
+    * scratch in DuckDB. `RebandSpec` pins the occupancy claim —
+    * candidate volume under 2×8 is ≤ the 4×4 volume on the same
+    * batch — so the retune's point is asserted, not narrated. */
+  val qDedupReband: Q = {
+    val RebandBands = 2
+    val RebandR = 8
+    val sigSqlCols = (0 until K)
+      .map(k => s"${minhashSql("hs", k)} AS m$k").mkString(",\n       ")
+    val bandSelects = (0 until RebandBands).map { b =>
+      val key = (0 until RebandR).map(i => s"m${b * RebandR + i}::VARCHAR")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    Q("q_dedup_reband",
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, hs,
+         |       $sigSqlCols
+         |FROM sh),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS base_doc
+         |  FROM bands n JOIN bands o
+         |    ON n.band = o.band AND n.key = o.key
+         |  WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 != 7),
+         |hits AS (
+         |  SELECT c.new_doc, c.base_doc,
+         |    CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
+         |         AS DOUBLE)
+         |      / (len(sa.hs) + len(sb.hs)
+         |         - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))))
+         |      AS jaccard
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.new_doc
+         |  JOIN sh sb ON sb.doc_id = c.base_doc),
+         |hits8 AS (SELECT * FROM hits WHERE jaccard >= 0.8),
+         |best AS (SELECT new_doc, MAX(jaccard) AS best_jaccard
+         |         FROM hits8 GROUP BY 1),
+         |pick AS (SELECT h.new_doc, b.best_jaccard,
+         |                MIN(h.base_doc) AS best_base
+         |         FROM hits8 h JOIN best b
+         |           ON b.new_doc = h.new_doc
+         |          AND h.jaccard = b.best_jaccard
+         |         GROUP BY 1, 2)
+         |SELECT d.doc_id, p.best_base, p.best_jaccard,
+         |       p.best_jaccard IS NOT NULL AS is_dup
+         |FROM documents d
+         |LEFT JOIN pick p ON p.new_doc = d.doc_id
+         |WHERE d.doc_id % 10 = 7
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val sh = shingleSets(s, d)
+      val isBatch = col("doc_id") % 10 === 7
+      val retuned = graft.plans.FrameMemo.memo(s, "bandsReband", d)(
+        lshBandsWith(sh.filter(!isBatch), RebandBands, RebandR)
+          .select("doc_id", "band", "key"))
+      screenBatch(docs(s, d).filter(isBatch),
+        lshBandsWith(sh.filter(isBatch), RebandBands, RebandR)
+          .select("doc_id", "band", "key"),
+        retuned, sh.filter(isBatch), sh)
         .orderBy("doc_id")
     }
   }
@@ -1651,7 +1744,8 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccardPairs, qMinhashLsh, qMinhashIncremental,
-    qDedupDelta, qDedupIndexUpdate, qDedupIndexUpdate3, qDedupNearRemoved,
+    qDedupDelta, qDedupIndexUpdate, qDedupIndexUpdate3, qDedupReband,
+    qDedupNearRemoved,
     qSimhashDocs,
     qSimhashPairs,
     qSimhashWideDocs,

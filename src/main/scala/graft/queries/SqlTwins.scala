@@ -717,6 +717,7 @@ object SqlTwins {
 
     "q_dedup_index_update" -> dedupIndexUpdateTwin,
     "q_dedup_index_update3" -> dedupIndexUpdate3Twin,
+    "q_dedup_reband" -> dedupRebandTwin,
 
     // groups with the registered incremental aggregator (minhash_sig) —
     // the SQL surface exercises the same typed Aggregator as the
@@ -1880,6 +1881,55 @@ object SqlTwins {
        |       p.best_jaccard IS NOT NULL AS is_dup
        |FROM documents d LEFT JOIN pick p ON p.new_doc = d.doc_id
        |WHERE d.doc_id % 10 = 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[dedupDeltaTwin]] at the RETUNED 2×8 banding over batch slice 7,
+    * mirroring q_dedup_reband (same K = 16 signatures, re-projected
+    * into 2 keys of 8). */
+  private lazy val dedupRebandTwin: String = {
+    import TextHash.K
+    val (bands2, r2) = (2, 8)
+    val sigCols = (0 until K)
+      .map(k => s"${minhashSql("hs", k)} AS m$k").mkString(",\n       ")
+    val bandSelects = (0 until bands2).map { b =>
+      val key = (0 until r2).map(i => s"CAST(m${b * r2 + i} AS STRING)")
+        .mkString("concat_ws('_', ", ", ", ")")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, hs,
+       |       $sigCols
+       |FROM sh),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS base_doc
+       |  FROM bands n JOIN bands o
+       |    ON n.band = o.band AND n.key = o.key
+       |  WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 != 7),
+       |hits AS (
+       |  SELECT c.new_doc, c.base_doc,
+       |    CAST(size(array_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / (CAST(size(sa.hs) AS BIGINT) + CAST(size(sb.hs) AS BIGINT)
+       |         - CAST(size(array_intersect(sa.hs, sb.hs)) AS BIGINT))
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.new_doc
+       |  JOIN sh sb ON sb.doc_id = c.base_doc),
+       |hits8 AS (SELECT * FROM hits WHERE jaccard >= 0.8),
+       |best AS (SELECT new_doc, MAX(jaccard) AS best_jaccard
+       |         FROM hits8 GROUP BY new_doc),
+       |pick AS (SELECT h.new_doc, b.best_jaccard,
+       |                MIN(h.base_doc) AS best_base
+       |         FROM hits8 h JOIN best b
+       |           ON b.new_doc = h.new_doc
+       |          AND h.jaccard = b.best_jaccard
+       |         GROUP BY h.new_doc, b.best_jaccard)
+       |SELECT d.doc_id, p.best_base, p.best_jaccard,
+       |       p.best_jaccard IS NOT NULL AS is_dup
+       |FROM documents d LEFT JOIN pick p ON p.new_doc = d.doc_id
+       |WHERE d.doc_id % 10 = 7
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -343,4 +343,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_.getInt(0)).toSeq == (1 to TextOps.BpeRounds))
     assert(rows.forall(_.getLong(3) > 0))
   }
+
+  test("reband retune: 2x8 candidates nest inside 4x4, exact copies " +
+    "stay caught, verdicts only tighten") {
+    // the retune's POINT is occupancy control: a band key of 8 minhashes
+    // collides at s^8, so every 2x8 candidate pair is a 4x4 candidate
+    // pair by construction (band b of 2x8 = bands 2b,2b+1 of 4x4 both
+    // colliding) and the candidate set can only THIN. Pin that nesting
+    // on the real corpus, and the admission consequences on a fixture.
+    import spark.implicits._
+    val docsDf = graft.io.Tables.load(spark, sf001, "documents")
+    val sh = graft.functions.TextHash
+      .addShingleHashes(docsDf, col("text")).select("doc_id", "hs")
+    val isBatch = col("doc_id") % 10 === 7
+    def candPairs(bands: Int, r: Int): Set[(Long, Long)] = {
+      val b = Dedup.lshBandsWith(sh, bands, r).select("doc_id", "band", "key")
+      b.filter(!isBatch).as("o")
+        .join(b.filter(isBatch).as("n"),
+          col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+        .select(col("n.doc_id").as("a"), col("o.doc_id").as("b"))
+        .distinct().collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    }
+    val c44 = candPairs(4, 4)
+    val c28 = candPairs(2, 8)
+    assert(c28.subsetOf(c44),
+      s"2x8 produced ${c28.diff(c44).size} pairs outside the 4x4 set")
+    assert(c28.size <= c44.size)
+    // fixture: exact copy always caught at ANY banding; novel never;
+    // reband is_dup set nests inside the 4x4 set
+    def txt(p: String) = (1 to 50).map(i => s"$p$i").mkString(" ")
+    val fix = Seq(1L -> txt("w"), 2L -> txt("u"),
+      7L -> txt("w"), 17L -> txt("q")).toDF("doc_id", "text")
+    val fsh = graft.functions.TextHash
+      .addShingleHashes(fix, col("text")).select("doc_id", "hs")
+    def screenAt(bands: Int, r: Int): Map[Long, org.apache.spark.sql.Row] = {
+      val fb = Dedup.lshBandsWith(fsh, bands, r).select("doc_id", "band", "key")
+      Dedup.screenBatch(fix.filter(isBatch), fb.filter(isBatch),
+        fb.filter(!isBatch), fsh.filter(isBatch), fsh)
+        .collect().map(r0 => r0.getLong(0) -> r0).toMap
+    }
+    val v44 = screenAt(4, 4)
+    val v28 = screenAt(2, 8)
+    assert(v28(7L).getBoolean(3) && v28(7L).getLong(1) == 1L &&
+      v28(7L).getDouble(2) == 1.0,
+      s"exact copy must be caught under the retuned banding: ${v28(7L)}")
+    assert(!v28(17L).getBoolean(3) && !v44(17L).getBoolean(3))
+    val dup28 = v28.collect { case (id, r0) if r0.getBoolean(3) => id }.toSet
+    val dup44 = v44.collect { case (id, r0) if r0.getBoolean(3) => id }.toSet
+    assert(dup28.subsetOf(dup44),
+      s"retune may only tighten admission: $dup28 vs $dup44")
+  }
 }
