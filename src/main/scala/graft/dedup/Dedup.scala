@@ -321,6 +321,17 @@ object Dedup {
     graft.plans.FrameMemo.memo(s, "docBands", d)(
       lshBands(shingleSets(s, d)).select("doc_id", "band", "key"))
 
+  /** The memoized corpus artifacts, exposed for the STREAMING ingest
+    * gate ([[graft.streaming.StreamOps]]'s q_stream_dedup_ingest): the
+    * stream computes each batch's shingles/bands from the streamed text
+    * itself, but the verify join needs the corpus-side shingle sets and
+    * the seed index needs the base corpus banding — the same persisted
+    * artifacts every batch-mode screen starts from. */
+  private[graft] def corpusShingles(s: SparkSession, d: String): DataFrame =
+    shingleSets(s, d)
+  private[graft] def corpusBands(s: SparkSession, d: String): DataFrame =
+    docBands(s, d)
+
   /** Directional batch-admission screen shared by [[qDedupDelta]] and
     * [[qDedupIndexUpdate]]: probe the persisted `indexBands` with the
     * batch's bands on (band, key), verify candidates with exact Jaccard

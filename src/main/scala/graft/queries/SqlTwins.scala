@@ -60,6 +60,11 @@ object SqlTwins {
       ("micro-batch flatMapGroupsWithState run (watermark-sealed " +
         "first-view/first-purchase state); same streaming-query " +
         "limitation, batch SQL surface is q_conversion_lag's twin"),
+    "q_stream_dedup_ingest" ->
+      ("micro-batch foreachBatch screen->fold ingest over a version-" +
+        "chained banding index; a SQL string cannot start a streaming " +
+        "query, and the batch SQL surface of the same chain is " +
+        "q_dedup_index_update3's registered twin"),
     "q_dedup_components" ->
       ("iterative label propagation (driver-side loop over checkpoints); " +
         "the recursive-CTE spelling needs UNION-distinct recursion to " +

@@ -511,6 +511,57 @@ class StreamOpsSpec extends SparkSpec {
     assert(state(1) == v1)
   }
 
+  test("dedup ingest apply: folds serve later batches, replays are " +
+    "exactly-once, rejected docs never enter the index") {
+    import spark.implicits._
+    // corpus: A base; B batch-0 novel (survives), D batch-0 near-copy
+    // of A (rejected); C batch-1 near-copy of B (must match the FOLDED
+    // survivor), E batch-1 exact copy of D (must match base A at j<1 —
+    // rejected docs are invisible to later screens)
+    def txt(p: String) = (1 to 50).map(i => s"$p$i").mkString(" ")
+    def mut(p: String) = ((1 to 49).map(i => s"$p$i") :+ "zz").mkString(" ")
+    val docsDf = Seq(1L -> txt("w"), 10L -> txt("v"), 20L -> mut("w"),
+      5L -> mut("v"), 15L -> mut("w")).toDF("doc_id", "text")
+    graft.io.Tables.ensureSessionRegistered(spark) // graft_md5_mod31
+    val sh = graft.functions.TextHash
+      .addShingleHashes(docsDf, col("text")).select("doc_id", "hs")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest_apply").toString
+    val (state, verd) = (s"$root/state", s"$root/verd")
+    val isBase = col("doc_id") % 10 === 1
+    graft.dedup.Dedup.lshBands(sh.filter(isBase))
+      .select("doc_id", "band", "key")
+      .write.mode("overwrite").parquet(s"$state/v=0")
+    def batchOf(m: Long) = docsDf.filter(col("doc_id") % 10 === m)
+    def verdicts(b: Long): Map[Long, (Boolean, Option[Long])] =
+      spark.read.parquet(s"$verd/b=$b").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(3), Option(r.get(1)).map(_ => r.getLong(1)))))
+        .toMap
+    StreamOps.applyIngestBatch(batchOf(0L), 0L, state, verd, sh)
+    val v0 = verdicts(0L)
+    assert(!v0(10L)._1, s"novel B must survive: ${v0(10L)}")
+    assert(v0(20L) == ((true, Some(1L))),
+      s"D must be rejected against base A: ${v0(20L)}")
+    StreamOps.applyIngestBatch(batchOf(5L), 1L, state, verd, sh)
+    val v1 = verdicts(1L)
+    // C caught BY THE FOLDED SURVIVOR; E matches base A, never D
+    assert(v1(5L) == ((true, Some(10L))),
+      s"C must match folded survivor B: ${v1(5L)}")
+    assert(v1(15L) == ((true, Some(1L))),
+      s"E must match base A, never rejected D: ${v1(15L)}")
+    // replay batch 0: chains off v=0 again (never its own v=1 output),
+    // rewrites b=0 in place — ledger and index stay byte-identical
+    val idx1 = spark.read.parquet(s"$state/v=1").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    StreamOps.applyIngestBatch(batchOf(0L), 0L, state, verd, sh)
+    assert(verdicts(0L) == v0)
+    assert(spark.read.parquet(s"$state/v=1").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet == idx1)
+    // the folded index holds base + survivor B only — D never entered
+    assert(idx1.map(_._1) == Set(1L, 10L))
+  }
+
   test("bucketed merge rewrites only touched buckets, replays clean") {
     import spark.implicits._
     val statePath = java.nio.file.Files
