@@ -65,6 +65,11 @@ object SqlTwins {
         "chained banding index; a SQL string cannot start a streaming " +
         "query, and the batch SQL surface of the same chain is " +
         "q_dedup_index_update3's registered twin"),
+    "q_stream_ann_ingest" ->
+      ("micro-batch foreachBatch IVF fold over a version-chained cell " +
+        "index; a SQL string cannot start a streaming query, and the " +
+        "batch SQL surface of the same chain is q_ann_index_update3's " +
+        "dialect-mapped oracle"),
     "q_dedup_components" ->
       ("iterative label propagation (driver-side loop over checkpoints); " +
         "the recursive-CTE spelling needs UNION-distinct recursion to " +

@@ -506,6 +506,50 @@ object Similarity {
         col("anchor_id").as("cell"))
   }
 
+  /** IVF plumbing exposed for the STREAMING ingest gate
+    * ([[graft.streaming.StreamOps]]'s q_stream_ann_ingest): the fixed
+    * coarse quantizer, the base-only slice of the persisted index, a
+    * cell assignment computed from an ARBITRARY (vec_id, embedding)
+    * frame (the streamed micro-batch — same expressions as
+    * [[assignBatchCells]], different source), the shared serve, and the
+    * batch predicates/oracle the streaming gate must agree with. */
+  private[graft] def ivfAnchors(s: SparkSession, d: String): DataFrame =
+    withNorm(emb(s, d)).select("vec_id", "v", "nrm")
+      .filter(col("vec_id") >= IvfAnchorBase &&
+        col("vec_id") < IvfAnchorBase + IvfCells)
+      .select(col("vec_id").as("anchor_id"), col("v").as("av"),
+        col("nrm").as("anrm"))
+  private[graft] def assignCellsOf(batch: DataFrame,
+      anch: DataFrame): DataFrame = {
+    val n = withNorm(batch.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v")))
+    val aw = Window.partitionBy("vec_id")
+      .orderBy(desc("acos"), asc("anchor_id"))
+    n.crossJoin(broadcast(anch))
+      .select(col("vec_id"), col("v"), col("nrm"), col("anchor_id"),
+        (dot(col("v"), col("av")) / (col("nrm") * col("anrm"))).as("acos"))
+      .withColumn("arnk", row_number().over(aw))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("anchor_id").as("cell"))
+  }
+  private[graft] def ivfBaseCells(s: SparkSession, d: String,
+      batchMods: Seq[Int]): DataFrame =
+    ivfRanked(s, d)
+      .filter(col("arnk") === 1 &&
+        !batchMods.map(m => expr(ivfBatchSql(m))).reduce(_ || _))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("anchor_id").as("cell"))
+  private[graft] def ivfServe(s: SparkSession, d: String,
+      cells: DataFrame): DataFrame = ivfServeTop3(ivfRanked(s, d), cells)
+  private[graft] def ivfBatchPredicate(s: SparkSession, m: Int) =
+    expr(ivfBatchSql(m))
+  private[graft] def ivfIsNewCol(m: Int): Column = {
+    val nb = col("neighbor_id")
+    nb % 10 === m && nb >= 10 &&
+      !(nb >= IvfAnchorBase && nb < IvfAnchorBase + IvfCells)
+  }
+
   /** Incremental ANN index maintenance — the embedding-side sibling of
     * [[graft.dedup.Dedup.qDedupIndexUpdate]], closing the
     * continuous-ingest loop for the IVF scale path:

@@ -1353,9 +1353,127 @@ object StreamOps {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Streaming ANN INGEST: the IVF fold under the real runtime
+  // ------------------------------------------------------------------
+
+  /** Batch mod-10 slices of the embeddings stream, in arrival order
+    * (the same two slices the batch-mode N-fold gate chains). */
+  private[graft] val AnnIngestSlices: Seq[Int] = Seq(7, 3)
+
+  private val embSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Ordered 2-file split of the embeddings BATCH slices (base vectors
+    * never stream — they are the seeded index), one file per
+    * [[AnnIngestSlices]] slice with strictly increasing mtimes. */
+  private[graft] def embSplit(s: SparkSession, d: String): String =
+    embSplitCache.computeIfAbsent(s"${scratchRoot(s)}|$d", _ => {
+      import org.apache.hadoop.fs.Path
+      val dir = s"${scratchRoot(s)}/graft_emb_split_" +
+        java.util.UUID.randomUUID()
+      val fs = hadoopFs(s, dir)
+      val vecs = graft.io.Tables.load(s, d, "embeddings")
+        .select("vec_id", "embedding")
+      val t0 = System.currentTimeMillis()
+      AnnIngestSlices.zipWithIndex.foreach { case (m, k) =>
+        val tmp = s"$dir/__tmp"
+        vecs.filter(graft.similarity.Similarity.ivfBatchPredicate(s, m))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"no part file written under $tmp"))
+        val target = new Path(dir, f"emb_$k%02d.parquet")
+        fs.rename(part, target)
+        fs.delete(new Path(tmp), true)
+        fs.setTimes(target, t0 + k * 60000L, -1)
+      }
+      deleteAtExit(s, dir)
+      dir
+    })
+
+  /** One IVF fold step of the streaming ANN ingest sink: assign the
+    * streamed micro-batch against the FIXED coarse quantizer and union
+    * its cell rows into the next index version. Exactly-once by the
+    * same seeded version chain as [[applyIngestBatch]] (base cells at
+    * v=0; batch N reads newest committed v ≤ N, writes v=N+1). */
+  private[graft] def applyAnnIngestBatch(batch: DataFrame, batchId: Long,
+      statePath: String, anchors: DataFrame): Unit = {
+    val s = batch.sparkSession
+    val fs = hadoopFs(s, statePath)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val cells = graft.similarity.Similarity.assignCellsOf(batch, anchors)
+    val prevV = committedVersions(fs, root).filter(_ <= batchId)
+      .sorted.lastOption
+      .getOrElse(sys.error(s"no committed index version <= $batchId " +
+        s"under $statePath — the base seed (v=0) is missing"))
+    s.read.parquet(s"$statePath/v=$prevV").unionByName(cells)
+      .write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
+  }
+
+  /** Streaming CONTINUOUS-INGEST for the IVF index — the embedding-side
+    * sibling of [[qStreamDedupIngest]], and the streaming graduation of
+    * [[graft.similarity.Similarity]]'s batch-mode N-fold gate
+    * (q_ann_index_update3): the two batch slices arrive as a real
+    * 2-file micro-batch stream, each batch's vectors are assigned
+    * against the fixed coarse quantizer FROM THE STREAMED embeddings
+    * and folded into a seeded version-chain index (base cells at v=0),
+    * and the fixed query set serves top-3 through the family-shared
+    * serve against the final committed version. The oracle is
+    * EXPRESSION-IDENTICAL to q_ann_index_update3's (the from-scratch
+    * whole-corpus assignment): with anchors fixed, assignment is
+    * batching-invariant, so the stream must land value-exactly on the
+    * batch-mode answer — what the gate adds is the runtime (micro-batch
+    * delivery, exactly-once versioning, parquet round-trip of the
+    * folded state).
+    *
+    * Scale posture: per batch, |batch| × Cells broadcast-NLJ assignment
+    * (the constant-width append cost) plus an append-shaped union
+    * write; per-run scratch is UUID-unique under [[scratchRoot]] and
+    * deleted in `finally`. */
+  val qStreamAnnIngest: graft.queries.Q = graft.queries.Q(
+    "q_stream_ann_ingest",
+    graft.similarity.Similarity.qAnnIndexUpdate3.oracle.getOrElse(
+      sys.error("q_ann_index_update3 lost its oracle"))) { (s, d) =>
+    graft.io.Tables.ensureSessionRegistered(s)
+    val sim = graft.similarity.Similarity
+    val src = embSplit(s, d)
+    val anchors = sim.ivfAnchors(s, d).localCheckpoint(true)
+    val runId = java.util.UUID.randomUUID()
+    val root = scratchRoot(s)
+    val state = s"$root/graft_annidx_state_$runId"
+    val ckpt = s"$root/graft_annidx_ckpt_$runId"
+    try {
+      withStatePartitions(s) {
+        sim.ivfBaseCells(s, d, AnnIngestSlices)
+          .write.mode("overwrite").parquet(s"$state/v=0")
+        val schema = s.read.parquet(src).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            applyAnnIngestBatch(batch, batchId, state, anchors)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        val fs = hadoopFs(s, state)
+        val finalV = committedVersions(fs,
+          new org.apache.hadoop.fs.Path(state)).sorted.last
+        require(finalV == AnnIngestSlices.size.toLong,
+          s"expected ${AnnIngestSlices.size} folds, newest version $finalV")
+        val folded = s.read.parquet(s"$state/v=$finalV")
+        sim.ivfServe(s, d, folded)
+          .withColumn("is_new1", sim.ivfIsNewCol(AnnIngestSlices.head))
+          .withColumn("is_new2", sim.ivfIsNewCol(AnnIngestSlices(1)))
+          .orderBy("query_id", "rnk").localCheckpoint(true)
+      }
+    } finally for (p <- Seq(state, ckpt)) deletePath(s, p)
+  }
+
   /** The streaming family's registered (oracle-gated) queries; the
     * remaining operators above are spec-gated batch/stream twins. */
   val all: Seq[graft.queries.Q] =
     Seq(qStreamHourly, qStreamMerge, qStreamMergeBucketed,
-      qStreamSessionize, qStreamConversionLag, qStreamDedupIngest)
+      qStreamSessionize, qStreamConversionLag, qStreamDedupIngest,
+      qStreamAnnIngest)
 }

@@ -562,6 +562,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(idx1.map(_._1) == Set(1L, 10L))
   }
 
+  test("ann ingest apply: streamed assignment equals the persisted " +
+    "index slice, replays are exactly-once") {
+    // real corpus, tiny SF: the batch assigned FROM ITS RAW STREAMED
+    // EMBEDDINGS must land on exactly the rows the persisted from-scratch
+    // index holds for that slice (assignment is batching-invariant with
+    // anchors fixed) — the invariant that makes the streaming fold's
+    // oracle the batch-mode SQL
+    val sim = graft.similarity.Similarity
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ann_ingest").toString
+    val state = s"$root/state"
+    val slices = StreamOps.AnnIngestSlices
+    sim.ivfBaseCells(spark, sf001, slices)
+      .write.mode("overwrite").parquet(s"$state/v=0")
+    val batch = Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding")
+      .filter(sim.ivfBatchPredicate(spark, slices.head))
+    val anchors = sim.ivfAnchors(spark, sf001)
+    def cellsOf(v: Long): Map[Long, Long] =
+      spark.read.parquet(s"$state/v=$v").collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    StreamOps.applyAnnIngestBatch(batch, 0L, state, anchors)
+    val v1 = cellsOf(1L)
+    val fromScratch = sim.ivfBaseCells(spark, sf001, Seq(slices(1)))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(v1 == fromScratch,
+      "fold(v0, streamed batch) must equal the from-scratch index " +
+        "without the not-yet-arrived slice")
+    // replay batch 0: reads v=0 again, rewrites v=1 — no duplication
+    StreamOps.applyAnnIngestBatch(batch, 0L, state, anchors)
+    assert(cellsOf(1L) == v1)
+    assert(spark.read.parquet(s"$state/v=1").count() == v1.size.toLong)
+  }
+
   test("bucketed merge rewrites only touched buckets, replays clean") {
     import spark.implicits._
     val statePath = java.nio.file.Files
