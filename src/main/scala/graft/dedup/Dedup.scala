@@ -82,6 +82,55 @@ object Dedup {
     jaccardPairs(s, d, 0.6)
   }
 
+  /** DF-CAPPED exact-Jaccard pairs — the registered form of
+    * [[jaccardPairsFrom]]'s `dfCap` mitigation, promoted from spec-only
+    * knob to oracle-gated operator after the r11 two-octave build sweep
+    * MEASURED the uncapped build's knee (jacPairs08 α 2.06 over the
+    * 5×→25× octave, 5.1 → 142.5 s: candidate volume is Σ_h df(h)², so
+    * shingles shared corpus-wide go quadratic exactly as the
+    * [[jaccardPairsFrom]] scaladoc warns). With the cap, shingles in
+    * more than `JacDfCap` docs are dropped from CANDIDATE GENERATION
+    * only; emitted pairs are still verified on full sets, so scores are
+    * exact and the only trade is recall for pairs overlapping SOLELY in
+    * ultra-common shingles. The oracle runs the same capped algorithm,
+    * so the gate pins the cap semantics bit-exactly — this operator +
+    * banded LSH are the two 100 TB-safe near-dup candidate paths; the
+    * uncapped exact build stays registered for corpora where exact
+    * recall is worth its quadratic tail. */
+  val JacDfCap = 64L
+  val qJaccardPairsCapped: Q = Q("q_jaccard_pairs_capped",
+    s"""WITH $shingleCte,
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+       |kept AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= $JacDfCap),
+       |exk AS (SELECT ex.doc_id, ex.h FROM ex JOIN kept ON kept.h = ex.h),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM exk a JOIN exk b ON a.h = b.h AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
+       |            AS BIGINT) AS inter,
+       |       CAST(len(sa.hs) + len(sb.hs)
+       |            - len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
+       |            AS BIGINT) AS un,
+       |       CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
+       |            AS DOUBLE)
+       |         / (len(sa.hs) + len(sb.hs)
+       |            - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))))
+       |         AS jaccard
+       |FROM cand c
+       |JOIN sh sa ON sa.doc_id = c.doc_a
+       |JOIN sh sb ON sb.doc_id = c.doc_b
+       |WHERE CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
+       |           AS DOUBLE)
+       |        / (len(sa.hs) + len(sb.hs)
+       |           - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))))
+       |      >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    graft.plans.FrameMemo.memo(s, "jacPairsCap64", d)(
+      jaccardPairsFrom(shingleSets(s, d), 0.8, dfCap = Some(JacDfCap)))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Shared exact-Jaccard pair pipeline over a (doc_id, hs) shingle-set
     * frame. Set sizes ride through the explode as a grouping key, so the
     * shingle pipeline is computed once per join side (2 scans, no
@@ -1754,7 +1803,8 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qNgramJaccardPairs, qMinhashLsh, qMinhashIncremental,
+    qDedupExact, qNgramJaccardPairs, qJaccardPairsCapped, qMinhashLsh,
+    qMinhashIncremental,
     qDedupDelta, qDedupIndexUpdate, qDedupIndexUpdate3, qDedupReband,
     qDedupNearRemoved,
     qSimhashDocs,

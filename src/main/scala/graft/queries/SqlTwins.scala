@@ -721,6 +721,33 @@ object SqlTwins {
          |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
          |ORDER BY removed_doc""".stripMargin,
 
+    "q_jaccard_pairs_capped" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id, explode(hs) AS h FROM sh),
+         |kept AS (SELECT h FROM ex GROUP BY h
+         |         HAVING COUNT(*) <= ${graft.dedup.Dedup.JacDfCap}),
+         |exk AS (SELECT ex.doc_id, ex.h FROM ex JOIN kept ON kept.h = ex.h),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM exk a JOIN exk b ON a.h = b.h AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(size(array_intersect(sa.hs, sb.hs)) AS BIGINT)
+         |         AS inter,
+         |       CAST(size(sa.hs) + size(sb.hs)
+         |            - size(array_intersect(sa.hs, sb.hs)) AS BIGINT) AS un,
+         |       CAST(size(array_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |         / (CAST(size(sa.hs) AS BIGINT) + CAST(size(sb.hs) AS BIGINT)
+         |            - CAST(size(array_intersect(sa.hs, sb.hs)) AS BIGINT))
+         |         AS jaccard
+         |FROM cand c
+         |JOIN sh sa ON sa.doc_id = c.doc_a
+         |JOIN sh sb ON sb.doc_id = c.doc_b
+         |WHERE CAST(size(array_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |        / (CAST(size(sa.hs) AS BIGINT) + CAST(size(sb.hs) AS BIGINT)
+         |           - CAST(size(array_intersect(sa.hs, sb.hs)) AS BIGINT))
+         |      >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_minhash_lsh_pairs" -> minhashLshTwin,
 
     "q_dedup_delta" -> dedupDeltaTwin,

@@ -76,6 +76,12 @@ object BuildOctave {
         if (!best.contains(key) || secs < best(key)) best(key) = secs
       }
       println(s"""{"build_rep":{"dir":"$d","rep":$r,"tags":${snap.size}}}""")
+      // the rep's session is abandoned but its localCheckpointed memo
+      // blocks live in the SHARED context's block manager — drop them
+      // all (each rep rebuilds from cold anyway) or large corpora OOM
+      // the heap by rep 2
+      root.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     best.toSeq.sortBy { case ((d, t), _) => (t, d) }
       .foreach { case ((d, tag), secs) =>

@@ -279,7 +279,8 @@ class PlanShapeSpec extends SparkSpec {
     def hashJoined(p: String): Boolean =
       p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
         p.contains("SortMergeJoin")
-    for (q <- Seq(Dedup.qDedupDelta, Dedup.qDedupIndexUpdate)) {
+    for (q <- Seq(Dedup.qDedupDelta, Dedup.qDedupIndexUpdate,
+        Dedup.qDedupReband)) {
       val dd = plan(q.fn(spark, sf001))
       assert(!dd.contains("CartesianProduct"), dd)
       assert(!dd.contains("BroadcastNestedLoopJoin"), dd)
@@ -288,7 +289,8 @@ class PlanShapeSpec extends SparkSpec {
     val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try
-      for (q <- Seq(Dedup.qDedupDelta, Dedup.qDedupIndexUpdate)) {
+      for (q <- Seq(Dedup.qDedupDelta, Dedup.qDedupIndexUpdate,
+          Dedup.qDedupReband)) {
         val ddS = plan(q.fn(spark, sf001))
         assert(!ddS.contains("CartesianProduct"), ddS)
         assert(!ddS.contains("BroadcastNestedLoopJoin"), ddS)
