@@ -126,10 +126,15 @@ object Dedup {
        |           - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))))
        |      >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    jacPairsCap64(s, d).orderBy("doc_a", "doc_b")
+  }
+
+  /** The df-capped verified pair graph, session-memoized — the scale-safe
+    * exact-path sibling of [[jacPairs08]] (same threshold, candidates
+    * generated under [[JacDfCap]], scores verified on full sets). */
+  private def jacPairsCap64(s: SparkSession, d: String): DataFrame =
     graft.plans.FrameMemo.memo(s, "jacPairsCap64", d)(
       jaccardPairsFrom(shingleSets(s, d), 0.8, dfCap = Some(JacDfCap)))
-      .orderBy("doc_a", "doc_b")
-  }
 
   /** Shared exact-Jaccard pair pipeline over a (doc_id, hs) shingle-set
     * frame. Set sizes ride through the explode as a grouping key, so the
@@ -1307,6 +1312,59 @@ object Dedup {
       .orderBy("cluster_size")
   }
 
+  /** Near-dup RESOLUTION over the DF-CAPPED pair graph — the end-to-end
+    * scale-safe exact path. The r11 two-octave build sweep measured the
+    * capped pair build's downstream consumer inheriting the uncapped
+    * knee (starComps08 α 1.79 at 5×→25×, dragged by jacPairs08's α 2.06
+    * Σ_h df(h)² candidate volume); this operator closes that inheritance:
+    * candidates are generated under [[JacDfCap]] ([[jacPairsCap64]], the
+    * q_jaccard_pairs_capped graph), verified on full sets, and resolved
+    * by the same O(log diameter) large-star/small-star rounds as
+    * [[qDedupComponentsStar]] — so the WHOLE resolution pipeline
+    * (candidates → verify → CC → keep/drop verdict) is linear in index
+    * size. Oracle = the same capped algorithm's transitive closure in
+    * DuckDB (capped candidate CTE + full-set verify + recursive walk).
+    * On a corpus with no hot shingles the output is value-identical to
+    * the uncapped resolution (spec-pinned); on a boilerplate-heavy
+    * corpus it differs only by pairs overlapping SOLELY in corpus-wide
+    * shingles — the standard web-scale dedup trade. */
+  val qDedupResolveCapped: Q = Q("q_dedup_resolve_capped",
+    s"""WITH RECURSIVE $shingleCte,
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+       |kept AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= $JacDfCap),
+       |exk AS (SELECT ex.doc_id, ex.h FROM ex JOIN kept ON kept.h = ex.h),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM exk a JOIN exk b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b
+       |  WHERE CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
+       |             AS DOUBLE)
+       |          / (len(sa.hs) + len(sb.hs)
+       |             - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))))
+       |        >= 0.8),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(node, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.reach FROM walk w JOIN edges e ON e.src = w.node)
+       |SELECT node AS doc_id, MIN(reach) AS component,
+       |       node = MIN(reach) AS is_kept
+       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
+    starCompsCap64(s, d).orderBy("doc_id")
+  }
+
+  /** Star-CC labels over the df-capped pair graph, session-memoized —
+    * the capped sibling of [[starComps08]]. */
+  private def starCompsCap64(s: SparkSession, d: String): DataFrame =
+    graft.plans.FrameMemo.memo(s, "starCompsCap64", d)(
+      starComponents(jacPairsCap64(s, d).select("doc_a", "doc_b")))
+
   /** Exact-substring duplication window width, in whitespace tokens.
     * The published recipe (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", ACL 2022) uses 50 BPE tokens on web text;
@@ -1811,6 +1869,7 @@ object Dedup {
     qSimhashPairs,
     qSimhashWideDocs,
     qSimhashWidePairs, qDedupComponents, qDedupComponentsStar,
+    qDedupResolveCapped,
     qDedupClusterSizes, qDedupKeepBest, qCurationFunnel,
     qCurationFunnelSeq, qDecontaminate,
     qSubstringDups, qWinnowFingerprint, qDecontaminateContainment,

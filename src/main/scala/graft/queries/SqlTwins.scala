@@ -81,6 +81,11 @@ object SqlTwins {
     "q_dedup_cluster_sizes" ->
       ("aggregates the iterative star-CC labels (driver-side loop over " +
         "checkpoints); same recursion limitation as q_dedup_components"),
+    "q_dedup_resolve_capped" ->
+      ("iterative large-star/small-star rounds over the df-capped pair " +
+        "graph (driver-side loop over checkpoints); same recursion " +
+        "limitation as q_dedup_components — the capped PAIR surface is " +
+        "q_jaccard_pairs_capped's registered twin"),
     "q_dedup_keep_best" ->
       ("ranks within the iterative star-CC clusters (driver-side loop " +
         "over checkpoints); same recursion limitation as " +

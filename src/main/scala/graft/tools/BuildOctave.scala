@@ -32,6 +32,7 @@ object BuildOctave {
     * themselves. */
   val Triggers: Seq[String] = Seq(
     "q_dedup_components_star", // shingleSets -> jacPairs08 -> starComps08
+    "q_dedup_resolve_capped", // jacPairsCap64 -> starCompsCap64
     "q_minhash_lsh_pairs", // docBands
     "q_doc_sim_weighted", // simWt (+ termFreq-family posting index)
     "q_tfidf_terms", // termFreq

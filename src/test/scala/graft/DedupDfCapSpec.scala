@@ -15,6 +15,10 @@ class DedupDfCapSpec extends SparkSpec {
   // near-dup pair. Every other pair overlaps ONLY via boilerplate.
   private lazy val sh = {
     import spark.implicits._
+    // shingle hashing calls the native graft_md5_mod31 — install the
+    // session extras so this suite also passes in ISOLATION (in a full
+    // run an earlier suite's Tables.load does it first)
+    graft.io.Tables.ensureSessionRegistered(spark)
     val boiler = "all rights reserved by the example corporation"
     def body(i: Int) =
       s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
@@ -45,6 +49,29 @@ class DedupDfCapSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextHash.addWindowHashes(clash, col("text"), 2)
     }
+  }
+
+  test("capped star-CC resolves only the genuine near-dup cluster") {
+    // the capped pair graph on the boilerplate corpus is exactly {(0,1)},
+    // so resolution labels two nodes: 0 keeps itself, 1 hangs off 0 —
+    // linear end to end where the uncapped path would CC a 120-clique
+    val labels = Dedup.starComponents(
+      Dedup.jaccardPairsFrom(sh, 0.5, Some(50L)).select("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(labels.toSet == Set((0L, 0L, true), (1L, 0L, false)))
+  }
+
+  test("capped resolution ≡ uncapped resolution when the cap doesn't bind") {
+    // the sf corpus has no shingle past JacDfCap (pinned here), so the
+    // registered q_dedup_resolve_capped must land value-exactly on the
+    // uncapped q_dedup_components_star answer
+    val byName = Dedup.all.map(q => q.name -> q).toMap
+    val capped =
+      byName("q_dedup_resolve_capped").fn(spark, sf001).collect().toSeq
+    val uncapped =
+      byName("q_dedup_components_star").fn(spark, sf001).collect().toSeq
+    assert(capped.nonEmpty)
+    assert(capped == uncapped)
   }
 
   test("capped pairs verify against FULL sets: scores match uncapped") {
