@@ -98,33 +98,36 @@ object Dedup {
     * uncapped exact build stays registered for corpora where exact
     * recall is worth its quadratic tail. */
   val JacDfCap = 64L
-  val qJaccardPairsCapped: Q = Q("q_jaccard_pairs_capped",
-    s"""WITH $shingleCte,
-       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+
+  /** Shared DuckDB fragments for the two capped-path oracles
+    * ([[qJaccardPairsCapped]], [[qDedupResolveCapped]]) — ONE spelling
+    * of the cap semantics, so the pair gate and the resolution gate
+    * cannot drift onto two different algorithms. */
+  private val cappedCandCteSql: String =
+    s"""ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
        |kept AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= $JacDfCap),
        |exk AS (SELECT ex.doc_id, ex.h FROM ex JOIN kept ON kept.h = ex.h),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM exk a JOIN exk b ON a.h = b.h AND a.doc_id < b.doc_id)
+       |  FROM exk a JOIN exk b ON a.h = b.h AND a.doc_id < b.doc_id)""".stripMargin
+  private val cappedInterSql: String =
+    "len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))"
+  private val cappedJacSql: String =
+    s"""CAST($cappedInterSql AS DOUBLE)
+       |         / (len(sa.hs) + len(sb.hs) - $cappedInterSql)""".stripMargin
+
+  val qJaccardPairsCapped: Q = Q("q_jaccard_pairs_capped",
+    s"""WITH $shingleCte,
+       |$cappedCandCteSql
        |SELECT c.doc_a, c.doc_b,
-       |       CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
-       |            AS BIGINT) AS inter,
-       |       CAST(len(sa.hs) + len(sb.hs)
-       |            - len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
+       |       CAST($cappedInterSql AS BIGINT) AS inter,
+       |       CAST(len(sa.hs) + len(sb.hs) - $cappedInterSql
        |            AS BIGINT) AS un,
-       |       CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
-       |            AS DOUBLE)
-       |         / (len(sa.hs) + len(sb.hs)
-       |            - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))))
-       |         AS jaccard
+       |       $cappedJacSql AS jaccard
        |FROM cand c
        |JOIN sh sa ON sa.doc_id = c.doc_a
        |JOIN sh sb ON sb.doc_id = c.doc_b
-       |WHERE CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
-       |           AS DOUBLE)
-       |        / (len(sa.hs) + len(sb.hs)
-       |           - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))))
-       |      >= 0.8
+       |WHERE $cappedJacSql >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     jacPairsCap64(s, d).orderBy("doc_a", "doc_b")
   }
@@ -756,7 +759,8 @@ object Dedup {
     * `memo_builds` NEXT TO the `bandsIncr*` append costs (the
     * append-vs-retune bill, measured), then screen the batch against
     * the retuned index. Oracle: the same 2×8 banding and screen from
-    * scratch in DuckDB. `RebandSpec` pins the occupancy claim —
+    * scratch in DuckDB. `PipelineOpsSpec` ("reband retune") pins the
+    * occupancy claim —
     * candidate volume under 2×8 is ≤ the 4×4 volume on the same
     * batch — so the retune's point is asserted, not narrated. */
   val qDedupReband: Q = {
@@ -1330,22 +1334,13 @@ object Dedup {
     * shingles — the standard web-scale dedup trade. */
   val qDedupResolveCapped: Q = Q("q_dedup_resolve_capped",
     s"""WITH RECURSIVE $shingleCte,
-       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
-       |kept AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= $JacDfCap),
-       |exk AS (SELECT ex.doc_id, ex.h FROM ex JOIN kept ON kept.h = ex.h),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM exk a JOIN exk b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |$cappedCandCteSql,
        |pairs AS (
        |  SELECT c.doc_a, c.doc_b
        |  FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.doc_a
        |  JOIN sh sb ON sb.doc_id = c.doc_b
-       |  WHERE CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))
-       |             AS DOUBLE)
-       |          / (len(sa.hs) + len(sb.hs)
-       |             - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))))
-       |        >= 0.8),
+       |  WHERE $cappedJacSql >= 0.8),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),

@@ -487,19 +487,24 @@ object Similarity {
     * the existing anchors (|batch| × Cells broadcast NLJ — constant
     * width) and return its cell rows, ready to union into the index. */
   private def assignBatchCells(s: SparkSession, d: String,
-      isBatch: Column): DataFrame = {
-    val n = withNorm(emb(s, d)).select("vec_id", "v", "nrm")
-    val anch = n.filter(col("vec_id") >= IvfAnchorBase &&
-        col("vec_id") < IvfAnchorBase + IvfCells)
-      .select(col("vec_id").as("anchor_id"), col("v").as("av"),
-        col("nrm").as("anrm"))
-    val bAssign = n.filter(isBatch).crossJoin(broadcast(anch))
+      isBatch: Column): DataFrame =
+    assignNormedCells(
+      withNorm(emb(s, d)).select("vec_id", "v", "nrm").filter(isBatch),
+      ivfAnchors(s, d))
+
+  /** The cell-assignment core shared by the batch and streaming append
+    * paths — ONE spelling of the argmax expressions, so the
+    * "assignment is batching-invariant" premise both fold gates rest on
+    * cannot desynchronize between them. Input: a normed (vec_id, v,
+    * nrm) frame and the (anchor_id, av, anrm) quantizer. */
+  private def assignNormedCells(n: DataFrame,
+      anch: DataFrame): DataFrame = {
+    val aw = Window.partitionBy("vec_id")
+      .orderBy(desc("acos"), asc("anchor_id"))
+    n.crossJoin(broadcast(anch))
       .select(col("vec_id"), col("v"), col("nrm"), col("anchor_id"),
         (dot(col("v"), col("av")) / (col("nrm") * col("anrm")))
           .as("acos"))
-    val aw = Window.partitionBy("vec_id")
-      .orderBy(desc("acos"), asc("anchor_id"))
-    bAssign
       .withColumn("arnk", row_number().over(aw))
       .filter(col("arnk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"),
@@ -520,19 +525,11 @@ object Similarity {
       .select(col("vec_id").as("anchor_id"), col("v").as("av"),
         col("nrm").as("anrm"))
   private[graft] def assignCellsOf(batch: DataFrame,
-      anch: DataFrame): DataFrame = {
-    val n = withNorm(batch.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v")))
-    val aw = Window.partitionBy("vec_id")
-      .orderBy(desc("acos"), asc("anchor_id"))
-    n.crossJoin(broadcast(anch))
-      .select(col("vec_id"), col("v"), col("nrm"), col("anchor_id"),
-        (dot(col("v"), col("av")) / (col("nrm") * col("anrm"))).as("acos"))
-      .withColumn("arnk", row_number().over(aw))
-      .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("anchor_id").as("cell"))
-  }
+      anch: DataFrame): DataFrame =
+    assignNormedCells(
+      withNorm(batch.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))),
+      anch)
   private[graft] def ivfBaseCells(s: SparkSession, d: String,
       batchMods: Seq[Int]): DataFrame =
     ivfRanked(s, d)
@@ -610,11 +607,8 @@ object Similarity {
         // anchors — the append step of a persisted IVF store
         baseCells.unionByName(assignBatchCells(s, d, isBatch))
       }
-      val nb = col("neighbor_id")
       ivfServeTop3(ranked, updated)
-        .withColumn("is_new",
-          nb % 10 === 7 && nb >= 10 &&
-            !(nb >= IvfAnchorBase && nb < IvfAnchorBase + IvfCells))
+        .withColumn("is_new", ivfIsNewCol(7))
         .orderBy("query_id", "rnk")
   }
 
@@ -668,12 +662,9 @@ object Similarity {
           memo(s, s"ivfIncr3_${i + 1}", d)(
             index.unionByName(assignBatchCells(s, d, pred)))
       }
-      val nb = col("neighbor_id")
-      def isNew(m: Int) = nb % 10 === m && nb >= 10 &&
-        !(nb >= IvfAnchorBase && nb < IvfAnchorBase + IvfCells)
       ivfServeTop3(ranked, folded)
-        .withColumn("is_new1", isNew(7))
-        .withColumn("is_new2", isNew(3))
+        .withColumn("is_new1", ivfIsNewCol(7))
+        .withColumn("is_new2", ivfIsNewCol(3))
         .orderBy("query_id", "rnk")
   }
 

@@ -62,6 +62,12 @@ object BuildOctave {
     val best = scala.collection.mutable.Map[(String, String), Double]()
     for (d <- dirs; r <- 1 to reps) {
       val s = root.newSession()
+      // buildTimes is JVM-global and keyed tag@dir, so a trigger that
+      // FAILS this rep leaves the previous rep's value (possibly the
+      // discarded warmup's) under its tags — snapshot before the rep and
+      // merge only tags whose value CHANGED, i.e. builds that actually
+      // ran in this rep
+      val before = graft.plans.FrameMemo.buildTimes
       Triggers.foreach { q =>
         try fns(q)(s, d).count()
         catch { case e: Throwable =>
@@ -69,7 +75,8 @@ object BuildOctave {
         }
       }
       val snap = graft.plans.FrameMemo.buildTimes
-        .collect { case (k, v) if k.endsWith(s"@$d") =>
+        .collect { case (k, v) if k.endsWith(s"@$d")
+            && !before.get(k).contains(v) =>
           k.stripSuffix(s"@$d") -> v }
       // rep 1 per dir is the codegen warmup; later reps compete on min
       if (r > 1) snap.foreach { case (tag, secs) =>

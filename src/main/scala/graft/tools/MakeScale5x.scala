@@ -52,12 +52,18 @@ object MakeScale5x {
 
   /** Replication factor (r11): default 5 keeps the established octave;
     * `GRAFT_SCALE_REPLICAS=25` grows a second octave above it (a
-    * two-octave span shows a knee a single point can hide). Capped so
-    * replica id spaces (r·Offset) stay disjoint and well under the
-    * fixed probe/anchor ranges' 10⁶ shift. */
+    * two-octave span shows a knee a single point can hide). Capped at 64
+    * for two reasons: replica id spaces (r·Offset) must stay disjoint
+    * and well under the fixed probe/anchor ranges' 10⁶ shift, and the
+    * embedding perturbation rotates by (7·r) mod 64 dims — 7 is coprime
+    * to 64, so rotations are distinct (and non-zero) exactly for
+    * r ∈ 1..63; at r = 64 the rotation is the identity and replicas
+    * would reproduce the base vectors verbatim, manufacturing cosine-1.0
+    * duplicates that quadratically inflate every near-dup/ANN join the
+    * sweep measures. */
   private val Replicas: Int =
     sys.env.get("GRAFT_SCALE_REPLICAS").map(_.toInt) match {
-      case Some(n) if n >= 1 && n <= 100 => n
+      case Some(n) if n >= 1 && n <= 64 => n
       case Some(n) => sys.error(s"GRAFT_SCALE_REPLICAS out of range: $n")
       case None => 5
     }
