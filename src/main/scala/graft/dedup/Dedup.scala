@@ -99,10 +99,12 @@ object Dedup {
     * recall is worth its quadratic tail. */
   val JacDfCap = 64L
 
-  /** Shared DuckDB fragments for the two capped-path oracles
-    * ([[qJaccardPairsCapped]], [[qDedupResolveCapped]]) — ONE spelling
-    * of the cap semantics, so the pair gate and the resolution gate
-    * cannot drift onto two different algorithms. */
+  /** Shared DuckDB fragments: the capped candidate CTE (ONE spelling of
+    * the cap semantics for [[qJaccardPairsCapped]] and
+    * [[qDedupResolveCapped]], so the pair gate and the resolution gate
+    * cannot drift onto two different algorithms) and the exact-Jaccard
+    * expression over `sa`/`sb`-aliased shingle sets (shared by every
+    * full-set verify oracle). */
   private val cappedCandCteSql: String =
     s"""ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
        |kept AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= $JacDfCap),
@@ -110,24 +112,24 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM exk a JOIN exk b ON a.h = b.h AND a.doc_id < b.doc_id)""".stripMargin
-  private val cappedInterSql: String =
+  private val interSaSbSql: String =
     "len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))"
-  private val cappedJacSql: String =
-    s"""CAST($cappedInterSql AS DOUBLE)
-       |         / (len(sa.hs) + len(sb.hs) - $cappedInterSql)""".stripMargin
+  private val jacSaSbSql: String =
+    s"""CAST($interSaSbSql AS DOUBLE)
+       |         / (len(sa.hs) + len(sb.hs) - $interSaSbSql)""".stripMargin
 
   val qJaccardPairsCapped: Q = Q("q_jaccard_pairs_capped",
     s"""WITH $shingleCte,
        |$cappedCandCteSql
        |SELECT c.doc_a, c.doc_b,
-       |       CAST($cappedInterSql AS BIGINT) AS inter,
-       |       CAST(len(sa.hs) + len(sb.hs) - $cappedInterSql
+       |       CAST($interSaSbSql AS BIGINT) AS inter,
+       |       CAST(len(sa.hs) + len(sb.hs) - $interSaSbSql
        |            AS BIGINT) AS un,
-       |       $cappedJacSql AS jaccard
+       |       $jacSaSbSql AS jaccard
        |FROM cand c
        |JOIN sh sa ON sa.doc_id = c.doc_a
        |JOIN sh sb ON sb.doc_id = c.doc_b
-       |WHERE $cappedJacSql >= 0.8
+       |WHERE $jacSaSbSql >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     jacPairsCap64(s, d).orderBy("doc_a", "doc_b")
   }
@@ -823,6 +825,129 @@ object Dedup {
     }
   }
 
+  /** The full index LIFECYCLE on one chain — fold, scheduled retune,
+    * fold: the composition the three standalone gates
+    * ([[qDedupIndexUpdate]] = fold, [[qDedupReband]] = retune,
+    * [[qDedupIndexUpdate3]] = N-fold) each prove in isolation but a
+    * production ingest pipeline runs INTERLEAVED — a retune lands
+    * between two folds, and the post-retune screens must see everything
+    * folded before it. Chronology:
+    *
+    *   1. batch A (`doc_id % 10 = 2`) screens against the base corpus
+    *      at the standing 4×4 banding ([[docBands]]) and its survivors
+    *      are admitted;
+    *   2. the SCHEDULED RETUNE re-bands the accumulated corpus — base
+    *      PLUS batch-A survivors — at 2×8 (the [[qDedupReband]]
+    *      occupancy move: re-PROJECT the persisted K = 16 signatures,
+    *      never re-hash text), memoized as `bandsLifecycle` so the
+    *      rebuild bills in `memo_builds`;
+    *   3. batch B (`doc_id % 10 = 8`) screens against the RETUNED
+    *      index at 2×8.
+    *
+    * Output: batch-B verdicts; `from_batch_a` marks a best match that
+    * arrived with batch A — a row that proves the fold's survivors are
+    * visible THROUGH the retune (the property neither standalone gate
+    * exercises: the retune must re-band the folded state, not the base
+    * snapshot it started from). Oracle: the same two-phase admission
+    * from scratch in DuckDB, phase A at 4×4, phase B at 2×8 against
+    * base + phase-A survivors.
+    *
+    * Scale posture: phase screens are the directional [[screenBatch]]
+    * probe; the retune is one corpus-linear projection of the persisted
+    * signatures (paid on the schedule, measured at α ≤ 0.92 by the
+    * build octave's docBands sibling); nothing in the chain is
+    * all-pairs or corpus². */
+  val qDedupLifecycle: Q = {
+    val RebandBands = 2
+    val RebandR = 8
+    val sigSqlCols = (0 until K)
+      .map(k => s"${minhashSql("hs", k)} AS m$k").mkString(",\n       ")
+    val bandSelects4 = (0 until Bands).map { b =>
+      val key = (0 until R).map(r => s"m${b * R + r}::VARCHAR")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val bandSelects2 = (0 until RebandBands).map { b =>
+      val key = (0 until RebandR).map(i => s"m${b * RebandR + i}::VARCHAR")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    Q("q_dedup_lifecycle",
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, hs,
+         |       $sigSqlCols
+         |FROM sh),
+         |bands4 AS (
+         |  $bandSelects4),
+         |bands2 AS (
+         |  $bandSelects2),
+         |cA AS (
+         |  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS base_doc
+         |  FROM bands4 n JOIN bands4 o
+         |    ON n.band = o.band AND n.key = o.key
+         |  WHERE n.doc_id % 10 = 2 AND o.doc_id % 10 NOT IN (2, 8)),
+         |aDups AS (
+         |  SELECT DISTINCT c.new_doc
+         |  FROM cA c
+         |  JOIN sh sa ON sa.doc_id = c.new_doc
+         |  JOIN sh sb ON sb.doc_id = c.base_doc
+         |  WHERE $jacSaSbSql >= 0.8),
+         |cB AS (
+         |  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS base_doc
+         |  FROM bands2 n JOIN bands2 o
+         |    ON n.band = o.band AND n.key = o.key
+         |  WHERE n.doc_id % 10 = 8
+         |    AND (o.doc_id % 10 NOT IN (2, 8)
+         |         OR (o.doc_id % 10 = 2
+         |             AND o.doc_id NOT IN (SELECT new_doc FROM aDups)))),
+         |hits AS (
+         |  SELECT c.new_doc, c.base_doc,
+         |    $jacSaSbSql AS jaccard
+         |  FROM cB c
+         |  JOIN sh sa ON sa.doc_id = c.new_doc
+         |  JOIN sh sb ON sb.doc_id = c.base_doc),
+         |hits8 AS (SELECT * FROM hits WHERE jaccard >= 0.8),
+         |best AS (SELECT new_doc, MAX(jaccard) AS best_jaccard
+         |         FROM hits8 GROUP BY 1),
+         |pick AS (SELECT h.new_doc, b.best_jaccard,
+         |                MIN(h.base_doc) AS best_base
+         |         FROM hits8 h JOIN best b
+         |           ON b.new_doc = h.new_doc
+         |          AND h.jaccard = b.best_jaccard
+         |         GROUP BY 1, 2)
+         |SELECT d.doc_id, p.best_base, p.best_jaccard,
+         |       p.best_jaccard IS NOT NULL AS is_dup,
+         |       p.best_base % 10 = 2 AS from_batch_a
+         |FROM documents d
+         |LEFT JOIN pick p ON p.new_doc = d.doc_id
+         |WHERE d.doc_id % 10 = 8
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val sh = shingleSets(s, d)
+      val bands4 = docBands(s, d)
+      val inA = col("doc_id") % 10 === 2
+      val inB = col("doc_id") % 10 === 8
+      val isBase = !inA && !inB
+      val retuned = graft.plans.FrameMemo.memo(s, "bandsLifecycle", d) {
+        val vA = screenBatch(docs(s, d).filter(inA), bands4.filter(inA),
+          bands4.filter(isBase), sh.filter(inA), sh)
+        val survivors = vA.filter(!col("is_dup")).select("doc_id")
+        // the retune re-bands the FOLDED state: base + A's survivors —
+        // one projection of the persisted signatures at the new shape
+        val accumulated = sh.filter(isBase)
+          .unionByName(sh.filter(inA)
+            .join(survivors, Seq("doc_id"), "left_semi"))
+        lshBandsWith(accumulated, RebandBands, RebandR)
+          .select("doc_id", "band", "key")
+      }
+      screenBatch(docs(s, d).filter(inB),
+        lshBandsWith(sh.filter(inB), RebandBands, RebandR)
+          .select("doc_id", "band", "key"),
+        retuned, sh.filter(inB), sh)
+        .withColumn("from_batch_a", col("best_base") % 10 === 2)
+        .orderBy("doc_id")
+    }
+  }
+
   /** Greedy near-dup resolution: from the exact-Jaccard pairs ≥ 0.8, drop
     * the higher doc_id of each pair (keep-first policy). */
   val qDedupNearRemoved: Q = Q("q_dedup_near_removed",
@@ -1340,7 +1465,7 @@ object Dedup {
        |  FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.doc_a
        |  JOIN sh sb ON sb.doc_id = c.doc_b
-       |  WHERE $cappedJacSql >= 0.8),
+       |  WHERE $jacSaSbSql >= 0.8),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -1859,6 +1984,7 @@ object Dedup {
     qDedupExact, qNgramJaccardPairs, qJaccardPairsCapped, qMinhashLsh,
     qMinhashIncremental,
     qDedupDelta, qDedupIndexUpdate, qDedupIndexUpdate3, qDedupReband,
+    qDedupLifecycle,
     qDedupNearRemoved,
     qSimhashDocs,
     qSimhashPairs,

@@ -760,6 +760,7 @@ object SqlTwins {
     "q_dedup_index_update" -> dedupIndexUpdateTwin,
     "q_dedup_index_update3" -> dedupIndexUpdate3Twin,
     "q_dedup_reband" -> dedupRebandTwin,
+    "q_dedup_lifecycle" -> dedupLifecycleTwin,
 
     // groups with the registered incremental aggregator (minhash_sig) —
     // the SQL surface exercises the same typed Aggregator as the
@@ -2038,6 +2039,83 @@ object SqlTwins {
        |       p.best_base % 10 = 0 AS from_batch1
        |FROM documents d LEFT JOIN pick p ON p.new_doc = d.doc_id
        |WHERE d.doc_id % 10 = 5
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Fold → retune → fold on one chain, mirroring q_dedup_lifecycle:
+    * phase A screens slice 2 against the base at the standing 4×4
+    * banding; the retune re-projects the K = 16 signatures into 2 keys
+    * of 8 over base + phase-A survivors; phase B screens slice 8
+    * against the retuned index at 2×8. */
+  private lazy val dedupLifecycleTwin: String = {
+    import TextHash.{Bands, K, R}
+    val (bands2, r2) = (2, 8)
+    val sigCols = (0 until K)
+      .map(k => s"${minhashSql("hs", k)} AS m$k").mkString(",\n       ")
+    val bandSelects4 = (0 until Bands).map { b =>
+      val key = (0 until R).map(r => s"CAST(m${b * R + r} AS STRING)")
+        .mkString("concat_ws('_', ", ", ", ")")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val bandSelects2 = (0 until bands2).map { b =>
+      val key = (0 until r2).map(i => s"CAST(m${b * r2 + i} AS STRING)")
+        .mkString("concat_ws('_', ", ", ", ")")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val jac =
+      """CAST(size(array_intersect(sa.hs, sb.hs)) AS DOUBLE)
+        |      / (CAST(size(sa.hs) AS BIGINT) + CAST(size(sb.hs) AS BIGINT)
+        |         - CAST(size(array_intersect(sa.hs, sb.hs)) AS BIGINT))"""
+        .stripMargin
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, hs,
+       |       $sigCols
+       |FROM sh),
+       |bands4 AS (
+       |  $bandSelects4),
+       |bands2 AS (
+       |  $bandSelects2),
+       |cA AS (
+       |  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS base_doc
+       |  FROM bands4 n JOIN bands4 o
+       |    ON n.band = o.band AND n.key = o.key
+       |  WHERE n.doc_id % 10 = 2 AND o.doc_id % 10 NOT IN (2, 8)),
+       |aDups AS (
+       |  SELECT DISTINCT c.new_doc
+       |  FROM cA c
+       |  JOIN sh sa ON sa.doc_id = c.new_doc
+       |  JOIN sh sb ON sb.doc_id = c.base_doc
+       |  WHERE $jac
+       |      >= 0.8),
+       |cB AS (
+       |  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS base_doc
+       |  FROM bands2 n JOIN bands2 o
+       |    ON n.band = o.band AND n.key = o.key
+       |  WHERE n.doc_id % 10 = 8
+       |    AND (o.doc_id % 10 NOT IN (2, 8)
+       |         OR (o.doc_id % 10 = 2
+       |             AND o.doc_id NOT IN (SELECT new_doc FROM aDups)))),
+       |hits AS (
+       |  SELECT c.new_doc, c.base_doc,
+       |    $jac
+       |      AS jaccard
+       |  FROM cB c
+       |  JOIN sh sa ON sa.doc_id = c.new_doc
+       |  JOIN sh sb ON sb.doc_id = c.base_doc),
+       |hits8 AS (SELECT * FROM hits WHERE jaccard >= 0.8),
+       |best AS (SELECT new_doc, MAX(jaccard) AS best_jaccard
+       |         FROM hits8 GROUP BY new_doc),
+       |pick AS (SELECT h.new_doc, b.best_jaccard,
+       |                MIN(h.base_doc) AS best_base
+       |         FROM hits8 h JOIN best b
+       |           ON b.new_doc = h.new_doc
+       |          AND h.jaccard = b.best_jaccard
+       |         GROUP BY h.new_doc, b.best_jaccard)
+       |SELECT d.doc_id, p.best_base, p.best_jaccard,
+       |       p.best_jaccard IS NOT NULL AS is_dup,
+       |       p.best_base % 10 = 2 AS from_batch_a
+       |FROM documents d LEFT JOIN pick p ON p.new_doc = d.doc_id
+       |WHERE d.doc_id % 10 = 8
        |ORDER BY doc_id""".stripMargin
   }
 

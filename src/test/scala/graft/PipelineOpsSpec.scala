@@ -393,4 +393,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dup28.subsetOf(dup44),
       s"retune may only tighten admission: $dup28 vs $dup44")
   }
+
+  test("lifecycle: fold survivors stay visible THROUGH the retune; " +
+    "rejected docs stay invisible") {
+    // the composition property neither standalone gate exercises: the
+    // retune must re-band the FOLDED state (base + batch-A survivors),
+    // not the base snapshot it started from. Fixture (A = %10==2,
+    // B = %10==8):
+    //   1  base,    txt(w)
+    //   2  batch A, novel txt(v)        -> survives, folded
+    //   12 batch A, near-copy of 1      -> rejected, NOT folded
+    //   8  batch B, EXACT copy of 2     -> caught via the RETUNED index,
+    //      best match the survivor (from_batch_a)
+    //   18 batch B, EXACT copy of 12    -> matches base 1 (j<1), never
+    //      the rejected 12 (j=1.0)
+    //   28 batch B, novel txt(q)        -> admitted
+    import spark.implicits._
+    def txt(p: String) = (1 to 50).map(i => s"$p$i").mkString(" ")
+    def mut(p: String) = ((1 to 49).map(i => s"$p$i") :+ "zz").mkString(" ")
+    val fix = Seq(1L -> txt("w"), 2L -> txt("v"), 12L -> mut("w"),
+      8L -> txt("v"), 18L -> mut("w"), 28L -> txt("q"))
+      .toDF("doc_id", "text")
+    val fsh = graft.functions.TextHash
+      .addShingleHashes(fix, col("text")).select("doc_id", "hs")
+    val inA = col("doc_id") % 10 === 2
+    val inB = col("doc_id") % 10 === 8
+    val isBase = !inA && !inB
+    val bands4 = Dedup.lshBands(fsh).select("doc_id", "band", "key")
+    val vA = Dedup.screenBatch(fix.filter(inA), bands4.filter(inA),
+      bands4.filter(isBase), fsh.filter(inA), fsh).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!vA(2L).getBoolean(3) && vA(12L).getBoolean(3),
+      s"phase A: 2 survives, 12 rejected: $vA")
+    // the retune: re-band base + survivors at 2x8 (the engine's shape)
+    val survivors = vA.values.filter(!_.getBoolean(3))
+      .map(_.getLong(0)).toSeq.toDF("doc_id")
+    val retuned = Dedup.lshBandsWith(
+      fsh.filter(isBase).unionByName(
+        fsh.filter(inA).join(survivors, Seq("doc_id"), "left_semi")),
+      2, 8).select("doc_id", "band", "key")
+    val vB = Dedup.screenBatch(fix.filter(inB),
+      Dedup.lshBandsWith(fsh.filter(inB), 2, 8)
+        .select("doc_id", "band", "key"),
+      retuned, fsh.filter(inB), fsh).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(vB(8L).getBoolean(3) && vB(8L).getLong(1) == 2L &&
+      vB(8L).getDouble(2) == 1.0,
+      s"8 must match the folded survivor 2 through the retune: ${vB(8L)}")
+    assert(vB(18L).getBoolean(3) && vB(18L).getLong(1) == 1L &&
+      vB(18L).getDouble(2) < 1.0,
+      s"18 must match base 1, never rejected 12: ${vB(18L)}")
+    assert(!vB(28L).getBoolean(3), s"novel 28 must be admitted: ${vB(28L)}")
+  }
 }
