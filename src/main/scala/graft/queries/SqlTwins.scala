@@ -1346,6 +1346,75 @@ object SqlTwins {
         |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim
         |FROM ranked2 WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
+    // The retrain twin with the Lloyd rounds trained on the PREFIX
+    // (batch 3 excluded) and the final assignment over everything,
+    // mirroring q_ann_lifecycle's fold -> retrain -> fold chain
+    "q_ann_lifecycle" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |           FROM embeddings),
+        |nn AS (SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e),
+        |m AS (SELECT vec_id, v,
+        |        array_max(transform(v, x -> abs(x))) AS mx FROM e),
+        |c AS (SELECT vec_id,
+        |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+        |          AS c
+        |      FROM m),
+        |x AS (SELECT vec_id, pos, val
+        |      FROM (SELECT vec_id, posexplode(c) AS (pos, val) FROM c)),
+        |xt AS (SELECT vec_id, pos, val FROM x
+        |       WHERE NOT (${graft.similarity.Similarity.ivfBatchSql(3)})),
+        |cent0 AS (SELECT vec_id AS cl, pos, val AS m FROM xt
+        |          WHERE vec_id < 8),
+        |d1 AS (SELECT xt.vec_id, cent0.cl,
+        |         SUM((xt.val - cent0.m) * (xt.val - cent0.m)) AS d2
+        |       FROM xt JOIN cent0 ON cent0.pos = xt.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cl,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d1),
+        |s1 AS (SELECT vec_id, cl FROM a1 WHERE rn = 1),
+        |cent1 AS (SELECT s1.cl, xt.pos,
+        |            CAST(floor(CAST(SUM(xt.val) AS DOUBLE) / COUNT(*))
+        |                 AS BIGINT) AS m
+        |          FROM xt JOIN s1 ON s1.vec_id = xt.vec_id GROUP BY 1, 2),
+        |d2r AS (SELECT xt.vec_id, cent1.cl,
+        |          SUM((xt.val - cent1.m) * (xt.val - cent1.m)) AS d2
+        |        FROM xt JOIN cent1 ON cent1.pos = xt.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cl,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d2r),
+        |s2 AS (SELECT vec_id, cl FROM a2 WHERE rn = 1),
+        |cent2 AS (SELECT s2.cl, xt.pos,
+        |            CAST(floor(CAST(SUM(xt.val) AS DOUBLE) / COUNT(*))
+        |                 AS BIGINT) AS m
+        |          FROM xt JOIN s2 ON s2.vec_id = xt.vec_id GROUP BY 1, 2),
+        |d3 AS (SELECT x.vec_id, cent2.cl,
+        |         SUM((x.val - cent2.m) * (x.val - cent2.m)) AS d2
+        |       FROM x JOIN cent2 ON cent2.pos = x.pos GROUP BY 1, 2),
+        |a3 AS (SELECT vec_id, cl, d2,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+        |           AS rn
+        |       FROM d3),
+        |cells AS (SELECT a3.vec_id, a3.cl, nn.v, nn.nrm FROM a3
+        |          JOIN nn ON nn.vec_id = a3.vec_id WHERE a3.rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cl FROM a3
+        |           WHERE rn <= ${graft.similarity.Similarity.IvfProbe}
+        |             AND ${graft.similarity.Similarity.QuerySet}),
+        |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+        |    graft_dot(q.v, b.v) / (q.nrm * b.nrm) AS cos
+        |  FROM probes p
+        |  JOIN nn q ON q.vec_id = p.query_id
+        |  JOIN cells b ON b.cl = p.cl AND b.vec_id != p.query_id),
+        |ranked2 AS (SELECT query_id, neighbor_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim,
+        |       (${graft.similarity.Similarity.ivfBatchSql(3)
+          .replace("vec_id", "neighbor_id")}) AS is_new
+        |FROM ranked2 WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
     // Same 3 unrolled Lloyd rounds as the q_kmeans twin, plus the
     // (cluster, label) purity tail
     "q_cluster_purity" ->

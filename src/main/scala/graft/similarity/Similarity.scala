@@ -368,7 +368,7 @@ object Similarity {
   val IvfProbe: Int = intKnob("GRAFT_IVF_NPROBE", 2, 1, 1 << 10)
   require(IvfProbe <= IvfCells,
     s"GRAFT_IVF_NPROBE=$IvfProbe exceeds GRAFT_IVF_CELLS=$IvfCells")
-  private val IvfAnchorBase = 100
+  private[graft] val IvfAnchorBase = 100
 
   /** Shared oracle CTE fragment: `ranked` = every vector scored against
     * every anchor with its per-vector anchor rank; `cells` (arnk = 1) is
@@ -478,7 +478,7 @@ object Similarity {
 
   /** [[IvfBatchSql]] parameterized by the mod-10 slice, so the N-fold
     * gate ([[qAnnIndexUpdate3]]) can name further batches. */
-  private def ivfBatchSql(m: Int): String =
+  private[graft] def ivfBatchSql(m: Int): String =
     s"vec_id % 10 = $m AND vec_id >= 10 AND NOT " +
       s"(vec_id >= $IvfAnchorBase AND vec_id < ${IvfAnchorBase + IvfCells})"
 
@@ -779,6 +779,136 @@ object Similarity {
         .select(col("vec_id"), col("v"), col("nrm"),
           col("anchor_id").as("cell"))
       ivfServeTop3(retrained, cells).orderBy("query_id", "rnk")
+  }
+
+  /** The IVF index LIFECYCLE on one chain — fold, scheduled RETRAIN,
+    * fold (the embedding-side sibling of
+    * [[graft.dedup.Dedup.qDedupLifecycle]]): [[qAnnIvfRetrain]] proves
+    * the rebuild in isolation but trains on the WHOLE corpus; in the
+    * real chronology the retrain fires mid-ingest, trains on the data
+    * that EXISTS at retrain time, and every LATER batch folds against a
+    * quantizer that never saw it — the actual drift scenario a
+    * production IVF store lives with between retrains. Chronology:
+    *
+    *   1. batch 7 folds against the original anchors (the
+    *      [[qAnnIndexUpdate]] append — its gate already covers it);
+    *   2. the scheduled RETRAIN trains new cells ([[lloydCentroids]],
+    *      k = 8, 3 rounds) over the int8 codes of base + batch 7 ONLY
+    *      (`NOT batch-3` — batch 3 has not arrived), and base + batch 7
+    *      re-assign to the trained centroids;
+    *   3. batch 3 arrives and folds by the SAME zero-shuffle
+    *      literal-centroid assignment — against centroids trained
+    *      without it.
+    *
+    * With centroids fixed, per-vector assignment is batching-invariant,
+    * so steps 2–3 collapse into one whole-corpus assignment against the
+    * prefix-trained centroids — which is exactly what the oracle
+    * recomputes (train CTEs over the prefix, final assignment over
+    * everything), making the gate check that the chain's plumbing
+    * (training-set exclusion, post-retrain append, shared serve) lands
+    * on the from-scratch semantics. `is_new` marks post-retrain
+    * arrivals serving in the top-3. The assignment frame is memoized as
+    * `ivfLifecycle`, so the chain's one rebuild bills in `memo_builds`
+    * next to `ivfRetrain` (whole-corpus training) and the `ivfIncr*`
+    * appends. Scale posture: identical to [[qAnnIvfRetrain]] — the
+    * retrain is the scheduled O(rounds × N × k) pass, the post-retrain
+    * fold is |batch| × k, serving never changes shape. */
+  val qAnnLifecycle: Q = Q("q_ann_lifecycle",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |m AS (SELECT vec_id, v,
+       |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |c AS (SELECT vec_id,
+       |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+       |          AS c
+       |      FROM m),
+       |ct AS (SELECT vec_id, c FROM c
+       |       WHERE NOT (${ivfBatchSql(3)})),
+       |cent0 AS (SELECT vec_id AS cl, c AS m FROM ct WHERE vec_id < 8),
+       |a1 AS (SELECT vec_id, cl, c, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+       |           AS rn
+       |       FROM (SELECT ct.vec_id, cent0.cl, ct.c,
+       |               list_sum(list_transform(range(1, 65),
+       |                 i -> (ct.c[i] - cent0.m[i])
+       |                      * (ct.c[i] - cent0.m[i]))) AS d2
+       |             FROM ct CROSS JOIN cent0)),
+       |s1 AS (SELECT vec_id, cl, c FROM a1 WHERE rn = 1),
+       |cent1 AS (SELECT cl,
+       |            list_transform(range(1, 65),
+       |              i -> CAST(floor(CAST(list_sum(list_transform(list(c),
+       |                   cc -> cc[i])) AS DOUBLE) / COUNT(*)) AS BIGINT))
+       |              AS m
+       |          FROM s1 GROUP BY cl),
+       |a2 AS (SELECT vec_id, cl, c, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+       |           AS rn
+       |       FROM (SELECT ct.vec_id, cent1.cl, ct.c,
+       |               list_sum(list_transform(range(1, 65),
+       |                 i -> (ct.c[i] - cent1.m[i])
+       |                      * (ct.c[i] - cent1.m[i]))) AS d2
+       |             FROM ct CROSS JOIN cent1)),
+       |s2 AS (SELECT vec_id, cl, c FROM a2 WHERE rn = 1),
+       |cent2 AS (SELECT cl,
+       |            list_transform(range(1, 65),
+       |              i -> CAST(floor(CAST(list_sum(list_transform(list(c),
+       |                   cc -> cc[i])) AS DOUBLE) / COUNT(*)) AS BIGINT))
+       |              AS m
+       |          FROM s2 GROUP BY cl),
+       |a3 AS (SELECT vec_id, cl, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+       |           AS rn
+       |       FROM (SELECT c.vec_id, cent2.cl,
+       |               list_sum(list_transform(range(1, 65),
+       |                 i -> (c.c[i] - cent2.m[i])
+       |                      * (c.c[i] - cent2.m[i]))) AS d2
+       |             FROM c CROSS JOIN cent2)),
+       |cells AS (SELECT a3.vec_id, a3.cl, n.v, n.nrm
+       |          FROM a3 JOIN n ON n.vec_id = a3.vec_id WHERE a3.rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cl FROM a3
+       |           WHERE rn <= $IvfProbe AND $QuerySet),
+       |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
+       |  FROM probes p
+       |  JOIN n q ON q.vec_id = p.query_id
+       |  JOIN cells b ON b.cl = p.cl AND b.vec_id != p.query_id),
+       |ranked2 AS (SELECT query_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim,
+       |       (neighbor_id % 10 = 3 AND neighbor_id >= 10 AND NOT
+       |        (neighbor_id >= $IvfAnchorBase
+       |         AND neighbor_id < ${IvfAnchorBase + IvfCells})) AS is_new
+       |FROM ranked2 WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) {
+    (s, d) =>
+      val b3 = expr(ivfBatchSql(3))
+      val lifecycle = memo(s, "ivfLifecycle", d) {
+        val codes = int8Codes(s, d).select("vec_id", "c")
+        // the retrain sees base + the already-folded batch 7; batch 3
+        // has not arrived at retrain time
+        val cents = lloydCentroids(codes.filter(!b3), 8, rounds = 3)
+        val scored = array_sort(array(cents.map { case (cl, m) =>
+          struct(lloydD2(m).as("d2"), lit(cl).as("cl"))
+        }: _*))
+        // assignment is per-vector given the centroids, so the
+        // post-retrain fold of batch 3 and the retrain's re-assignment
+        // of base + batch 7 are ONE whole-corpus projection against the
+        // prefix-trained literal centroids
+        withNorm(emb(s, d)).select("vec_id", "v", "nrm")
+          .join(codes, "vec_id")
+          .withColumn("sc", slice(scored, 1, IvfProbe))
+          .select(col("vec_id"), col("v"), col("nrm"),
+            posexplode(col("sc")))
+          .select(col("vec_id"), col("v"), col("nrm"),
+            (col("pos") + 1).as("arnk"), col("col.cl").as("anchor_id"))
+      }
+      val cells = lifecycle.filter(col("arnk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("anchor_id").as("cell"))
+      ivfServeTop3(lifecycle, cells)
+        .withColumn("is_new", ivfIsNewCol(3))
+        .orderBy("query_id", "rnk")
   }
 
   /** SemDeDup cosine threshold. On a real corpus this sits at ~0.95+
@@ -2712,7 +2842,7 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qAnnIndexUpdate,
-      qAnnIndexUpdate3, qAnnIvfRetrain,
+      qAnnIndexUpdate3, qAnnIvfRetrain, qAnnLifecycle,
       qEmbedNearDup,
       qSemdedup, qAnnInt8, qAnnIvfKmeans, qLabelOutliers, qKmeans,
       qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered,

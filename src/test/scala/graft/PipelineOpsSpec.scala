@@ -394,6 +394,22 @@ class PipelineOpsSpec extends SparkSpec {
       s"retune may only tighten admission: $dup28 vs $dup44")
   }
 
+  test("ann lifecycle: the mid-chain retrain trains on the prefix only") {
+    // q_ann_lifecycle's point vs q_ann_ivf_retrain is the training-set
+    // exclusion: the quantizer must be trained WITHOUT the post-retrain
+    // batch. Pin that the exclusion is non-vacuous (prefix-trained and
+    // whole-corpus centroids differ at sf0.001) and that the excluded
+    // batch is non-empty (the index genuinely grows after the retrain).
+    val codes = Similarity.int8Codes(spark, sf001).select("vec_id", "c")
+    val b3 = expr(Similarity.ivfBatchSql(3))
+    val prefix = Similarity.lloydCentroids(codes.filter(!b3), 8, rounds = 3)
+    val whole = Similarity.lloydCentroids(codes, 8, rounds = 3)
+    assert(prefix.map(_._1) == whole.map(_._1)) // same cluster ids
+    assert(prefix != whole,
+      "prefix-trained centroids must differ from whole-corpus training")
+    assert(codes.filter(b3).count() > 0)
+  }
+
   test("lifecycle: fold survivors stay visible THROUGH the retune; " +
     "rejected docs stay invisible") {
     // the composition property neither standalone gate exercises: the
