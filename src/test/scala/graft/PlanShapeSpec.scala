@@ -280,7 +280,7 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
         p.contains("SortMergeJoin")
     for (q <- Seq(Dedup.qDedupDelta, Dedup.qDedupIndexUpdate,
-        Dedup.qDedupReband)) {
+        Dedup.qDedupReband, Dedup.qDedupLifecycle)) {
       val dd = plan(q.fn(spark, sf001))
       assert(!dd.contains("CartesianProduct"), dd)
       assert(!dd.contains("BroadcastNestedLoopJoin"), dd)
@@ -290,7 +290,7 @@ class PlanShapeSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try
       for (q <- Seq(Dedup.qDedupDelta, Dedup.qDedupIndexUpdate,
-          Dedup.qDedupReband)) {
+          Dedup.qDedupReband, Dedup.qDedupLifecycle)) {
         val ddS = plan(q.fn(spark, sf001))
         assert(!ddS.contains("CartesianProduct"), ddS)
         assert(!ddS.contains("BroadcastNestedLoopJoin"), ddS)
