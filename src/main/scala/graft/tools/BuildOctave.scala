@@ -33,6 +33,9 @@ object BuildOctave {
   val Triggers: Seq[String] = Seq(
     "q_dedup_components_star", // shingleSets -> jacPairs08 -> starComps08
     "q_dedup_resolve_capped", // jacPairsCap64 -> starCompsCap64
+    "q_dedup_reband", // bandsReband
+    "q_dedup_lifecycle", // bandsLifecycle (fold -> 2x8 retune -> fold)
+    "q_ann_lifecycle", // ivfLifecycle (prefix-trained retrain mid-chain)
     "q_minhash_lsh_pairs", // docBands
     "q_doc_sim_weighted", // simWt (+ termFreq-family posting index)
     "q_tfidf_terms", // termFreq
