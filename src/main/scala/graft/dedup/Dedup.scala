@@ -927,9 +927,17 @@ object Dedup {
       val inA = col("doc_id") % 10 === 2
       val inB = col("doc_id") % 10 === 8
       val isBase = !inA && !inB
-      val retuned = graft.plans.FrameMemo.memo(s, "bandsLifecycle", d) {
-        val vA = screenBatch(docs(s, d).filter(inA), bands4.filter(inA),
+      // Two memo tags so `memo_builds` bills each lifecycle stage as what
+      // it is (ADVICE r11): `lifecycleScreenA` carries the phase-A screen
+      // (band join + full-set Jaccard verify — admission cost), and
+      // `bandsLifecycle` carries ONLY the retune — one corpus-linear
+      // re-projection of the persisted signatures, which is exactly what
+      // the scaladoc and SCALE.md attribute to it.
+      val vA = graft.plans.FrameMemo.memo(s, "lifecycleScreenA", d) {
+        screenBatch(docs(s, d).filter(inA), bands4.filter(inA),
           bands4.filter(isBase), sh.filter(inA), sh)
+      }
+      val retuned = graft.plans.FrameMemo.memo(s, "bandsLifecycle", d) {
         val survivors = vA.filter(!col("is_dup")).select("doc_id")
         // the retune re-bands the FOLDED state: base + A's survivors —
         // one projection of the persisted signatures at the new shape

@@ -368,6 +368,29 @@ object Similarity {
   val IvfProbe: Int = intKnob("GRAFT_IVF_NPROBE", 2, 1, 1 << 10)
   require(IvfProbe <= IvfCells,
     s"GRAFT_IVF_NPROBE=$IvfProbe exceeds GRAFT_IVF_CELLS=$IvfCells")
+
+  /** Trained-quantizer cell count for every [[lloydCentroids]]-backed
+    * serving path (kmeans assignment, IVF-kmeans, retrain, lifecycle).
+    * Fixed at 8 — the test corpus's planted cluster count — independent
+    * of [[IvfCells]], which sizes the hash-anchor quantizer. */
+  private[graft] val LloydK = 8
+
+  /** Effective probe width on Lloyd-trained quantizers (ADVICE r11):
+    * `GRAFT_IVF_NPROBE` validates against [[IvfCells]] (16), but a
+    * trained quantizer only HAS [[LloydK]] = 8 cells, so probe values in
+    * (8, 16] would pass validation yet silently probe all 8 cells —
+    * a no-op knob. Clamp EXPLICITLY (both the engine `slice` and the
+    * interpolated oracle `rn <=` bound use this value) and warn once so
+    * the effective value is visible to the operator rather than
+    * discovered from recall curves. */
+  val LloydProbe: Int = {
+    if (IvfProbe > LloydK)
+      System.err.println(s"[graft] GRAFT_IVF_NPROBE=$IvfProbe exceeds the " +
+        s"trained-quantizer cell count k=$LloydK; Lloyd-backed queries " +
+        s"probe all $LloydK cells (hash-anchor queries still probe " +
+        s"$IvfProbe of $IvfCells)")
+    math.min(IvfProbe, LloydK)
+  }
   private[graft] val IvfAnchorBase = 100
 
   /** Shared oracle CTE fragment: `ranked` = every vector scored against
@@ -746,7 +769,7 @@ object Similarity {
        |cells AS (SELECT a3.vec_id, a3.cl, n.v, n.nrm
        |          FROM a3 JOIN n ON n.vec_id = a3.vec_id WHERE a3.rn = 1),
        |probes AS (SELECT vec_id AS query_id, cl FROM a3
-       |           WHERE rn <= $IvfProbe AND $QuerySet),
+       |           WHERE rn <= $LloydProbe AND $QuerySet),
        |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
        |    list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
        |  FROM probes p
@@ -761,7 +784,7 @@ object Similarity {
     (s, d) =>
       val retrained = memo(s, "ivfRetrain", d) {
         val codes = int8Codes(s, d).select("vec_id", "c")
-        val cents = lloydCentroids(codes, 8, rounds = 3)
+        val cents = lloydCentroids(codes, LloydK, rounds = 3)
         // trained-cell ranks for every vector: integer distance against
         // the k LITERAL centroids, sorted in-row — zero shuffle
         val scored = array_sort(array(cents.map { case (cl, m) =>
@@ -769,7 +792,7 @@ object Similarity {
         }: _*))
         withNorm(emb(s, d)).select("vec_id", "v", "nrm")
           .join(codes, "vec_id")
-          .withColumn("sc", slice(scored, 1, IvfProbe))
+          .withColumn("sc", slice(scored, 1, LloydProbe))
           .select(col("vec_id"), col("v"), col("nrm"),
             posexplode(col("sc")))
           .select(col("vec_id"), col("v"), col("nrm"),
@@ -866,7 +889,7 @@ object Similarity {
        |cells AS (SELECT a3.vec_id, a3.cl, n.v, n.nrm
        |          FROM a3 JOIN n ON n.vec_id = a3.vec_id WHERE a3.rn = 1),
        |probes AS (SELECT vec_id AS query_id, cl FROM a3
-       |           WHERE rn <= $IvfProbe AND $QuerySet),
+       |           WHERE rn <= $LloydProbe AND $QuerySet),
        |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
        |    list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
        |  FROM probes p
@@ -887,7 +910,7 @@ object Similarity {
         val codes = int8Codes(s, d).select("vec_id", "c")
         // the retrain sees base + the already-folded batch 7; batch 3
         // has not arrived at retrain time
-        val cents = lloydCentroids(codes.filter(!b3), 8, rounds = 3)
+        val cents = lloydCentroids(codes.filter(!b3), LloydK, rounds = 3)
         val scored = array_sort(array(cents.map { case (cl, m) =>
           struct(lloydD2(m).as("d2"), lit(cl).as("cl"))
         }: _*))
@@ -897,7 +920,7 @@ object Similarity {
         // prefix-trained literal centroids
         withNorm(emb(s, d)).select("vec_id", "v", "nrm")
           .join(codes, "vec_id")
-          .withColumn("sc", slice(scored, 1, IvfProbe))
+          .withColumn("sc", slice(scored, 1, LloydProbe))
           .select(col("vec_id"), col("v"), col("nrm"),
             posexplode(col("sc")))
           .select(col("vec_id"), col("v"), col("nrm"),
@@ -1291,7 +1314,7 @@ object Similarity {
       |       CAST(MIN(vec_id) AS BIGINT) AS min_vec
       |FROM s3 GROUP BY cl ORDER BY cluster""".stripMargin) { (s, d) =>
     val codes = int8Codes(s, d).select("vec_id", "c")
-    lloydAssign(codes, lloydCentroids(codes, 8, rounds = 3))
+    lloydAssign(codes, lloydCentroids(codes, LloydK, rounds = 3))
       .groupBy(col("cl").cast("long").as("cluster"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum("d2").cast("long").as("inertia"),
@@ -1366,7 +1389,7 @@ object Similarity {
        |             FROM c CROSS JOIN cent2)),
        |cells AS (SELECT vec_id, cl, c FROM a3 WHERE rn = 1),
        |probes AS (SELECT vec_id AS query_id, c AS qc, cl FROM a3
-       |           WHERE rn <= $IvfProbe AND $QuerySet),
+       |           WHERE rn <= $LloydProbe AND $QuerySet),
        |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
        |    CAST(list_sum(list_transform(range(1, 65),
        |      i -> p.qc[i] * b.c[i])) AS BIGINT) AS idot
@@ -1380,7 +1403,7 @@ object Similarity {
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) {
     (s, d) =>
       val codes = int8Codes(s, d).select("vec_id", "c")
-      val cents = lloydCentroids(codes, 8, rounds = 3)
+      val cents = lloydCentroids(codes, LloydK, rounds = 3)
       val assigned = lloydAssign(codes, cents).select("vec_id", "c", "cl")
       val scoredCells = array(cents.map { case (cl, m) =>
         struct(lloydD2(m).as("d2"), lit(cl).as("cl"))
@@ -1388,7 +1411,7 @@ object Similarity {
       val probes = codes.filter(expr(QuerySet))
         .withColumn("sc", array_sort(scoredCells))
         .select(col("vec_id").as("query_id"), col("c").as("qc"),
-          explode(slice(col("sc"), 1, IvfProbe)).as("probe"))
+          explode(slice(col("sc"), 1, LloydProbe)).as("probe"))
         .select(col("query_id"), col("qc"), col("probe.cl").as("cl"))
       val scored = broadcast(probes).join(assigned, Seq("cl"))
         .filter(col("vec_id") =!= col("query_id"))
@@ -1477,7 +1500,7 @@ object Similarity {
       |       CAST((cnt * 1000) // n AS BIGINT) AS purity_pm
       |FROM mj WHERE r = 1 ORDER BY cluster""".stripMargin) { (s, d) =>
     val codes = int8Codes(s, d)
-    val a = lloydAssign(codes, lloydCentroids(codes, 8, rounds = 3))
+    val a = lloydAssign(codes, lloydCentroids(codes, LloydK, rounds = 3))
     val lab = a.groupBy("cl", "label").agg(count(lit(1)).as("cnt"))
     lab.groupBy("cl")
       .agg(sum("cnt").as("n"),
@@ -2622,7 +2645,7 @@ object Similarity {
       |       CAST(MAX(s_mille) AS BIGINT) AS max_s_mille
       |FROM sil GROUP BY cl ORDER BY cluster""".stripMargin) { (s, d) =>
     val codes = int8Codes(s, d).select("vec_id", "c")
-    val assigned = lloydAssign(codes, lloydCentroids(codes, 8, rounds = 3))
+    val assigned = lloydAssign(codes, lloydCentroids(codes, LloydK, rounds = 3))
       .select(col("vec_id"), col("cl"), col("c"))
       .withColumn("qi", aggregate(
         transform(col("c"), x => x * x), lit(0L), (acc, x) => acc + x))
