@@ -74,6 +74,60 @@ class DedupDfCapSpec extends SparkSpec {
     assert(capped == uncapped)
   }
 
+  test("derived cap is a corpus statistic: lands below the hot-df knee " +
+    "on the boilerplate corpus, above 64 on a legit-df-100 corpus, " +
+    "and no-op on the clean corpus") {
+    import spark.implicits._
+    // 1. hot-shingle fixture (this suite's 120-doc boilerplate corpus):
+    //    the df=120 boilerplate levels blow the linear budget, so the
+    //    derivation must land the cap BELOW them — and below the
+    //    hardcoded 64 (the knee sits under 64 here; a constant cap of 64
+    //    would quietly re-enter the quadratic regime)
+    val hot = Dedup.dfCapStats(sh).head()
+    assert(hot.getBoolean(6), s"hot corpus must flag capped: $hot")
+    assert(hot.getLong(5) <= 64L,
+      s"derived cap must sit below the hot-df knee (<= 64): $hot")
+    assert(hot.getLong(2) == 120L, s"boilerplate df must be 120: $hot")
+    // candidate volume under the derived cap is linear (within budget)
+    val cand = Dedup.jaccardCandidates(sh, Some(hot.getLong(5))).count()
+    assert(cand <= hot.getLong(4), s"cand=$cand budget=${hot.getLong(4)}")
+    // 2. a corpus whose legitimate df ~100 phrase FITS the linear
+    //    budget: 400 docs, 100 sharing one 4-word phrase (2 trigram
+    //    shingles at df=100 → volume 2·100·99/2 = 9,900 ≤ 64·400).
+    //    The derivation keeps it (cap ≥ 100 > 64) where the hardcoded
+    //    64 would drop the phrase's candidates.
+    def body(i: Int) =
+      (1 to 8).map(w => s"t${i}w$w").mkString(" ")
+    val legit = (0 until 400).map { i =>
+      val phrase = if (i < 100) " shared phrase four words" else ""
+      (i.toLong, body(i) + phrase)
+    }.toDF("doc_id", "text")
+    val lsh = TextHash.addShingleHashes(legit, col("text"))
+      .select("doc_id", "hs")
+    val ls = Dedup.dfCapStats(lsh).head()
+    assert(!ls.getBoolean(6), s"legit df-100 corpus must not cap: $ls")
+    assert(ls.getLong(5) >= 100L && ls.getLong(5) > 64L,
+      s"derived cap must keep the legitimate df-100 level: $ls")
+    assert(Dedup.jaccardCandidates(lsh, Some(ls.getLong(5))).count() >
+      Dedup.jaccardCandidates(lsh, Some(64L)).count(),
+      "the derived cap must keep candidates the hardcoded 64 drops")
+    // 3. clean corpus: whole distribution fits → derived_cap = max_df,
+    //    capped=false, and the autocap pairs are EXACTLY the uncapped set
+    val byName = Dedup.all.map(q => q.name -> q).toMap
+    val stat = byName("q_jaccard_capstat").fn(spark, sf001).head()
+    assert(!stat.getBoolean(6) && stat.getLong(5) == stat.getLong(2),
+      s"clean corpus must derive no-cap: $stat")
+    val auto = byName("q_jaccard_pairs_autocap").fn(spark, sf001)
+      .collect().toSeq
+    val un = Dedup.jaccardPairsFrom(
+      TextHash.addShingleHashes(
+        graft.io.Tables.load(spark, sf001, "documents"), col("text"))
+        .select("doc_id", "hs"), 0.8, None)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(auto.nonEmpty && auto == un,
+      s"autocap must equal uncapped on the clean corpus: ${auto.size} vs ${un.size}")
+  }
+
   test("capped pairs verify against FULL sets: scores match uncapped") {
     val capped = Dedup.jaccardPairsFrom(sh, 0.5, Some(50L)).collect()
     assert(capped.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
