@@ -318,7 +318,7 @@ object StreamOps {
     * the state read surface would serve partial sums, and (defensively)
     * a merge must never chain off one. The chaos spec in StreamOpsSpec
     * pins this by planting exactly such a directory. */
-  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[Long] =
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
@@ -1229,6 +1229,65 @@ object StreamOps {
     // banding, not a growth surface
   }
 
+  /** Deliberate mid-chain crash for the restart gate ([[
+    * qStreamIngestRestart]]): thrown by the ingest sink AFTER the
+    * designated batch's writes are fully committed (verdict ledger +
+    * index version, both with `_SUCCESS`) but BEFORE the runtime
+    * records the batch in the checkpoint commit log — exactly the torn
+    * state a real driver loss leaves behind, and the one the
+    * version-chain argument must survive. */
+  private[graft] final class InjectedCrash(msg: String)
+    extends RuntimeException(msg)
+
+  @annotation.tailrec
+  private def isInjected(t: Throwable): Boolean = t match {
+    case null => false
+    case _: InjectedCrash => true
+    case other => isInjected(other.getCause)
+  }
+
+  /** Drive the dedup ingest chain under the real micro-batch runtime,
+    * resuming from whatever `ckpt` says is next (a fresh checkpoint
+    * starts at batch 0; a checkpoint whose last batch committed
+    * sink-side but not runtime-side REPLAYS that batch — the
+    * exactly-once case). `crashAfter`: kill the QUERY with an
+    * [[InjectedCrash]] immediately after that batchId's sink writes
+    * commit, deterministically producing the torn state above (no
+    * timing races — the gate controls exactly where the chain is cut). */
+  private[graft] def runIngestChain(s: SparkSession, src: String,
+      state: String, verd: String, ckpt: String, corpusSh: DataFrame,
+      crashAfter: Option[Long] = None): Unit = {
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIngestBatch(batch, batchId, state, verd, corpusSh)
+        if (crashAfter.contains(batchId))
+          throw new InjectedCrash(s"injected crash after batch $batchId")
+      }.start()
+    try q.processAllAvailable()
+    catch { case t: Throwable if crashAfter.nonEmpty && isInjected(t) => () }
+    finally q.stop()
+  }
+
+  /** The committed verdict ledger across all [[IngestSlices]] batches —
+    * the registered result surface of both ingest gates. */
+  private def ingestLedger(s: SparkSession, verd: String): DataFrame = {
+    val fs = hadoopFs(s, verd)
+    val ledgers = IngestSlices.indices.map { i =>
+      val p = s"$verd/b=$i"
+      require(fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")),
+        s"ingest batch $i left no committed verdict ledger at $p")
+      s.read.parquet(p)
+    }
+    ledgers.reduce(_ unionByName _)
+      .select(col("batch"), col("doc_id"), col("best_base"),
+        col("best_jaccard"), col("is_dup"))
+      .orderBy("batch", "doc_id").localCheckpoint(true)
+  }
+
   /** Streaming CONTINUOUS-INGEST dedup — the [[qDedupIndexUpdate3]]
     * admit→fold chain graduated from driver-sequenced batch code to the
     * actual micro-batch runtime: the four batch slices of the documents
@@ -1249,7 +1308,11 @@ object StreamOps {
     * an append-shaped union write; state grows by survivors' bands
     * only. The per-run state/checkpoint scratch is UUID-unique under
     * [[scratchRoot]] and deleted in `finally`. */
-  val qStreamDedupIngest: graft.queries.Q = {
+  /** The from-scratch N-phase admission oracle, shared verbatim by the
+    * uninterrupted ingest gate and the crash-restart gate: exactly-once
+    * means the RESULT is independent of where the runtime was cut, so
+    * the two queries must hash to the same DuckDB answer. */
+  private val ingestOracleSql: String = {
     import graft.functions.TextHash.{minhashSql, shingleCteSql, Bands, K, R}
     val sigSqlCols = (0 until K)
       .map(k => s"${minhashSql("hs", k)} AS m$k").mkString(",\n       ")
@@ -1303,23 +1366,30 @@ object StreamOps {
          |FROM documents d
          |LEFT JOIN pick$i p ON p.new_doc = d.doc_id
          |WHERE d.doc_id % 10 = ${IngestSlices(i)}"""
-    graft.queries.Q("q_stream_dedup_ingest",
-      s"""WITH $shingleCteSql,
-         |sig AS (SELECT doc_id, hs,
-         |       $sigSqlCols
-         |FROM sh),
-         |bands AS (
-         |  $bandSelects),
-         |${IngestSlices.indices.map(phaseCtes).mkString(",\n")}
-         |${IngestSlices.indices.map(phaseSelect)
-           .mkString("", "\nUNION ALL\n", "")}
-         |ORDER BY batch, doc_id""".stripMargin) { (s, d) =>
+    s"""WITH $shingleCteSql,
+       |sig AS (SELECT doc_id, hs,
+       |       $sigSqlCols
+       |FROM sh),
+       |bands AS (
+       |  $bandSelects),
+       |${IngestSlices.indices.map(phaseCtes).mkString(",\n")}
+       |${IngestSlices.indices.map(phaseSelect)
+         .mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY batch, doc_id""".stripMargin
+  }
+
+  /** The base-corpus banding seed (everything outside the arriving
+    * slices) shared by both ingest gates. */
+  private def ingestBaseIndex(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.corpusBands(s, d)
+      .filter(!IngestSlices.map(m =>
+        pmod(col("doc_id"), lit(10L)) === m).reduce(_ || _))
+
+  val qStreamDedupIngest: graft.queries.Q =
+    graft.queries.Q("q_stream_dedup_ingest", ingestOracleSql) { (s, d) =>
       graft.io.Tables.ensureSessionRegistered(s)
       val src = docsSplit(s, d)
       val corpusSh = graft.dedup.Dedup.corpusShingles(s, d)
-      val baseIdx = graft.dedup.Dedup.corpusBands(s, d)
-        .filter(!IngestSlices.map(m =>
-          pmod(col("doc_id"), lit(10L)) === m).reduce(_ || _))
       val runId = java.util.UUID.randomUUID()
       val root = scratchRoot(s)
       val state = s"$root/graft_ingest_state_$runId"
@@ -1327,31 +1397,66 @@ object StreamOps {
       val ckpt = s"$root/graft_ingest_ckpt_$runId"
       try {
         withStatePartitions(s) {
-          baseIdx.write.mode("overwrite").parquet(s"$state/v=0")
-          val schema = s.read.parquet(src).schema
-          val stream = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1").parquet(src)
-          val q = stream.writeStream
-            .option("checkpointLocation", ckpt)
-            .foreachBatch { (batch: DataFrame, batchId: Long) =>
-              applyIngestBatch(batch, batchId, state, verd, corpusSh)
-            }.start()
-          try q.processAllAvailable() finally q.stop()
-          val fs = hadoopFs(s, verd)
-          val ledgers = IngestSlices.indices.map { i =>
-            val p = s"$verd/b=$i"
-            require(fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")),
-              s"ingest batch $i left no committed verdict ledger at $p")
-            s.read.parquet(p)
-          }
-          ledgers.reduce(_ unionByName _)
-            .select(col("batch"), col("doc_id"), col("best_base"),
-              col("best_jaccard"), col("is_dup"))
-            .orderBy("batch", "doc_id").localCheckpoint(true)
+          ingestBaseIndex(s, d).write.mode("overwrite")
+            .parquet(s"$state/v=0")
+          runIngestChain(s, src, state, verd, ckpt, corpusSh)
+          ingestLedger(s, verd)
         }
       } finally for (p <- Seq(state, verd, ckpt)) deletePath(s, p)
     }
-  }
+
+  /** CRASH-RESTART exactly-once, demonstrated under the real runtime
+    * (VERDICT r11 missing #1 / next #1): the ingest chain is KILLED
+    * mid-chain — deterministically, via [[InjectedCrash]] thrown right
+    * after batch 1's sink writes commit but before its checkpoint
+    * commit-log entry — and a FRESH StreamingQuery is started from the
+    * SAME checkpoint + state + ledger directories. The runtime replays
+    * batch 1 (offsets logged, commit missing — the at-least-once
+    * delivery the sink must absorb); the version chain makes the replay
+    * idempotent (batch N reads the newest committed v ≤ N, so the
+    * replay chains off v=1, never its own v=2 output, and overwrites
+    * v=2 and `b=1` with identical content); batches 2 and 3 then run
+    * once. The registered result is the final 4-batch ledger, gated by
+    * the SAME from-scratch oracle as the uninterrupted gate — the
+    * exactly-once claim IS that the cut is invisible in the result.
+    * Before restarting, the gate `require`s the torn state it claims to
+    * recover from: batch 1's ledger committed sink-side, batch 1 ABSENT
+    * from the checkpoint commit log, and the tail batches not yet run
+    * (`StreamOpsSpec` additionally pins ledger + final index version
+    * row-identity against an uninterrupted twin run). */
+  val qStreamIngestRestart: graft.queries.Q =
+    graft.queries.Q("q_stream_ingest_restart", ingestOracleSql) { (s, d) =>
+      graft.io.Tables.ensureSessionRegistered(s)
+      val src = docsSplit(s, d)
+      val corpusSh = graft.dedup.Dedup.corpusShingles(s, d)
+      val runId = java.util.UUID.randomUUID()
+      val root = scratchRoot(s)
+      val state = s"$root/graft_restart_state_$runId"
+      val verd = s"$root/graft_restart_verd_$runId"
+      val ckpt = s"$root/graft_restart_ckpt_$runId"
+      try {
+        withStatePartitions(s) {
+          ingestBaseIndex(s, d).write.mode("overwrite")
+            .parquet(s"$state/v=0")
+          // leg 1: the chain dies right after batch 1 lands sink-side
+          runIngestChain(s, src, state, verd, ckpt, corpusSh,
+            crashAfter = Some(1L))
+          val fs = hadoopFs(s, verd)
+          def p(path: String) = new org.apache.hadoop.fs.Path(path)
+          require(fs.exists(p(s"$verd/b=1/_SUCCESS")),
+            "crash must land AFTER batch 1's sink commit")
+          require(!fs.exists(p(s"$verd/b=${IngestSlices.size - 1}")),
+            "crash must land mid-chain, before the tail batches")
+          require(!hadoopFs(s, ckpt).exists(p(s"$ckpt/commits/1")),
+            "batch 1 must be checkpoint-UNcommitted at the cut " +
+              "(sink-committed only) — the torn state under test")
+          // leg 2: a fresh query from the same checkpoint replays
+          // batch 1 and finishes the chain
+          runIngestChain(s, src, state, verd, ckpt, corpusSh)
+          ingestLedger(s, verd)
+        }
+      } finally for (p <- Seq(state, verd, ckpt)) deletePath(s, p)
+    }
 
   // ------------------------------------------------------------------
   // Streaming ANN INGEST: the IVF fold under the real runtime
@@ -1475,5 +1580,5 @@ object StreamOps {
   val all: Seq[graft.queries.Q] =
     Seq(qStreamHourly, qStreamMerge, qStreamMergeBucketed,
       qStreamSessionize, qStreamConversionLag, qStreamDedupIngest,
-      qStreamAnnIngest)
+      qStreamIngestRestart, qStreamAnnIngest)
 }

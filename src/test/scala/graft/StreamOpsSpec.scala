@@ -562,6 +562,70 @@ class StreamOpsSpec extends SparkSpec {
     assert(idx1.map(_._1) == Set(1L, 10L))
   }
 
+  test("crash-restart exactly-once: a mid-chain kill and a fresh query " +
+    "from the same checkpoint land ledger and final index identical to " +
+    "the uninterrupted run") {
+    // the claim a production operator relies on (VERDICT r11 missing
+    // #1): kill the live ingest stream after batch 1 commits SINK-side
+    // but not checkpoint-side, restart from the same checkpoint + state
+    // dirs, and the final artifacts must be indistinguishable from a
+    // run that was never cut.
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    graft.io.Tables.ensureSessionRegistered(spark)
+    val src = StreamOps.docsSplit(spark, sf001)
+    val corpusSh = graft.dedup.Dedup.corpusShingles(spark, sf001)
+    val slices = StreamOps.IngestSlices
+    val baseIdx = graft.dedup.Dedup.corpusBands(spark, sf001)
+      .filter(!slices.map(m =>
+        pmod(col("doc_id"), lit(10L)) === m).reduce(_ || _))
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    def run(crash: Boolean): (Seq[Seq[Any]], Seq[Long], Set[Seq[Any]]) = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_restart_spec").toString
+      val (state, verd, ckpt) =
+        (s"$root/state", s"$root/verd", s"$root/ckpt")
+      try {
+        baseIdx.write.mode("overwrite").parquet(s"$state/v=0")
+        if (crash) {
+          StreamOps.runIngestChain(spark, src, state, verd, ckpt,
+            corpusSh, crashAfter = Some(1L))
+          // the cut is real and torn: batch 1 sink-committed, absent
+          // from the commit log, tail batches not yet run
+          assert(fs.exists(new Path(s"$verd/b=1/_SUCCESS")))
+          assert(!fs.exists(new Path(s"$ckpt/commits/1")),
+            "batch 1 must be checkpoint-uncommitted at the cut")
+          assert(!fs.exists(new Path(s"$verd/b=${slices.size - 1}")),
+            "the kill must land mid-chain")
+          StreamOps.runIngestChain(spark, src, state, verd, ckpt,
+            corpusSh)
+        } else {
+          StreamOps.runIngestChain(spark, src, state, verd, ckpt,
+            corpusSh)
+        }
+        val ledger = slices.indices
+          .map(i => spark.read.parquet(s"$verd/b=$i"))
+          .reduce(_ unionByName _)
+          .select("batch", "doc_id", "best_base", "best_jaccard", "is_dup")
+          .orderBy("batch", "doc_id")
+          .collect().map(_.toSeq).toSeq
+        val versions = StreamOps
+          .committedVersions(fs, new Path(state)).sorted
+        val finalIdx = spark.read
+          .parquet(s"$state/v=${versions.last}")
+          .collect().map(_.toSeq).toSet
+        (ledger, versions, finalIdx)
+      } finally fs.delete(new Path(root), true)
+    }
+    val (ledgerA, versionsA, idxA) = run(crash = false)
+    val (ledgerB, versionsB, idxB) = run(crash = true)
+    assert(ledgerA.nonEmpty && ledgerA == ledgerB,
+      s"restarted ledger diverged: ${ledgerA.size} vs ${ledgerB.size} rows")
+    assert(versionsA == (0L to slices.size).toSeq &&
+      versionsB == versionsA,
+      s"version chains diverged: $versionsA vs $versionsB")
+    assert(idxA == idxB, "final index versions diverged after restart")
+  }
+
   test("ann ingest apply: streamed assignment equals the persisted " +
     "index slice, replays are exactly-once") {
     // real corpus, tiny SF: the batch assigned FROM ITS RAW STREAMED
