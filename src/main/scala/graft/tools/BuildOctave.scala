@@ -33,6 +33,8 @@ object BuildOctave {
   val Triggers: Seq[String] = Seq(
     "q_dedup_components_star", // shingleSets -> jacPairs08 -> starComps08
     "q_dedup_resolve_capped", // jacPairsCap64 -> starCompsCap64
+    "q_jaccard_capstat", // jacCapStat (df pre-pass)
+    "q_jaccard_pairs_autocap", // jacPairsAuto (pairs under the derived cap)
     "q_dedup_reband", // bandsReband
     "q_dedup_lifecycle", // bandsLifecycle (fold -> 2x8 retune -> fold)
     "q_ann_lifecycle", // ivfLifecycle (prefix-trained retrain mid-chain)
@@ -56,6 +58,13 @@ object BuildOctave {
       .map(_.split(',').toSeq.filter(_.nonEmpty))
       .getOrElse(sys.error("set GRAFT_SWEEP_DIRS=dir1x,dir5x"))
     val reps = sys.env.get("GRAFT_BUILD_REPS").map(_.toInt).getOrElse(4)
+    // optional trigger subset (comma-separated query names): the 25×
+    // octave re-runs only the families under study — the uncapped pair
+    // build alone costs ~140 s per rep there, and paying it to refresh
+    // an already-measured row would be waste, not rigor
+    val triggers = sys.env.get("GRAFT_BUILD_TRIGGERS")
+      .map(t => Triggers.filter(t.split(',').toSet))
+      .getOrElse(Triggers)
     val root = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -71,7 +80,7 @@ object BuildOctave {
       // merge only tags whose value CHANGED, i.e. builds that actually
       // ran in this rep
       val before = graft.plans.FrameMemo.buildTimes
-      Triggers.foreach { q =>
+      triggers.foreach { q =>
         try fns(q)(s, d).count()
         catch { case e: Throwable =>
           System.err.println(s"[build-octave] $q at $d: ${e.getMessage}")
