@@ -1261,9 +1261,14 @@ object Similarity {
     (cents, rounds)
   }
 
-  val qKmeans: Q = Q("q_kmeans",
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |m AS (SELECT vec_id, v,
+  /** Shared oracle CTE chain: the unrolled 3-round Lloyd (k =
+    * [[LloydK]], seed = first-k codes) over the int8 codes, ending at
+    * `s3` = each vector's final (cl, d2) assignment. ONE spelling for
+    * [[qKmeans]] and the cell-balance report ([[qAnnCellStats]]), so
+    * the two gates cannot drift onto different trainings; expects `e`
+    * (vec_id, DOUBLE[] v) in scope. */
+  private val lloydCellsCteSql: String =
+    """m AS (SELECT vec_id, v,
       |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
       |c AS (SELECT vec_id,
       |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
@@ -1308,7 +1313,11 @@ object Similarity {
       |                 i -> (c.c[i] - cent2.m[i])
       |                      * (c.c[i] - cent2.m[i]))) AS d2
       |             FROM c CROSS JOIN cent2)),
-      |s3 AS (SELECT vec_id, cl, d2 FROM a3 WHERE rn = 1)
+      |s3 AS (SELECT vec_id, cl, d2 FROM a3 WHERE rn = 1)""".stripMargin
+
+  val qKmeans: Q = Q("q_kmeans",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |$lloydCellsCteSql
       |SELECT CAST(cl AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
       |       CAST(SUM(d2) AS BIGINT) AS inertia,
       |       CAST(MIN(vec_id) AS BIGINT) AS min_vec
@@ -1320,6 +1329,79 @@ object Similarity {
         sum("d2").cast("long").as("inertia"),
         min("vec_id").cast("long").as("min_vec"))
       .orderBy("cluster")
+  }
+
+  /** Retrain-decision threshold on cell BALANCE: probe cost in an IVF
+    * index is the probed cells' total size, so the number the operator
+    * watches is the imbalance factor max_cell / (n/cells) — how much a
+    * worst-case probe costs relative to a balanced index. Flag a
+    * retrain when the hottest cell exceeds `CellBalance`× its balanced
+    * share (default 2.0: the hottest probe costs double). Same knob
+    * discipline as the dedup side's `GRAFT_OCC_BUDGET`. */
+  val CellBalance: Double = doubleKnob("GRAFT_CELL_BALANCE", 2.0, 1.0, 1e6)
+
+  /** Single-row cell-balance report over a (cell) assignment frame —
+    * the ANN half of the retune/retrain monitoring pair (the dedup half
+    * is `Dedup.occupancyReport`): occupied-cell count, vector total,
+    * max/min cell, mean, the imbalance factor, and the retrain flag.
+    * Integer counts + two single divisions (bit-equal across engines);
+    * one hash aggregation per call, corpus-linear. */
+  private[graft] def cellStats(cells: DataFrame,
+      quantizer: String): DataFrame = {
+    val per = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+    per.agg(
+      count(lit(1)).cast("long").as("n_cells"),
+      sum("n").cast("long").as("n_vecs"),
+      max("n").cast("long").as("max_cell"),
+      min("n").cast("long").as("min_cell"))
+      .select(lit(quantizer).as("quantizer"), col("n_cells"),
+        col("n_vecs"), col("max_cell"), col("min_cell"),
+        (col("n_vecs").cast("double") / col("n_cells")).as("mean_cell"),
+        ((col("max_cell") * col("n_cells")).cast("double") / col("n_vecs"))
+          .as("imbalance"),
+        ((col("max_cell") * col("n_cells")).cast("double") >
+          lit(CellBalance) * col("n_vecs")).as("retrain"))
+  }
+
+  /** The registered cell-balance/RETRAIN-DECISION report: both serving
+    * quantizers on the same corpus — the hash-anchor 16-cell index
+    * ([[qAnnIvf]]'s) next to the Lloyd-trained 8-cell index
+    * ([[qAnnIvfKmeans]]'s) — so one result shows what training buys in
+    * balance (on this corpus the Lloyd cells track the planted clusters
+    * and balance; anchor cells are whatever cosine geometry gives).
+    * Completes the lifecycle-monitoring symmetry: `q_dedup_occupancy`
+    * reports the retune trigger, this reports the retrain trigger that
+    * [[qAnnIvfRetrain]]/[[qAnnLifecycle]] pay. Oracle recomputes both
+    * assignments and the report from scratch. `AnnKnobsSpec` drives the
+    * flag's fire→clear transition on skewed/balanced fixtures. */
+  val qAnnCellStats: Q = Q("q_ann_cell_stats",
+    s"""WITH $ivfRankedCteSql,
+       |$lloydCellsCteSql,
+       |ac AS (SELECT anchor_id AS cell, COUNT(*) AS n FROM ranked
+       |       WHERE arnk = 1 GROUP BY 1),
+       |lc AS (SELECT cl AS cell, COUNT(*) AS n FROM s3 GROUP BY 1),
+       |rep AS (
+       |  SELECT 'anchor16' AS quantizer, COUNT(*) AS ncells,
+       |         SUM(n) AS nv, MAX(n) AS mx, MIN(n) AS mn FROM ac
+       |  UNION ALL
+       |  SELECT 'lloyd8' AS quantizer, COUNT(*) AS ncells,
+       |         SUM(n) AS nv, MAX(n) AS mx, MIN(n) AS mn FROM lc)
+       |SELECT quantizer, CAST(ncells AS BIGINT) AS n_cells,
+       |       CAST(nv AS BIGINT) AS n_vecs,
+       |       CAST(mx AS BIGINT) AS max_cell,
+       |       CAST(mn AS BIGINT) AS min_cell,
+       |       CAST(nv AS DOUBLE) / ncells AS mean_cell,
+       |       CAST(mx * ncells AS DOUBLE) / nv AS imbalance,
+       |       CAST(mx * ncells AS DOUBLE) > $CellBalance * nv AS retrain
+       |FROM rep ORDER BY quantizer""".stripMargin) { (s, d) =>
+    val codes = int8Codes(s, d).select("vec_id", "c")
+    val acells = ivfRanked(s, d).filter(col("arnk") === 1)
+      .select(col("anchor_id").as("cell"))
+    val lcells = lloydAssign(codes, lloydCentroids(codes, LloydK, rounds = 3))
+      .select(col("cl").as("cell"))
+    cellStats(acells, "anchor16")
+      .unionByName(cellStats(lcells, "lloyd8"))
+      .orderBy("quantizer")
   }
 
   /** IVF ANN with a TRAINED coarse quantizer — the [[qAnnIvf]]
@@ -2867,7 +2949,7 @@ object Similarity {
     Seq(qCosineTopk, qAnnLsh, qAnnMultiprobe, qAnnIvf, qAnnIndexUpdate,
       qAnnIndexUpdate3, qAnnIvfRetrain, qAnnLifecycle,
       qEmbedNearDup,
-      qSemdedup, qAnnInt8, qAnnIvfKmeans, qLabelOutliers, qKmeans,
+      qSemdedup, qAnnInt8, qAnnIvfKmeans, qAnnCellStats, qLabelOutliers, qKmeans,
       qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered,
       qHardNegatives, qMmrRerank, qRandProject, qKnnClassify, qAnnRecall,
       qSilhouette, qPqDistortion, qPqTrain, qAnnIvfPqTrained)

@@ -67,4 +67,14 @@ class AnnKnobsSpec extends AnyFunSuite {
     assert(Similarity.planeWeights.forall(_.size == Similarity.Dim))
     assert(Similarity.IvfProbe <= Similarity.IvfCells)
   }
+
+  test("Lloyd-trained probe width clamps to the trained cell count " +
+    "(ADVICE r11)") {
+    // GRAFT_IVF_NPROBE validates against IvfCells (16), but the trained
+    // quantizer has LloydK = 8 cells; the effective width on
+    // Lloyd-backed queries is the explicit clamp, not a silent no-op
+    assert(Similarity.LloydProbe ==
+      math.min(Similarity.IvfProbe, 8))
+    assert(Similarity.LloydProbe <= 8)
+  }
 }

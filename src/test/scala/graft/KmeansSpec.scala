@@ -61,4 +61,32 @@ class KmeansSpec extends SparkSpec {
     assert(inertia(converged) <= inertia(threeRound),
       "Lloyd iteration increased the clustering objective")
   }
+
+  test("cell-balance report: retrain flag fires on a hot-cell index, " +
+    "clears on a balanced one; both corpus quantizers report sanely") {
+    import spark.implicits._
+    // skewed fixture: 90 of 100 vectors in one cell → the hottest probe
+    // costs 9× the balanced share, far past the 2.0 budget
+    val hot = (1 to 100).map(i => if (i <= 90) 0L else (i % 10).toLong)
+      .toDF("cell")
+    val h = Similarity.cellStats(hot, "hot").head()
+    assert(h.getBoolean(7), s"skewed index must flag retrain: $h")
+    assert(h.getDouble(6) > Similarity.CellBalance)
+    // balanced fixture: 10 cells × 10 vectors → imbalance exactly 1.0
+    val bal = (0 until 100).map(i => (i % 10).toLong).toDF("cell")
+    val b = Similarity.cellStats(bal, "bal").head()
+    assert(!b.getBoolean(7), s"balanced index must not flag: $b")
+    assert(b.getDouble(6) == 1.0)
+    // the registered report: both quantizers, full corpus accounted,
+    // max dominates mean dominates min
+    val rows = Similarity.qAnnCellStats.fn(spark, sf001).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("anchor16", "lloyd8"))
+    val nVecs = graft.io.Tables.load(spark, sf001, "embeddings").count()
+    rows.foreach { r =>
+      assert(r.getLong(2) == nVecs, s"every vector must land in a cell: $r")
+      assert(r.getLong(3) >= r.getDouble(5) && r.getDouble(5) >= r.getLong(4),
+        s"max >= mean >= min violated: $r")
+      assert(r.getDouble(6) >= 1.0)
+    }
+  }
 }
