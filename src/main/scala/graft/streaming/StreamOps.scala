@@ -1246,24 +1246,26 @@ object StreamOps {
     case other => isInjected(other.getCause)
   }
 
-  /** Drive the dedup ingest chain under the real micro-batch runtime,
-    * resuming from whatever `ckpt` says is next (a fresh checkpoint
-    * starts at batch 0; a checkpoint whose last batch committed
-    * sink-side but not runtime-side REPLAYS that batch — the
-    * exactly-once case). `crashAfter`: kill the QUERY with an
-    * [[InjectedCrash]] immediately after that batchId's sink writes
-    * commit, deterministically producing the torn state above (no
-    * timing races — the gate controls exactly where the chain is cut). */
-  private[graft] def runIngestChain(s: SparkSession, src: String,
-      state: String, verd: String, ckpt: String, corpusSh: DataFrame,
-      crashAfter: Option[Long] = None): Unit = {
+  /** Drive one versioned-sink chain under the real micro-batch runtime
+    * (shared by BOTH ingest families): one file per micro-batch from
+    * `src`, `applyBatch` as the foreachBatch sink, resuming from
+    * whatever `ckpt` says is next (a fresh checkpoint starts at batch
+    * 0; a checkpoint whose last batch committed sink-side but not
+    * runtime-side REPLAYS that batch — the exactly-once case).
+    * `crashAfter`: kill the QUERY with an [[InjectedCrash]] immediately
+    * after that batchId's sink writes commit, deterministically
+    * producing the torn state above (no timing races — the gate
+    * controls exactly where the chain is cut). */
+  private[graft] def runVersionedStream(s: SparkSession, src: String,
+      ckpt: String, crashAfter: Option[Long] = None)(
+      applyBatch: (DataFrame, Long) => Unit): Unit = {
     val schema = s.read.parquet(src).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyIngestBatch(batch, batchId, state, verd, corpusSh)
+        applyBatch(batch, batchId)
         if (crashAfter.contains(batchId))
           throw new InjectedCrash(s"injected crash after batch $batchId")
       }.start()
@@ -1271,6 +1273,13 @@ object StreamOps {
     catch { case t: Throwable if crashAfter.nonEmpty && isInjected(t) => () }
     finally q.stop()
   }
+
+  /** The dedup ingest chain through [[runVersionedStream]]. */
+  private[graft] def runIngestChain(s: SparkSession, src: String,
+      state: String, verd: String, ckpt: String, corpusSh: DataFrame,
+      crashAfter: Option[Long] = None): Unit =
+    runVersionedStream(s, src, ckpt, crashAfter)((batch, batchId) =>
+      applyIngestBatch(batch, batchId, state, verd, corpusSh))
 
   /** The committed verdict ledger across all [[IngestSlices]] batches —
     * the registered result surface of both ingest gates. */
@@ -1552,15 +1561,8 @@ object StreamOps {
       withStatePartitions(s) {
         sim.ivfBaseCells(s, d, AnnIngestSlices)
           .write.mode("overwrite").parquet(s"$state/v=0")
-        val schema = s.read.parquet(src).schema
-        val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(src)
-        val q = stream.writeStream
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            applyAnnIngestBatch(batch, batchId, state, anchors)
-          }.start()
-        try q.processAllAvailable() finally q.stop()
+        runVersionedStream(s, src, ckpt)((batch, batchId) =>
+          applyAnnIngestBatch(batch, batchId, state, anchors))
         val fs = hadoopFs(s, state)
         val finalV = committedVersions(fs,
           new org.apache.hadoop.fs.Path(state)).sorted.last

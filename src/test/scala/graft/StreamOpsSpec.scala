@@ -626,6 +626,56 @@ class StreamOpsSpec extends SparkSpec {
     assert(idxA == idxB, "final index versions diverged after restart")
   }
 
+  test("ANN ingest crash-restart: a kill after batch 0 and a fresh " +
+    "query from the same checkpoint land the final cell index identical " +
+    "to the uninterrupted run") {
+    // the embedding-side sibling of the dedup crash-restart gate: same
+    // torn state (batch sink-committed, checkpoint-uncommitted), same
+    // version-chain recovery, on the IVF fold chain
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    graft.io.Tables.ensureSessionRegistered(spark)
+    val sim = graft.similarity.Similarity
+    val src = StreamOps.embSplit(spark, sf001)
+    val anchors = sim.ivfAnchors(spark, sf001).localCheckpoint(true)
+    val slices = StreamOps.AnnIngestSlices
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    def run(crash: Boolean): (Seq[Long], Set[Seq[Any]]) = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ann_restart").toString
+      val (state, ckpt) = (s"$root/state", s"$root/ckpt")
+      try {
+        sim.ivfBaseCells(spark, sf001, slices)
+          .write.mode("overwrite").parquet(s"$state/v=0")
+        def drive(crashAfter: Option[Long]) =
+          StreamOps.runVersionedStream(spark, src, ckpt, crashAfter)(
+            (b, id) => StreamOps.applyAnnIngestBatch(b, id, state, anchors))
+        if (crash) {
+          drive(Some(0L))
+          // torn: v=1 sink-committed, batch 0 checkpoint-uncommitted,
+          // batch 1 never ran
+          assert(fs.exists(new Path(s"$state/v=1/_SUCCESS")))
+          assert(!fs.exists(new Path(s"$ckpt/commits/0")),
+            "batch 0 must be checkpoint-uncommitted at the cut")
+          assert(!fs.exists(new Path(s"$state/v=${slices.size}")),
+            "the kill must land mid-chain")
+          drive(None)
+        } else drive(None)
+        val versions = StreamOps
+          .committedVersions(fs, new Path(state)).sorted
+        val finalIdx = spark.read
+          .parquet(s"$state/v=${versions.last}")
+          .collect().map(_.toSeq).toSet
+        (versions, finalIdx)
+      } finally fs.delete(new Path(root), true)
+    }
+    val (vA, idxA) = run(crash = false)
+    val (vB, idxB) = run(crash = true)
+    assert(vA == (0L to slices.size).toSeq && vB == vA,
+      s"version chains diverged: $vA vs $vB")
+    assert(idxA.nonEmpty && idxA == idxB,
+      "final cell index diverged after the crash-restart")
+  }
+
   test("ann ingest apply: streamed assignment equals the persisted " +
     "index slice, replays are exactly-once") {
     // real corpus, tiny SF: the batch assigned FROM ITS RAW STREAMED
