@@ -1150,6 +1150,24 @@ object Dedup {
         (expCand > OccBudget).as("retune"))
   }
 
+  /** Decision→action wiring for the scheduled retune: re-project the
+    * persisted signatures at the occupancy shape (`bands`×`r`) IFF the
+    * standing index's [[occupancyReport]] flags retune on ANY band;
+    * otherwise keep the standing banding untouched. This is the job a
+    * production pipeline runs on its maintenance schedule — the report
+    * is the trigger, [[lshBandsWith]] is the action, and the boolean
+    * tells the caller whether an index swap (and its memo_builds bill)
+    * happened. The flag read is a bounded driver collect (≤ #bands
+    * rows). */
+  private[graft] def retuneIfNeeded(sh: DataFrame, standing: DataFrame,
+      bands: Int = 2, r: Int = 8): (DataFrame, Boolean) = {
+    val flagged = occupancyReport(standing, "standing")
+      .filter(col("retune")).limit(1).count() > 0
+    if (flagged)
+      (lshBandsWith(sh, bands, r).select("doc_id", "band", "key"), true)
+    else (standing, false)
+  }
+
   /** The registered occupancy/retune-decision report: the standing 4×4
     * banding next to the [[qDedupReband]] 2×8 target shape on the same
     * corpus, so one result shows what the retune would buy (on the

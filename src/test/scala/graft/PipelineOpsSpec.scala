@@ -436,6 +436,39 @@ class PipelineOpsSpec extends SparkSpec {
         s"4x4 ${r44.map(_.getDouble(6)).toSeq}")
   }
 
+  test("monitored retune: the report's flag drives the action — reband " +
+    "happens exactly when occupancy is over budget, and is a no-op " +
+    "otherwise") {
+    import spark.implicits._
+    graft.io.Tables.ensureSessionRegistered(spark) // graft_md5_mod31
+    // dense near-dup corpus (same shape as the occupancy test): the
+    // standing 4×4 index is over budget → retuneIfNeeded must ACT,
+    // and the index it returns must itself report healthy
+    def txt(i: Int) = ((1 to 50).map(w => s"core$w") ++
+      (1 to 10).map(w => s"u${i}x$w")).mkString(" ")
+    val fix = (1 to 80).map(i => (i.toLong, txt(i))).toDF("doc_id", "text")
+    val fsh = graft.functions.TextHash
+      .addShingleHashes(fix, col("text")).select("doc_id", "hs")
+    val standing44 = Dedup.lshBandsWith(fsh, 4, 4)
+      .select("doc_id", "band", "key")
+    val (retuned, acted) = Dedup.retuneIfNeeded(fsh, standing44)
+    assert(acted, "over-budget index must trigger the retune")
+    assert(Dedup.occupancyReport(retuned, "post").collect()
+      .forall(!_.getBoolean(7)),
+      "the acted-on index must itself report healthy")
+    assert(retuned.select("band").distinct().count() == 2,
+      "the action must be the 2-band re-projection")
+    // healthy corpus: the report says no → the SAME frame comes back
+    val docsDf = graft.io.Tables.load(spark, sf001, "documents")
+    val csh = graft.functions.TextHash
+      .addShingleHashes(docsDf, col("text")).select("doc_id", "hs")
+    val healthy = Dedup.lshBandsWith(csh, 4, 4)
+      .select("doc_id", "band", "key")
+    val (kept, acted2) = Dedup.retuneIfNeeded(csh, healthy)
+    assert(!acted2, "healthy index must not be retuned")
+    assert(kept eq healthy, "no-op must return the standing frame itself")
+  }
+
   test("ann lifecycle: the mid-chain retrain trains on the prefix only") {
     // q_ann_lifecycle's point vs q_ann_ivf_retrain is the training-set
     // exclusion: the quantizer must be trained WITHOUT the post-retrain
