@@ -173,14 +173,26 @@ object Dedup {
     * histogram/cumulative window runs over distinct df LEVELS (bounded
     * by max df — thousands, not corpus-sized), all integer arithmetic
     * (v2 carries twice the volume so division never leaves longs). */
-  private[graft] def dfCapStats(sh: DataFrame): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-    val dfs = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    val hist = dfs.groupBy("df").agg(count(lit(1)).as("nh"))
+  private[graft] def dfCapStats(sh: DataFrame): DataFrame =
+    capStatsFromDf(dfIndexOf(sh), sh.agg(count(lit(1)).as("n_docs")))
+
+  /** The shingle DF INDEX (h → document frequency) — the persisted
+    * artifact the derivation reads, and the one an ingest pipeline
+    * FOLDS per batch (df counts add under union of disjoint doc sets,
+    * so maintenance is a full-outer sum, never a corpus re-scan —
+    * [[qCapstatUpdate]]). */
+  private[graft] def dfIndexOf(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+
+  /** The derivation half of [[dfCapStats]], over an explicit df index
+    * and a 1-row (n_docs) frame. */
+  private[graft] def capStatsFromDf(dfIdx: DataFrame,
+      nd: DataFrame): DataFrame = {
+    val hist = dfIdx.groupBy("df").agg(count(lit(1)).as("nh"))
     val cum = hist.withColumn("v2",
       sum(col("nh") * col("df") * (col("df") - lit(1L)))
         .over(Window.orderBy("df")))
-    val nd = sh.agg(count(lit(1)).as("n_docs"))
     val fits = col("v2") <= col("n_docs") * lit(2L * JacCapBudgetPerDoc)
     cum.crossJoin(broadcast(nd))
       .groupBy("n_docs")
@@ -275,6 +287,64 @@ object Dedup {
       jaccardPairsFrom(shingleSets(s, d), 0.8,
         dfCap = Some(derivedDfCap(s, d))))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** INCREMENTAL maintenance of the df pre-pass: the derived cap is a
+    * corpus statistic, so a continuous-ingest pipeline must be able to
+    * RE-DERIVE it after each fold without re-scanning the corpus. The
+    * df index supports exactly that — document frequencies ADD under
+    * union of disjoint doc sets — so the maintenance step is: fold the
+    * batch's (h, df) delta into the persisted df index (full-outer
+    * sum), then re-run the histogram derivation over the folded index.
+    * This operator performs one such step (base = `doc_id % 10 != 0`,
+    * batch = the `= 0` slice, the same arriving slice the fold gates
+    * use; base index memoized as `dfIndexBase` so the fold bills in
+    * `memo_builds` next to the banding folds) and reports the
+    * re-derived statistics plus the batch's own footprint (docs,
+    * never-seen shingles). Oracle: the derivation from scratch over the
+    * whole corpus — counts adding is the invariant under test, so a
+    * fold that dropped, duplicated, or double-counted one posting
+    * diverges the histogram and the hash. */
+  val qCapstatUpdate: Q = Q("q_capstat_update",
+    s"""WITH $shingleCte,
+       |$dfCapCteSql,
+       |bh AS (SELECT h, COUNT(*) AS df FROM exd
+       |       WHERE doc_id % 10 = 0 GROUP BY 1),
+       |oh AS (SELECT DISTINCT h FROM exd WHERE doc_id % 10 != 0),
+       |ns AS (SELECT COUNT(*) AS new_shingles FROM bh
+       |       WHERE h NOT IN (SELECT h FROM oh)),
+       |bd AS (SELECT COUNT(*) AS batch_docs FROM documents
+       |       WHERE doc_id % 10 = 0)
+       |SELECT CAST(nd.n_docs AS BIGINT) AS n_docs,
+       |       CAST(SUM(c.nh) AS BIGINT) AS n_shingles,
+       |       CAST(MAX(c.df) AS BIGINT) AS max_df,
+       |       CAST(MAX(c.v2) // 2 AS BIGINT) AS v_total,
+       |       CAST(nd.n_docs * $JacCapBudgetPerDoc AS BIGINT) AS budget,
+       |       CAST($derivedCapSql AS BIGINT) AS derived_cap,
+       |       $derivedCapSql < MAX(c.df) AS capped,
+       |       CAST(bd.batch_docs AS BIGINT) AS batch_docs,
+       |       CAST(ns.new_shingles AS BIGINT) AS new_shingles
+       |FROM dcum c CROSS JOIN dnd nd CROSS JOIN bd CROSS JOIN ns
+       |GROUP BY nd.n_docs, bd.batch_docs, ns.new_shingles""".stripMargin) {
+    (s, d) =>
+      val sh = shingleSets(s, d)
+      val isBatch = col("doc_id") % 10 === 0
+      val baseIdx = graft.plans.FrameMemo.memo(s, "dfIndexBase", d)(
+        dfIndexOf(sh.filter(!isBatch)))
+      val batchIdx = dfIndexOf(sh.filter(isBatch))
+      val folded = baseIdx.withColumnRenamed("df", "df_a")
+        .join(batchIdx.withColumnRenamed("df", "df_b"), Seq("h"),
+          "full_outer")
+        .select(col("h"),
+          (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
+            .as("df"))
+      val stats = capStatsFromDf(folded,
+        sh.agg(count(lit(1)).as("n_docs")))
+      val bdocs = sh.filter(isBatch)
+        .agg(count(lit(1)).cast("long").as("batch_docs"))
+      val fresh = batchIdx.join(baseIdx.select("h"), Seq("h"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("new_shingles"))
+      stats.crossJoin(broadcast(bdocs)).crossJoin(broadcast(fresh))
   }
 
   /** Shared exact-Jaccard pair pipeline over a (doc_id, hs) shingle-set
@@ -2266,7 +2336,7 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccardPairs, qJaccardPairsCapped, qJaccardCapstat,
-    qJaccardPairsAutocap, qMinhashLsh,
+    qJaccardPairsAutocap, qCapstatUpdate, qMinhashLsh,
     qMinhashIncremental,
     qDedupDelta, qDedupIndexUpdate, qDedupIndexUpdate3, qDedupReband,
     qDedupLifecycle, qDedupOccupancy,

@@ -128,6 +128,21 @@ class DedupDfCapSpec extends SparkSpec {
       s"autocap must equal uncapped on the clean corpus: ${auto.size} vs ${un.size}")
   }
 
+  test("df-index fold: base + batch delta re-derives exactly the " +
+    "from-scratch statistics, with a non-vacuous batch") {
+    // q_capstat_update folds the batch's (h, df) delta into the
+    // persisted df index; counts add under disjoint doc sets, so the
+    // folded derivation must equal q_jaccard_capstat's from-scratch one
+    // column-for-column — engine-to-engine, not just engine-to-oracle
+    val byName = Dedup.all.map(q => q.name -> q).toMap
+    val folded = byName("q_capstat_update").fn(spark, sf001).head()
+    val scratch = byName("q_jaccard_capstat").fn(spark, sf001).head()
+    (0 until 7).foreach(i => assert(folded.get(i) == scratch.get(i),
+      s"folded derivation diverged at col $i: $folded vs $scratch"))
+    assert(folded.getLong(7) > 0 && folded.getLong(8) > 0,
+      s"the folded batch must be non-vacuous: $folded")
+  }
+
   test("capped pairs verify against FULL sets: scores match uncapped") {
     val capped = Dedup.jaccardPairsFrom(sh, 0.5, Some(50L)).collect()
     assert(capped.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
