@@ -70,6 +70,13 @@ object SqlTwins {
         "index; a SQL string cannot start a streaming query, and the " +
         "batch SQL surface of the same chain is q_ann_index_update3's " +
         "dialect-mapped oracle"),
+    "q_stream_ingest_restart" ->
+      ("the crash-restart exactly-once gate: two real StreamingQuery " +
+        "legs (injected mid-chain kill, fresh query from the same " +
+        "checkpoint); a SQL string cannot start — let alone kill and " +
+        "resume — a streaming query, and its result surface is " +
+        "q_stream_dedup_ingest's chain whose batch SQL twin is " +
+        "q_dedup_index_update3's"),
     "q_dedup_components" ->
       ("iterative label propagation (driver-side loop over checkpoints); " +
         "the recursive-CTE spelling needs UNION-distinct recursion to " +
@@ -179,6 +186,83 @@ object SqlTwins {
   private val wideRehash =
     s"transform(hs, h -> (CAST(${graft.dedup.Dedup.WideA} AS BIGINT) * h" +
       s" + ${graft.dedup.Dedup.WideB}) % $P)"
+
+  /** Spark spelling of the unrolled 3-round Lloyd over int8 codes
+    * (the q_kmeans twin's chain, shared with the cell-balance twin —
+    * one spelling, mirroring the oracle side's `lloydCellsCteSql`
+    * discipline): expects `e` (vec_id, ARRAY<DOUBLE> v) bound; binds
+    * `s3` (vec_id, cl, d2). Long-form posexplode spelling because the
+    * twin surface avoids the engine's literal-centroid arrays. */
+  private lazy val lloydTwinCte: String =
+    """m AS (SELECT vec_id, v,
+      |        array_max(transform(v, x -> abs(x))) AS mx FROM e),
+      |c AS (SELECT vec_id,
+      |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+      |          AS c
+      |      FROM m),
+      |x AS (SELECT vec_id, pos, val
+      |      FROM (SELECT vec_id, posexplode(c) AS (pos, val) FROM c)),
+      |cent0 AS (SELECT vec_id AS cl, pos, val AS m FROM x
+      |          WHERE vec_id < 8),
+      |d1 AS (SELECT x.vec_id, cent0.cl,
+      |         SUM((x.val - cent0.m) * (x.val - cent0.m)) AS d2
+      |       FROM x JOIN cent0 ON cent0.pos = x.pos GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cl,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+      |           AS rn
+      |       FROM d1),
+      |s1 AS (SELECT vec_id, cl FROM a1 WHERE rn = 1),
+      |cent1 AS (SELECT s1.cl, x.pos,
+      |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+      |                 AS BIGINT) AS m
+      |          FROM x JOIN s1 ON s1.vec_id = x.vec_id GROUP BY 1, 2),
+      |d2r AS (SELECT x.vec_id, cent1.cl,
+      |          SUM((x.val - cent1.m) * (x.val - cent1.m)) AS d2
+      |        FROM x JOIN cent1 ON cent1.pos = x.pos GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cl,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+      |           AS rn
+      |       FROM d2r),
+      |s2 AS (SELECT vec_id, cl FROM a2 WHERE rn = 1),
+      |cent2 AS (SELECT s2.cl, x.pos,
+      |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
+      |                 AS BIGINT) AS m
+      |          FROM x JOIN s2 ON s2.vec_id = x.vec_id GROUP BY 1, 2),
+      |d3 AS (SELECT x.vec_id, cent2.cl,
+      |         SUM((x.val - cent2.m) * (x.val - cent2.m)) AS d2
+      |       FROM x JOIN cent2 ON cent2.pos = x.pos GROUP BY 1, 2),
+      |a3 AS (SELECT vec_id, cl, d2,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+      |           AS rn
+      |       FROM d3),
+      |s3 AS (SELECT vec_id, cl, d2 FROM a3 WHERE rn = 1)""".stripMargin
+
+  /** Spark spelling of the df pre-pass (`Dedup.dfCapCteSql`'s twin):
+    * expects `sh` bound; binds `exd`/`dfh`/`dhist`/`dcum`/`dnd`. */
+  private lazy val dfCapTwinCtes: String =
+    """exd AS (SELECT doc_id, explode(hs) AS h FROM sh),
+      |dfh AS (SELECT h, COUNT(*) AS df FROM exd GROUP BY 1),
+      |dhist AS (SELECT df, COUNT(*) AS nh FROM dfh GROUP BY 1),
+      |dcum AS (SELECT df, nh,
+      |        SUM(nh * df * (df - 1)) OVER (ORDER BY df) AS v2
+      |      FROM dhist),
+      |dnd AS (SELECT COUNT(*) AS n_docs FROM sh)""".stripMargin
+
+  private lazy val CapB = graft.dedup.Dedup.JacCapBudgetPerDoc
+
+  private lazy val derivedCapTwinSql: String =
+    s"""COALESCE(MAX(CASE WHEN c.v2 <= 2 * $CapB * nd.n_docs
+       |                  THEN c.df END), 0)""".stripMargin
+
+  /** Shared SELECT head of the capstat twins (from-scratch + folded). */
+  private lazy val capstatTwinSelect: String =
+    s"""SELECT CAST(nd.n_docs AS BIGINT) AS n_docs,
+       |       CAST(SUM(c.nh) AS BIGINT) AS n_shingles,
+       |       CAST(MAX(c.df) AS BIGINT) AS max_df,
+       |       CAST(MAX(c.v2) div 2 AS BIGINT) AS v_total,
+       |       CAST(nd.n_docs * $CapB AS BIGINT) AS budget,
+       |       CAST($derivedCapTwinSql AS BIGINT) AS derived_cap,
+       |       $derivedCapTwinSql < MAX(c.df) AS capped""".stripMargin
 
   private def minhashSql(hs: String, k: Int): String =
     s"array_min(transform($hs, h -> (CAST(${TextHash.As(k)} AS BIGINT) * h" +
@@ -753,6 +837,12 @@ object SqlTwins {
          |      >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "q_jaccard_capstat" -> capstatTwin,
+    "q_jaccard_pairs_autocap" -> autocapTwin,
+    "q_capstat_update" -> capstatUpdateTwin,
+    "q_dedup_occupancy" -> dedupOccupancyTwin,
+    "q_ann_cell_stats" -> cellStatsTwin,
+
     "q_minhash_lsh_pairs" -> minhashLshTwin,
 
     "q_dedup_delta" -> dedupDeltaTwin,
@@ -1168,50 +1258,9 @@ object SqlTwins {
     // literal centroids; the twin unrolls the same 3 rounds relationally
     // (exploded (vec, dim) join per assignment — identical integers)
     "q_kmeans" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
         |           FROM embeddings),
-        |m AS (SELECT vec_id, v,
-        |        array_max(transform(v, x -> abs(x))) AS mx FROM e),
-        |c AS (SELECT vec_id,
-        |        transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
-        |          AS c
-        |      FROM m),
-        |x AS (SELECT vec_id, pos, val
-        |      FROM (SELECT vec_id, posexplode(c) AS (pos, val) FROM c)),
-        |cent0 AS (SELECT vec_id AS cl, pos, val AS m FROM x
-        |          WHERE vec_id < 8),
-        |d1 AS (SELECT x.vec_id, cent0.cl,
-        |         SUM((x.val - cent0.m) * (x.val - cent0.m)) AS d2
-        |       FROM x JOIN cent0 ON cent0.pos = x.pos GROUP BY 1, 2),
-        |a1 AS (SELECT vec_id, cl,
-        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
-        |           AS rn
-        |       FROM d1),
-        |s1 AS (SELECT vec_id, cl FROM a1 WHERE rn = 1),
-        |cent1 AS (SELECT s1.cl, x.pos,
-        |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
-        |                 AS BIGINT) AS m
-        |          FROM x JOIN s1 ON s1.vec_id = x.vec_id GROUP BY 1, 2),
-        |d2r AS (SELECT x.vec_id, cent1.cl,
-        |          SUM((x.val - cent1.m) * (x.val - cent1.m)) AS d2
-        |        FROM x JOIN cent1 ON cent1.pos = x.pos GROUP BY 1, 2),
-        |a2 AS (SELECT vec_id, cl,
-        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
-        |           AS rn
-        |       FROM d2r),
-        |s2 AS (SELECT vec_id, cl FROM a2 WHERE rn = 1),
-        |cent2 AS (SELECT s2.cl, x.pos,
-        |            CAST(floor(CAST(SUM(x.val) AS DOUBLE) / COUNT(*))
-        |                 AS BIGINT) AS m
-        |          FROM x JOIN s2 ON s2.vec_id = x.vec_id GROUP BY 1, 2),
-        |d3 AS (SELECT x.vec_id, cent2.cl,
-        |         SUM((x.val - cent2.m) * (x.val - cent2.m)) AS d2
-        |       FROM x JOIN cent2 ON cent2.pos = x.pos GROUP BY 1, 2),
-        |a3 AS (SELECT vec_id, cl, d2,
-        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
-        |           AS rn
-        |       FROM d3),
-        |s3 AS (SELECT vec_id, cl, d2 FROM a3 WHERE rn = 1)
+        |$lloydTwinCte
         |SELECT CAST(cl AS BIGINT) AS cluster,
         |       CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(d2) AS BIGINT) AS inertia,
@@ -1913,6 +1962,154 @@ object SqlTwins {
        |SELECT doc_id, lang, s_en, s_es, s_fr, s_de, s_zh,
        |  $caseSql AS predicted
        |FROM scores ORDER BY doc_id""".stripMargin
+  }
+
+  /** The df pre-pass derivation report (q_jaccard_capstat's twin). */
+  private lazy val capstatTwin: String =
+    s"""WITH $shingleCte,
+       |$dfCapTwinCtes
+       |$capstatTwinSelect
+       |FROM dcum c CROSS JOIN dnd nd
+       |GROUP BY nd.n_docs""".stripMargin
+
+  /** Exact pairs under the DERIVED cap (q_jaccard_pairs_autocap's twin):
+    * the derivation runs as a scalar subquery, the verify is the same
+    * array_intersect spelling as the fixed-cap twin. */
+  private lazy val autocapTwin: String =
+    s"""WITH $shingleCte,
+       |$dfCapTwinCtes,
+       |dcap AS (SELECT $derivedCapTwinSql AS c
+       |       FROM dcum c CROSS JOIN dnd nd GROUP BY nd.n_docs),
+       |kept AS (SELECT h FROM dfh WHERE df <= (SELECT c FROM dcap)),
+       |exk AS (SELECT exd.doc_id, exd.h FROM exd
+       |        JOIN kept ON kept.h = exd.h),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM exk a JOIN exk b ON a.h = b.h AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST(size(array_intersect(sa.hs, sb.hs)) AS BIGINT)
+       |         AS inter,
+       |       CAST(size(sa.hs) + size(sb.hs)
+       |            - size(array_intersect(sa.hs, sb.hs)) AS BIGINT) AS un,
+       |       CAST(size(array_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |         / (CAST(size(sa.hs) AS BIGINT) + CAST(size(sb.hs) AS BIGINT)
+       |            - CAST(size(array_intersect(sa.hs, sb.hs)) AS BIGINT))
+       |         AS jaccard
+       |FROM cand c
+       |JOIN sh sa ON sa.doc_id = c.doc_a
+       |JOIN sh sb ON sb.doc_id = c.doc_b
+       |WHERE CAST(size(array_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |        / (CAST(size(sa.hs) AS BIGINT) + CAST(size(sb.hs) AS BIGINT)
+       |           - CAST(size(array_intersect(sa.hs, sb.hs)) AS BIGINT))
+       |      >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Incremental df-pre-pass maintenance (q_capstat_update's twin). */
+  private lazy val capstatUpdateTwin: String =
+    s"""WITH $shingleCte,
+       |$dfCapTwinCtes,
+       |bh AS (SELECT h, COUNT(*) AS df FROM exd
+       |       WHERE doc_id % 10 = 0 GROUP BY 1),
+       |oh AS (SELECT DISTINCT h FROM exd WHERE doc_id % 10 != 0),
+       |ns AS (SELECT COUNT(*) AS new_shingles FROM bh
+       |       WHERE h NOT IN (SELECT h FROM oh)),
+       |bd AS (SELECT COUNT(*) AS batch_docs FROM documents
+       |       WHERE doc_id % 10 = 0)
+       |$capstatTwinSelect,
+       |       CAST(bd.batch_docs AS BIGINT) AS batch_docs,
+       |       CAST(ns.new_shingles AS BIGINT) AS new_shingles
+       |FROM dcum c CROSS JOIN dnd nd CROSS JOIN bd CROSS JOIN ns
+       |GROUP BY nd.n_docs, bd.batch_docs, ns.new_shingles""".stripMargin
+
+  /** Bucket-occupancy retune-decision report (q_dedup_occupancy's twin):
+    * the 4×4 standing and 2×8 target bandings from the same K = 16
+    * signatures, then the histogram/p99/exp_cand arithmetic. */
+  private lazy val dedupOccupancyTwin: String = {
+    import TextHash.{Bands, K, R}
+    val sigCols = (0 until K)
+      .map(k => s"${minhashSql("hs", k)} AS m$k").mkString(",\n       ")
+    def bandSelects(bands: Int, r: Int): String = (0 until bands).map { b =>
+      val key = (0 until r).map(i => s"CAST(m${b * r + i} AS STRING)")
+        .mkString("concat_ws('_', ", ", ", ")")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    def schemeCtes(tag: String, src: String): String =
+      s"""o$tag AS (SELECT band, key, COUNT(*) AS occ FROM $src GROUP BY 1, 2),
+         |s$tag AS (SELECT band, COUNT(*) AS nb, SUM(occ) AS tot,
+         |         MAX(occ) AS mx, SUM(occ * occ) AS ss
+         |       FROM o$tag GROUP BY 1),
+         |h$tag AS (SELECT band, occ, COUNT(*) AS cnt FROM o$tag GROUP BY 1, 2),
+         |c$tag AS (SELECT band, occ,
+         |         SUM(cnt) OVER (PARTITION BY band ORDER BY occ) AS cum
+         |       FROM h$tag),
+         |p$tag AS (SELECT c.band, MIN(c.occ) AS p99
+         |       FROM c$tag c JOIN s$tag s ON s.band = c.band
+         |       WHERE c.cum >= CEIL(s.nb * 0.99) GROUP BY 1)""".stripMargin
+    def schemeRow(tag: String, scheme: String): String =
+      s"""SELECT '$scheme' AS scheme, s.band, s.nb, s.tot, s.mx, p.p99,
+         |       CAST(s.ss AS DOUBLE) / s.tot AS ec
+         |FROM s$tag s JOIN p$tag p ON p.band = s.band""".stripMargin
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, hs,
+       |       $sigCols
+       |FROM sh),
+       |bands4 AS (
+       |  ${bandSelects(Bands, R)}),
+       |bands2 AS (
+       |  ${bandSelects(2, 8)}),
+       |${schemeCtes("4", "bands4")},
+       |${schemeCtes("2", "bands2")}
+       |SELECT scheme, CAST(band AS BIGINT) AS band,
+       |       CAST(nb AS BIGINT) AS n_buckets,
+       |       CAST(tot AS BIGINT) AS total_rows,
+       |       CAST(mx AS BIGINT) AS max_occ,
+       |       CAST(p99 AS BIGINT) AS p99_occ,
+       |       ec AS exp_cand,
+       |       ec > ${graft.dedup.Dedup.OccBudget} AS retune
+       |FROM (${schemeRow("4", "4x4")}
+       |      UNION ALL ${schemeRow("2", "2x8")})
+       |ORDER BY scheme, band""".stripMargin
+  }
+
+  /** IVF cell-balance retrain report (q_ann_cell_stats's twin): the
+    * hash-anchor assignment in Spark SQL (graft_dot is the engine's own
+    * SQL-callable kernel) next to the shared [[lloydTwinCte]] chain. */
+  private lazy val cellStatsTwin: String = {
+    val sim = graft.similarity.Similarity
+    val lo = sim.IvfAnchorBase
+    val hi = sim.IvfAnchorBase + sim.IvfCells
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e),
+       |anch AS (SELECT vec_id AS anchor_id, v AS av, nrm AS anrm FROM n
+       |         WHERE vec_id >= $lo AND vec_id < $hi),
+       |assign AS (
+       |  SELECT n.vec_id, a.anchor_id,
+       |         graft_dot(n.v, a.av) / (n.nrm * a.anrm) AS acos
+       |  FROM n CROSS JOIN anch a),
+       |ranked AS (
+       |  SELECT vec_id, anchor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |           ORDER BY acos DESC, anchor_id) AS arnk FROM assign),
+       |$lloydTwinCte,
+       |ac AS (SELECT anchor_id AS cell, COUNT(*) AS n FROM ranked
+       |       WHERE arnk = 1 GROUP BY 1),
+       |lc AS (SELECT cl AS cell, COUNT(*) AS n FROM s3 GROUP BY 1),
+       |rep AS (
+       |  SELECT 'anchor16' AS quantizer, COUNT(*) AS ncells,
+       |         SUM(n) AS nv, MAX(n) AS mx, MIN(n) AS mn FROM ac
+       |  UNION ALL
+       |  SELECT 'lloyd8' AS quantizer, COUNT(*) AS ncells,
+       |         SUM(n) AS nv, MAX(n) AS mx, MIN(n) AS mn FROM lc)
+       |SELECT quantizer, CAST(ncells AS BIGINT) AS n_cells,
+       |       CAST(nv AS BIGINT) AS n_vecs,
+       |       CAST(mx AS BIGINT) AS max_cell,
+       |       CAST(mn AS BIGINT) AS min_cell,
+       |       CAST(nv AS DOUBLE) / ncells AS mean_cell,
+       |       CAST(mx * ncells AS DOUBLE) / nv AS imbalance,
+       |       CAST(mx * ncells AS DOUBLE) > ${sim.CellBalance} * nv
+       |         AS retrain
+       |FROM rep ORDER BY quantizer""".stripMargin
   }
 
   private lazy val minhashLshTwin: String = {
