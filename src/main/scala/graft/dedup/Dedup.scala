@@ -1293,11 +1293,14 @@ object Dedup {
          |FROM (${schemeRow("4", "4x4")}
          |      UNION ALL ${schemeRow("2", "2x8")})
          |ORDER BY scheme, band""".stripMargin) { (s, d) =>
-      val sh = shingleSets(s, d)
+      // the 2×8 target banding is a persisted artifact like docBands
+      // (the retune would WRITE it); memoized so serving the report
+      // doesn't re-project the signatures per run
+      val target = graft.plans.FrameMemo.memo(s, "bands2x8", d)(
+        lshBandsWith(shingleSets(s, d), RebandBands, RebandR)
+          .select("doc_id", "band", "key"))
       occupancyReport(docBands(s, d), "4x4")
-        .unionByName(occupancyReport(
-          lshBandsWith(sh, RebandBands, RebandR)
-            .select("doc_id", "band", "key"), "2x8"))
+        .unionByName(occupancyReport(target, "2x8"))
         .orderBy("scheme", "band")
     }
   }
