@@ -420,4 +420,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("report windows run over HISTOGRAMS: every window input is " +
+    "aggregated, never the raw posting/bucket frame") {
+    // the capstat/occupancy reports deliberately rank a frequency
+    // HISTOGRAM (distinct df/occupancy levels — bounded) instead of
+    // sorting all postings/buckets in one partition; this guard fails
+    // if a rewrite ever feeds a window from a scan-shaped (unaggregated)
+    // subtree, which at 100 TB would serialize the corpus through one
+    // task. The windows here are bounded-by-construction, so their
+    // single-partition WindowExec is the documented, correct choice.
+    // the OPTIMIZED LOGICAL plan: AQE wraps the physical tree (node
+    // collection over executedPlan sees only the adaptive root), and
+    // the window-over-aggregate property is a logical-shape claim
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      LogicalPlan, Window}
+    def aggregatedBeforeLeaf(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case s if s.children.isEmpty => false
+      case s => s.children.forall(aggregatedBeforeLeaf)
+    }
+    // inspect the BUILDERS, not the registered fns — the registered
+    // results are session-memoized (their executed plan is a checkpoint
+    // scan), so the window shape lives in the build plan
+    graft.io.Tables.ensureSessionRegistered(spark)
+    val sh = graft.functions.TextHash
+      .addShingleHashes(Tables.load(spark, sf001, "documents"),
+        col("text")).select("doc_id", "hs")
+    val reports = Seq(
+      Dedup.dfCapStats(sh),
+      Dedup.occupancyReport(
+        Dedup.lshBandsWith(sh, 4, 4).select("doc_id", "band", "key"),
+        "4x4"))
+    reports.foreach { df =>
+      val wins = df.queryExecution.optimizedPlan
+        .collect { case w: Window => w }
+      assert(wins.nonEmpty, "expected a histogram-ranking window")
+      wins.foreach(w => assert(aggregatedBeforeLeaf(w.child),
+        s"window fed by an unaggregated subtree:\n${w.child.treeString}"))
+    }
+  }
 }
