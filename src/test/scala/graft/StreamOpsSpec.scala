@@ -579,29 +579,26 @@ class StreamOpsSpec extends SparkSpec {
       .filter(!slices.map(m =>
         pmod(col("doc_id"), lit(10L)) === m).reduce(_ || _))
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    def run(crash: Boolean): (Seq[Seq[Any]], Seq[Long], Set[Seq[Any]]) = {
+    def run(crashes: Seq[Long]): (Seq[Seq[Any]], Seq[Long], Set[Seq[Any]]) = {
       val root = java.nio.file.Files
         .createTempDirectory("graft_restart_spec").toString
       val (state, verd, ckpt) =
         (s"$root/state", s"$root/verd", s"$root/ckpt")
       try {
         baseIdx.write.mode("overwrite").parquet(s"$state/v=0")
-        if (crash) {
+        crashes.foreach { after =>
           StreamOps.runIngestChain(spark, src, state, verd, ckpt,
-            corpusSh, crashAfter = Some(1L))
-          // the cut is real and torn: batch 1 sink-committed, absent
-          // from the commit log, tail batches not yet run
-          assert(fs.exists(new Path(s"$verd/b=1/_SUCCESS")))
-          assert(!fs.exists(new Path(s"$ckpt/commits/1")),
-            "batch 1 must be checkpoint-uncommitted at the cut")
+            corpusSh, crashAfter = Some(after))
+          // the cut is real and torn: the killed batch sink-committed,
+          // absent from the commit log, tail batches not yet run
+          assert(fs.exists(new Path(s"$verd/b=$after/_SUCCESS")))
+          assert(!fs.exists(new Path(s"$ckpt/commits/$after")),
+            s"batch $after must be checkpoint-uncommitted at the cut")
           assert(!fs.exists(new Path(s"$verd/b=${slices.size - 1}")),
             "the kill must land mid-chain")
-          StreamOps.runIngestChain(spark, src, state, verd, ckpt,
-            corpusSh)
-        } else {
-          StreamOps.runIngestChain(spark, src, state, verd, ckpt,
-            corpusSh)
         }
+        StreamOps.runIngestChain(spark, src, state, verd, ckpt,
+          corpusSh)
         val ledger = slices.indices
           .map(i => spark.read.parquet(s"$verd/b=$i"))
           .reduce(_ unionByName _)
@@ -616,14 +613,20 @@ class StreamOpsSpec extends SparkSpec {
         (ledger, versions, finalIdx)
       } finally fs.delete(new Path(root), true)
     }
-    val (ledgerA, versionsA, idxA) = run(crash = false)
-    val (ledgerB, versionsB, idxB) = run(crash = true)
+    val (ledgerA, versionsA, idxA) = run(crashes = Nil)
+    val (ledgerB, versionsB, idxB) = run(crashes = Seq(1L))
     assert(ledgerA.nonEmpty && ledgerA == ledgerB,
       s"restarted ledger diverged: ${ledgerA.size} vs ${ledgerB.size} rows")
     assert(versionsA == (0L to slices.size).toSeq &&
       versionsB == versionsA,
       s"version chains diverged: $versionsA vs $versionsB")
     assert(idxA == idxB, "final index versions diverged after restart")
+    // recovery is RE-ENTRANT: a second kill DURING the recovery leg
+    // (after batch 2 replay-commits sink-side) recovers the same way —
+    // the chain survives any number of cuts, not just one
+    val (ledgerC, versionsC, idxC) = run(crashes = Seq(1L, 2L))
+    assert(ledgerC == ledgerA && versionsC == versionsA && idxC == idxA,
+      "double-kill recovery diverged from the uninterrupted run")
   }
 
   test("ANN ingest crash-restart: a kill after batch 0 and a fresh " +
