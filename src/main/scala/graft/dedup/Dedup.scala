@@ -263,16 +263,30 @@ object Dedup {
     * (`DedupDfCapSpec` pins both landings). Oracle derives the cap
     * itself in SQL — the whole decision procedure is value-gated, not
     * just its output. */
-  val qJaccardPairsAutocap: Q = Q("q_jaccard_pairs_autocap",
-    s"""WITH $shingleCte,
-       |$dfCapCteSql,
+  /** The autocap candidate CTE chain (derivation + kept + candidate
+    * join) — ONE spelling shared by the pair gate and the resolution
+    * gate, mirroring `cappedCandCteSql`'s discipline for the fixed cap. */
+  private val autocapCandCteSql: String =
+    s"""$dfCapCteSql,
        |dcap AS (SELECT $derivedCapSql AS c
        |       FROM dcum c CROSS JOIN dnd nd GROUP BY nd.n_docs),
        |kept AS (SELECT h FROM dfh WHERE df <= (SELECT c FROM dcap)),
        |exk AS (SELECT exd.doc_id, exd.h FROM exd JOIN kept ON kept.h = exd.h),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM exk a JOIN exk b ON a.h = b.h AND a.doc_id < b.doc_id)
+       |  FROM exk a JOIN exk b ON a.h = b.h AND a.doc_id < b.doc_id)"""
+      .stripMargin
+
+  /** The derived-cap verified pair graph, session-memoized — the
+    * statistics-sized sibling of [[jacPairsCap64]]. */
+  private def jacPairsAuto(s: SparkSession, d: String): DataFrame =
+    graft.plans.FrameMemo.memo(s, "jacPairsAuto", d)(
+      jaccardPairsFrom(shingleSets(s, d), 0.8,
+        dfCap = Some(derivedDfCap(s, d))))
+
+  val qJaccardPairsAutocap: Q = Q("q_jaccard_pairs_autocap",
+    s"""WITH $shingleCte,
+       |$autocapCandCteSql
        |SELECT c.doc_a, c.doc_b,
        |       CAST($interSaSbSql AS BIGINT) AS inter,
        |       CAST(len(sa.hs) + len(sb.hs) - $interSaSbSql
@@ -287,6 +301,42 @@ object Dedup {
       jaccardPairsFrom(shingleSets(s, d), 0.8,
         dfCap = Some(derivedDfCap(s, d))))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Near-dup RESOLUTION over the DERIVED-cap pair graph — completes
+    * the statistics-sized exact path end-to-end (the
+    * [[qDedupResolveCapped]] sibling with the constant replaced by the
+    * [[dfCapStats]] pre-pass): derived-cap candidates → full-set
+    * verify → O(log d) star-CC rounds → keep/drop verdict. On a clean
+    * corpus the derivation keeps everything, so this lands exactly on
+    * the uncapped resolution; on a hot corpus the whole pipeline stays
+    * within the linear budget AUTOMATICALLY, at whatever cap the df
+    * distribution demands (SCALE.md r12: recall within one point of
+    * flat across 25× where the fixed 64 silently decays). Oracle:
+    * derivation + capped candidates + verify + recursive component
+    * walk, all from scratch in DuckDB. */
+  val qDedupResolveAutocap: Q = Q("q_dedup_resolve_autocap",
+    s"""WITH RECURSIVE $shingleCte,
+       |$autocapCandCteSql,
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b
+       |  WHERE $jacSaSbSql >= 0.8),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(node, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.reach FROM walk w JOIN edges e ON e.src = w.node)
+       |SELECT node AS doc_id, MIN(reach) AS component,
+       |       node = MIN(reach) AS is_kept
+       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.plans.FrameMemo.memo(s, "starCompsAuto", d)(
+      starComponents(jacPairsAuto(s, d).select("doc_a", "doc_b")))
+      .orderBy("doc_id")
   }
 
   /** INCREMENTAL maintenance of the df pre-pass: the derived cap is a
@@ -2339,7 +2389,8 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccardPairs, qJaccardPairsCapped, qJaccardCapstat,
-    qJaccardPairsAutocap, qCapstatUpdate, qMinhashLsh,
+    qJaccardPairsAutocap, qCapstatUpdate, qDedupResolveAutocap,
+    qMinhashLsh,
     qMinhashIncremental,
     qDedupDelta, qDedupIndexUpdate, qDedupIndexUpdate3, qDedupReband,
     qDedupLifecycle, qDedupOccupancy,

@@ -93,6 +93,11 @@ object SqlTwins {
         "graph (driver-side loop over checkpoints); same recursion " +
         "limitation as q_dedup_components — the capped PAIR surface is " +
         "q_jaccard_pairs_capped's registered twin"),
+    "q_dedup_resolve_autocap" ->
+      ("iterative large-star/small-star rounds over the DERIVED-cap " +
+        "pair graph (driver-side loop over checkpoints); same recursion " +
+        "limitation as q_dedup_components — the derived-cap PAIR " +
+        "surface is q_jaccard_pairs_autocap's registered twin"),
     "q_dedup_keep_best" ->
       ("ranks within the iterative star-CC clusters (driver-side loop " +
         "over checkpoints); same recursion limitation as " +

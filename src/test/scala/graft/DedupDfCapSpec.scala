@@ -72,6 +72,13 @@ class DedupDfCapSpec extends SparkSpec {
       byName("q_dedup_components_star").fn(spark, sf001).collect().toSeq
     assert(capped.nonEmpty)
     assert(capped == uncapped)
+    // and the DERIVED-cap resolution: the derivation keeps everything
+    // on this corpus, so the whole autocap pipeline lands on the same
+    // answer too
+    val autocap =
+      byName("q_dedup_resolve_autocap").fn(spark, sf001).collect().toSeq
+    assert(autocap == uncapped,
+      s"autocap resolution diverged: ${autocap.size} vs ${uncapped.size}")
   }
 
   test("derived cap is a corpus statistic: lands below the hot-df knee " +
