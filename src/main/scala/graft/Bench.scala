@@ -57,6 +57,8 @@ object Bench {
     // prime the session once: parquet footers, Hadoop FS init, first codegen
     try fns(names.head)(spark, sfDir).count()
     catch { case _: Throwable => () }
+    val chains = Set("q_stream_dedup_ingest", "q_stream_ann_ingest",
+      "q_stream_ingest_restart", "q_stream_retune_ingest")
     // (median, min); (-1, -1) if any run threw
     val results: Seq[(String, (Double, Double))] = names.map { n =>
       def run(): Boolean =
@@ -76,8 +78,6 @@ object Bench {
       // their timing is ~all fixed micro-batch machinery, the correctness
       // gate lives in CORRECTNESS/Verify, and a single-run spike is
       // visible as a chain outlier against its own history.
-      val chains = Set("q_stream_dedup_ingest", "q_stream_ann_ingest",
-        "q_stream_ingest_restart")
       val (warmups, timedRuns) =
         if (chains.contains(n)) (1, 1)
         else if (n.startsWith("q_stream_")) (1, 3)
@@ -113,10 +113,18 @@ object Bench {
     // core count was measured on a contended machine and must not be
     // used as a baseline.
     val osb = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // the ingest chains run 1 timed run (sanctioned cut, VERDICT r11
+    // wrong #2), so their "median" is a single sample with no in-run
+    // outlier tolerance — name them explicitly (ADVICE r12) so a reader
+    // checks those entries against history instead of trusting the
+    // median label
+    val singleRun = names.filter(chains.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val prov =
       s""""provenance":{"timed_runs_per_query":5,"stat":"median",
          |"warmups_per_query":2,"streaming_timed_runs":3,
          |"streaming_warmups":1,"ingest_chain_timed_runs":1,
+         |"single_run_queries":$singleRun,
          |"cpus":"$cpus",
          |"load1":${"%.2f".formatLocal(java.util.Locale.ROOT,
             osb.getSystemLoadAverage)},

@@ -186,20 +186,36 @@ object Dedup {
       .groupBy("h").agg(count(lit(1)).as("df"))
 
   /** The derivation half of [[dfCapStats]], over an explicit df index
-    * and a 1-row (n_docs) frame. */
+    * and a 1-row (n_docs) frame.
+    *
+    * Arithmetic contract (ADVICE r12): the cumulative pair volume
+    * Σ nh·df·(df−1) is summed in DecimalType(38,0), never a plain long
+    * sum — a long SUM silently wraps in Spark while the DuckDB oracle
+    * sums into 128-bit hugeint, and on a hot-tailed corpus a
+    * wrapped-negative v2 would satisfy the `fits` predicate and derive
+    * a cap ABOVE the knee, re-entering the quadratic regime the cap
+    * exists to prevent. The `fits` comparison runs decimal-vs-decimal,
+    * and the halving is `floor(v2 / 2)` (exact: every df·(df−1) term is
+    * even), matching the oracle's integer `//` — not double `/`, whose
+    * precision dies past 2^53. Only the terminal BIGINT cast of the
+    * `v_total` REPORT column can saturate (past 2^63 Spark nulls it and
+    * DuckDB's CAST throws — loud, and the decision columns are
+    * unaffected, staying decimal until the ≤ comparison). */
   private[graft] def capStatsFromDf(dfIdx: DataFrame,
       nd: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val hist = dfIdx.groupBy("df").agg(count(lit(1)).as("nh"))
     val cum = hist.withColumn("v2",
-      sum(col("nh") * col("df") * (col("df") - lit(1L)))
+      sum(col("nh").cast(dec38) * col("df") * (col("df") - lit(1L)))
         .over(Window.orderBy("df")))
-    val fits = col("v2") <= col("n_docs") * lit(2L * JacCapBudgetPerDoc)
+    val fits =
+      col("v2") <= col("n_docs").cast(dec38) * lit(2L * JacCapBudgetPerDoc)
     cum.crossJoin(broadcast(nd))
       .groupBy("n_docs")
       .agg(
         sum("nh").cast("long").as("n_shingles"),
         max("df").cast("long").as("max_df"),
-        (max("v2") / lit(2)).cast("long").as("v_total"),
+        floor(max(col("v2")) / lit(2)).cast("long").as("v_total"),
         coalesce(max(when(fits, col("df"))), lit(0L)).cast("long")
           .as("derived_cap"))
       .select(
@@ -1242,7 +1258,7 @@ object Dedup {
     * and picks the smallest level covering ⌈0.99·buckets⌉. The only
     * window runs over that tiny histogram. */
   private[graft] def occupancyReport(bandRows: DataFrame,
-      scheme: String): DataFrame = {
+      scheme: String, budget: Double = OccBudget): DataFrame = {
     val occ = bandRows.groupBy("band", "key").agg(count(lit(1)).as("occ"))
     val stats = occ.groupBy("band").agg(
       count(lit(1)).as("n_buckets"),
@@ -1267,7 +1283,7 @@ object Dedup {
         col("max_occ").cast("long").as("max_occ"),
         col("p99_occ").cast("long").as("p99_occ"),
         expCand.as("exp_cand"),
-        (expCand > OccBudget).as("retune"))
+        (expCand > budget).as("retune"))
   }
 
   /** Decision→action wiring for the scheduled retune: re-project the
@@ -1280,8 +1296,9 @@ object Dedup {
     * happened. The flag read is a bounded driver collect (≤ #bands
     * rows). */
   private[graft] def retuneIfNeeded(sh: DataFrame, standing: DataFrame,
-      bands: Int = 2, r: Int = 8): (DataFrame, Boolean) = {
-    val flagged = occupancyReport(standing, "standing")
+      bands: Int = 2, r: Int = 8,
+      budget: Double = OccBudget): (DataFrame, Boolean) = {
+    val flagged = occupancyReport(standing, "standing", budget)
       .filter(col("retune")).limit(1).count() > 0
     if (flagged)
       (lshBandsWith(sh, bands, r).select("doc_id", "band", "key"), true)

@@ -77,6 +77,12 @@ object SqlTwins {
         "resume — a streaming query, and its result surface is " +
         "q_stream_dedup_ingest's chain whose batch SQL twin is " +
         "q_dedup_index_update3's"),
+    "q_stream_retune_ingest" ->
+      ("the in-stream maintenance gate: a real StreamingQuery whose " +
+        "sink runs the occupancy monitor between micro-batches and " +
+        "swaps the index version mid-chain; a SQL string cannot start " +
+        "a streaming query, and the decision arithmetic's batch SQL " +
+        "surface is q_dedup_occupancy's twin"),
     "q_dedup_components" ->
       ("iterative label propagation (driver-side loop over checkpoints); " +
         "the recursive-CTE spelling needs UNION-distinct recursion to " +
@@ -243,20 +249,26 @@ object SqlTwins {
       |s3 AS (SELECT vec_id, cl, d2 FROM a3 WHERE rn = 1)""".stripMargin
 
   /** Spark spelling of the df pre-pass (`Dedup.dfCapCteSql`'s twin):
-    * expects `sh` bound; binds `exd`/`dfh`/`dhist`/`dcum`/`dnd`. */
+    * expects `sh` bound; binds `exd`/`dfh`/`dhist`/`dcum`/`dnd`. The
+    * volume sum runs in DECIMAL(38,0) and the fits comparison
+    * decimal-vs-decimal, matching `capStatsFromDf`'s overflow-proof
+    * arithmetic (ADVICE r12) — Spark SQL's BIGINT SUM wraps silently
+    * where DuckDB's widens to hugeint. */
   private lazy val dfCapTwinCtes: String =
     """exd AS (SELECT doc_id, explode(hs) AS h FROM sh),
       |dfh AS (SELECT h, COUNT(*) AS df FROM exd GROUP BY 1),
       |dhist AS (SELECT df, COUNT(*) AS nh FROM dfh GROUP BY 1),
       |dcum AS (SELECT df, nh,
-      |        SUM(nh * df * (df - 1)) OVER (ORDER BY df) AS v2
+      |        SUM(CAST(nh AS DECIMAL(38,0)) * df * (df - 1))
+      |          OVER (ORDER BY df) AS v2
       |      FROM dhist),
       |dnd AS (SELECT COUNT(*) AS n_docs FROM sh)""".stripMargin
 
   private lazy val CapB = graft.dedup.Dedup.JacCapBudgetPerDoc
 
   private lazy val derivedCapTwinSql: String =
-    s"""COALESCE(MAX(CASE WHEN c.v2 <= 2 * $CapB * nd.n_docs
+    s"""COALESCE(MAX(CASE WHEN c.v2 <=
+       |                    CAST(2 * $CapB AS DECIMAL(38,0)) * nd.n_docs
        |                  THEN c.df END), 0)""".stripMargin
 
   /** Shared SELECT head of the capstat twins (from-scratch + folded). */

@@ -1317,16 +1317,24 @@ object StreamOps {
     * an append-shaped union write; state grows by survivors' bands
     * only. The per-run state/checkpoint scratch is UUID-unique under
     * [[scratchRoot]] and deleted in `finally`. */
-  /** The from-scratch N-phase admission oracle, shared verbatim by the
-    * uninterrupted ingest gate and the crash-restart gate: exactly-once
-    * means the RESULT is independent of where the runtime was cut, so
-    * the two queries must hash to the same DuckDB answer. */
-  private val ingestOracleSql: String = {
+  /** The from-scratch N-phase admission oracle BUILDER, shared by all
+    * three dedup ingest gates (uninterrupted, crash-restart, retune):
+    * exactly-once means the RESULT is independent of where the runtime
+    * was cut, so the first two queries must hash to the same DuckDB
+    * answer. `retune = Some((after, budget))` adds the mid-chain
+    * maintenance step: after phase `after`'s fold, the occupancy of the
+    * FOLDED 4×4 index (base + every survivor set committed so far) is
+    * measured, and IFF any band's size-biased mean occupancy Σocc²/Σocc
+    * exceeds `budget`, every later phase band-joins at the 2×8 retuned
+    * shape instead — the decision procedure is recomputed in SQL and
+    * VALUE-GATES the conditional banding (the same discipline as the
+    * autocap oracle), not just its output. */
+  private def ingestOracleSqlFor(retune: Option[(Int, Double)]): String = {
     import graft.functions.TextHash.{minhashSql, shingleCteSql, Bands, K, R}
     val sigSqlCols = (0 until K)
       .map(k => s"${minhashSql("hs", k)} AS m$k").mkString(",\n       ")
-    val bandSelects = (0 until Bands).map { b =>
-      val key = (0 until R).map(r => s"m${b * R + r}::VARCHAR")
+    def bandSelects(bands: Int, r: Int): String = (0 until bands).map { b =>
+      val key = (0 until r).map(i => s"m${b * r + i}::VARCHAR")
         .mkString(" || '_' || ")
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString("\n  UNION ALL ")
@@ -1339,19 +1347,43 @@ object StreamOps {
     val baseNotIn = IngestSlices.mkString("(", ", ", ")")
     // phase-k candidate eligibility: base slices + each earlier batch's
     // non-dup survivors (same generator shape as q_dedup_index_update3)
-    def elig(earlier: Seq[Int]): String =
-      (s"o.doc_id % 10 NOT IN $baseNotIn" +:
+    def elig(alias: String, earlier: Seq[Int]): String =
+      (s"$alias.doc_id % 10 NOT IN $baseNotIn" +:
         earlier.map { i =>
-          s"(o.doc_id % 10 = ${IngestSlices(i)} AND o.doc_id NOT IN " +
-            s"(SELECT new_doc FROM dup$i))"
+          s"($alias.doc_id % 10 = ${IngestSlices(i)} AND " +
+            s"$alias.doc_id NOT IN (SELECT new_doc FROM dup$i))"
         }).mkString("(", "\n         OR ", ")")
+    // the band source a phase's candidate join reads: phases after the
+    // maintenance point read the DECIDED shape (bandsp), earlier ones
+    // the standing 4×4
+    def bandSrc(i: Int): String =
+      if (retune.exists(_._1 < i)) "bandsp" else "bands"
+    def retuneCtes(after: Int, budget: Double): String =
+      s"""bands2 AS (
+         |  ${bandSelects(2, K / 2)}),
+         |fold$after AS (
+         |  SELECT b.doc_id, b.band, b.key FROM bands b
+         |  WHERE ${elig("b", 0 to after)}),
+         |focc AS (SELECT band, key, COUNT(*) AS occ FROM fold$after
+         |         GROUP BY 1, 2),
+         |fst AS (SELECT band, SUM(occ) AS tot, SUM(occ * occ) AS ss
+         |        FROM focc GROUP BY 1),
+         |fdec AS (SELECT COALESCE(MAX(CASE WHEN CAST(ss AS DOUBLE) / tot
+         |                > $budget THEN 1 ELSE 0 END), 0) = 1 AS fired
+         |         FROM fst),
+         |bandsp AS (
+         |  SELECT doc_id, band, key FROM bands2
+         |  WHERE (SELECT fired FROM fdec)
+         |  UNION ALL
+         |  SELECT doc_id, band, key FROM bands
+         |  WHERE NOT (SELECT fired FROM fdec))"""
     def phaseCtes(i: Int): String =
       s"""cand$i AS (
          |  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS base_doc
-         |  FROM bands n JOIN bands o
+         |  FROM ${bandSrc(i)} n JOIN ${bandSrc(i)} o
          |    ON n.band = o.band AND n.key = o.key
          |  WHERE n.doc_id % 10 = ${IngestSlices(i)}
-         |    AND ${elig(0 until i)}),
+         |    AND ${elig("o", 0 until i)}),
          |hits$i AS (
          |  SELECT c.new_doc, c.base_doc,
          |    $jacSql
@@ -1375,17 +1407,28 @@ object StreamOps {
          |FROM documents d
          |LEFT JOIN pick$i p ON p.new_doc = d.doc_id
          |WHERE d.doc_id % 10 = ${IngestSlices(i)}"""
+    // the maintenance CTEs slot in right after the phase whose fold they
+    // measure (they read that phase's dup set), before the first
+    // post-swap phase
+    val phaseBlocks = IngestSlices.indices.flatMap { i =>
+      (retune.toSeq.collect { case (after, budget) if i == after + 1 =>
+        retuneCtes(after, budget)
+      }) :+ phaseCtes(i)
+    }
     s"""WITH $shingleCteSql,
        |sig AS (SELECT doc_id, hs,
        |       $sigSqlCols
        |FROM sh),
        |bands AS (
-       |  $bandSelects),
-       |${IngestSlices.indices.map(phaseCtes).mkString(",\n")}
+       |  ${bandSelects(Bands, R)}),
+       |${phaseBlocks.mkString(",\n")}
        |${IngestSlices.indices.map(phaseSelect)
          .mkString("", "\nUNION ALL\n", "")}
        |ORDER BY batch, doc_id""".stripMargin
   }
+
+  /** The shared no-maintenance oracle (uninterrupted + crash-restart). */
+  private val ingestOracleSql: String = ingestOracleSqlFor(None)
 
   /** The base-corpus banding seed (everything outside the arriving
     * slices) shared by both ingest gates. */
@@ -1465,6 +1508,143 @@ object StreamOps {
           ingestLedger(s, verd)
         }
       } finally for (p <- Seq(state, verd, ckpt)) deletePath(s, p)
+    }
+
+  /** Maintenance budget for the LIVE-STREAM retune gate: the size-biased
+    * mean bucket occupancy Σocc²/Σocc a band may reach before the
+    * between-batches maintenance check re-bands the index. The gate's
+    * default (1.0) is the strictest SLO — any co-located signature pair
+    * anywhere flags the move — chosen so the documents corpus's own
+    * statistics (it HAS near-dups, so some 4×4 bucket holds ≥ 2 docs)
+    * demand the swap and the gate exercises the full
+    * decision→swap→post-swap-screen path; the DECISION itself is still
+    * computed from the folded index in both engines, and
+    * `StreamOpsSpec` drives the opposite branch (budget high → no swap)
+    * to pin that the flag, not the schedule, is what acts. */
+  val StreamOccBudget: Double = graft.similarity.Similarity
+    .doubleKnob("GRAFT_STREAM_OCC_BUDGET", 1.0, 0.0, 1e9)
+
+  /** The micro-batch after whose fold the in-stream maintenance check
+    * runs (the swap, if flagged, lands in that batch's output version —
+    * see [[applyRetuneIngestBatch]] for why it must). */
+  private[graft] val RetuneAfterBatch = 1L
+
+  /** One admit→fold→MAINTAIN step of the retune-aware ingest sink: the
+    * [[applyIngestBatch]] contract plus two production concerns. (1)
+    * Index versions carry their banding SHAPE — a constant `nb` column
+    * (bands; rows per band = K/nb) — because after a retune the arriving
+    * batch must probe with bands projected at the INDEX's shape, not a
+    * compile-time constant; the probe reads `nb` from the version it
+    * screens against (1-row read of an RLE'd constant column). (2) On
+    * the maintenance batch, after the fold, the occupancy monitor runs
+    * over the folded index and [[graft.dedup.Dedup.retuneIfNeeded]]
+    * re-bands the accumulated state at 2×8 IFF any band is over
+    * `budget` — and the swapped index is what gets written as the
+    * batch's output version. The swap MUST live inside the batch's own
+    * version write (not a separate later version): batch N's replay
+    * after a crash re-reads v ≤ N and re-derives v=N+1 from scratch, so
+    * anything the maintenance did must be a deterministic function of
+    * the same inputs — fold, monitor, decision, re-band all recompute
+    * identically on replay, which is exactly how the crash-restart leg
+    * stays exactly-once THROUGH the swap (spec-pinned). Re-banding
+    * needs signatures, not just the standing band rows; the roster of
+    * admitted docs is the index's distinct doc_ids and `corpusSh`
+    * supplies their shingle sets (the signature store a production
+    * pipeline keeps alongside the banding). */
+  private[graft] def applyRetuneIngestBatch(batch: DataFrame, batchId: Long,
+      statePath: String, verdictsPath: String, corpusSh: DataFrame,
+      maintainAfter: Long = RetuneAfterBatch,
+      budget: Double = StreamOccBudget): Unit = {
+    val s = batch.sparkSession
+    val fs = hadoopFs(s, statePath)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val K = graft.functions.TextHash.K
+    val bsh = graft.functions.TextHash
+      .addShingleHashes(batch, col("text")).select("doc_id", "hs")
+      .localCheckpoint(true) // two consumers (bands + verify), one compute
+    val prevV = committedVersions(fs, root).filter(_ <= batchId)
+      .sorted.lastOption
+      .getOrElse(sys.error(s"no committed index version <= $batchId " +
+        s"under $statePath — the base seed (v=0) is missing"))
+    val index = s.read.parquet(s"$statePath/v=$prevV")
+    val nb = index.select("nb").head().getInt(0)
+    val bands = graft.dedup.Dedup.lshBandsWith(bsh, nb, K / nb)
+      .select("doc_id", "band", "key")
+    val verdicts = graft.dedup.Dedup.screenBatch(
+      batch.select("doc_id"), bands,
+      index.select("doc_id", "band", "key"), bsh, corpusSh)
+      .localCheckpoint(true) // consumed twice: ledger write + survivor fold
+    verdicts.withColumn("batch", lit(batchId))
+      .write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
+    val survivors = verdicts.filter(!col("is_dup")).select("doc_id")
+    val foldedRaw = index.select("doc_id", "band", "key")
+      .unionByName(bands.join(survivors, Seq("doc_id"), "left_semi"))
+    val maintain = batchId == maintainAfter
+    // on the maintenance batch the fold feeds three consumers (monitor,
+    // roster, possibly the version write) — materialize once
+    val folded =
+      if (maintain) foldedRaw.localCheckpoint(true) else foldedRaw
+    val next =
+      if (maintain) {
+        val roster = folded.select("doc_id").distinct()
+        val (retuned, fired) = graft.dedup.Dedup.retuneIfNeeded(
+          corpusSh.join(roster, Seq("doc_id"), "left_semi"),
+          folded, bands = 2, r = K / 2, budget = budget)
+        if (fired) retuned.withColumn("nb", lit(2))
+        else folded.withColumn("nb", lit(nb))
+      } else folded.withColumn("nb", lit(nb))
+    next.write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
+  }
+
+  /** The retune-aware ingest chain through [[runVersionedStream]]. */
+  private[graft] def runRetuneChain(s: SparkSession, src: String,
+      state: String, verd: String, ckpt: String, corpusSh: DataFrame,
+      budget: Double = StreamOccBudget,
+      crashAfter: Option[Long] = None): Unit =
+    runVersionedStream(s, src, ckpt, crashAfter)((batch, batchId) =>
+      applyRetuneIngestBatch(batch, batchId, state, verd, corpusSh,
+        RetuneAfterBatch, budget))
+
+  /** The occupancy-triggered retune UNDER the live stream (VERDICT r12
+    * missing #1 / next #2) — the last composition a production ingest
+    * pipeline runs, assembled from parts that were each already gated:
+    * the four document slices arrive as real micro-batches; after batch
+    * 1's fold the occupancy monitor measures the folded index, flags it
+    * over [[StreamOccBudget]], and [[graft.dedup.Dedup.retuneIfNeeded]]
+    * re-bands the accumulated state at 2×8; the version chain carries
+    * the SWAP (v=2 is the retuned index, `nb`=2); batches 2 and 3 then
+    * probe AND fold at the retuned shape. The registered result is the
+    * full 4-batch verdict ledger, and the DuckDB oracle recomputes the
+    * phased admission WITH the mid-chain shape change from scratch —
+    * including the decision (fold occupancy → Σocc²/Σocc > budget →
+    * conditional band source), so a chain that swapped on the wrong
+    * batch, kept probing 4×4, re-banded the wrong roster, or fired
+    * against the wrong statistics all hash-mismatch.
+    * `StreamOpsSpec` additionally crash-kills the chain ON the swap
+    * batch (sink-committed retuned v=2, checkpoint-uncommitted) and
+    * post-swap, and pins both recoveries ledger- and index-identical
+    * to the uninterrupted run — exactly-once THROUGH the swap. */
+  val qStreamRetuneIngest: graft.queries.Q =
+    graft.queries.Q("q_stream_retune_ingest",
+      ingestOracleSqlFor(Some((RetuneAfterBatch.toInt, StreamOccBudget)))) {
+      (s, d) =>
+        graft.io.Tables.ensureSessionRegistered(s)
+        val src = docsSplit(s, d)
+        val corpusSh = graft.dedup.Dedup.corpusShingles(s, d)
+        val runId = java.util.UUID.randomUUID()
+        val root = scratchRoot(s)
+        val state = s"$root/graft_retune_state_$runId"
+        val verd = s"$root/graft_retune_verd_$runId"
+        val ckpt = s"$root/graft_retune_ckpt_$runId"
+        try {
+          withStatePartitions(s) {
+            ingestBaseIndex(s, d)
+              .withColumn("nb", lit(graft.functions.TextHash.Bands))
+              .write.mode("overwrite").parquet(s"$state/v=0")
+            runRetuneChain(s, src, state, verd, ckpt, corpusSh)
+            ingestLedger(s, verd)
+          }
+        } finally for (p <- Seq(state, verd, ckpt)) deletePath(s, p)
     }
 
   // ------------------------------------------------------------------
@@ -1582,5 +1762,5 @@ object StreamOps {
   val all: Seq[graft.queries.Q] =
     Seq(qStreamHourly, qStreamMerge, qStreamMergeBucketed,
       qStreamSessionize, qStreamConversionLag, qStreamDedupIngest,
-      qStreamIngestRestart, qStreamAnnIngest)
+      qStreamIngestRestart, qStreamRetuneIngest, qStreamAnnIngest)
 }

@@ -63,7 +63,16 @@ object BuildOctave {
     // build alone costs ~140 s per rep there, and paying it to refresh
     // an already-measured row would be waste, not rigor
     val triggers = sys.env.get("GRAFT_BUILD_TRIGGERS")
-      .map(t => Triggers.filter(t.split(',').toSet))
+      .map { t =>
+        // fail loudly on a typo or stale name (ADVICE r12): a silently
+        // filtered subset would "measure" an octave of nothing
+        val req = t.split(',').toSeq.filter(_.nonEmpty)
+        val unknown = req.filterNot(Triggers.toSet)
+        if (unknown.nonEmpty) sys.error(
+          s"GRAFT_BUILD_TRIGGERS names not in Triggers: " +
+            s"${unknown.mkString(", ")} (known: ${Triggers.mkString(", ")})")
+        Triggers.filter(req.toSet)
+      }
       .getOrElse(Triggers)
     val root = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -135,6 +135,29 @@ class DedupDfCapSpec extends SparkSpec {
       s"autocap must equal uncapped on the clean corpus: ${auto.size} vs ${un.size}")
   }
 
+  test("capStatsFromDf survives a pair volume past Long.Max: the " +
+    "decision arithmetic never wraps (ADVICE r12)") {
+    import spark.implicits._
+    // one hot level whose single-term volume 3·(2e9)·(2e9−1) ≈ 1.2e19
+    // exceeds Long.Max ≈ 9.22e18: a plain long SUM wraps NEGATIVE, the
+    // wrapped v2 "fits" any budget, and the derivation would hand back
+    // the hot level itself as the cap — the exact failure the decimal
+    // arithmetic exists to prevent. Correct answer: only df=1 fits
+    // (volume 0), the hot tail is capped away.
+    val hotDf = 2000000000L
+    val dfIdx = (Seq.fill(10)(1L) ++ Seq.fill(3)(hotDf)).toDF("df")
+    val nd = Seq(1000L).toDF("n_docs")
+    val r = Dedup.capStatsFromDf(dfIdx, nd).head()
+    assert(r.getLong(5) == 1L,
+      s"derived_cap must land below the overflowing hot level: $r")
+    assert(r.getBoolean(6), s"the hot tail must report capped: $r")
+    // v_total = floor(3·hotDf·(hotDf−1)/2) ≈ 6.0e18 still fits BIGINT
+    // and must be the exact integer half, not a double-rounded one
+    val expect = (BigInt(3) * BigInt(hotDf) * BigInt(hotDf - 1) / 2)
+    assert(BigInt(r.getLong(3)) == expect,
+      s"v_total must be exact-integer: ${r.getLong(3)} vs $expect")
+  }
+
   test("df-index fold: base + batch delta re-derives exactly the " +
     "from-scratch statistics, with a non-vacuous batch") {
     // q_capstat_update folds the batch's (h, df) delta into the
