@@ -1867,6 +1867,73 @@ object SqlTwins {
         |      CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT) AS checksum
         |FROM g ORDER BY doc_id""".stripMargin,
 
+    "q_image_dhash_pairs" ->
+      s"""WITH dims AS (SELECT doc_id, text, length(text) AS L,
+         |        48 + doc_id % 24 AS sw, 32 + doc_id % 16 AS sh_
+         |      FROM documents),
+         |imgs AS (
+         |  SELECT doc_id * 2 AS img_id, sw AS iw, sh_ AS ih, sw, sh_,
+         |         text, L
+         |  FROM dims
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1, sw + 3, sh_ + 2, sw, sh_, text, L
+         |  FROM dims WHERE doc_id % 10 = 4),
+         |cells AS (
+         |  SELECT img_id, r, c,
+         |    aggregate(transform(sequence(y1, y2 - 1), yy ->
+         |      aggregate(transform(sequence(x1, x2 - 1), xx ->
+         |        CAST(ascii(substring(text,
+         |          CAST( (((yy * sh_) div ih) div 3) * 16
+         |            + (((xx * sw) div iw) div 3) AS INT) % CAST(L AS INT)
+         |            + 1, 1)) AS BIGINT)),
+         |        CAST(0 AS BIGINT), (a, x) -> a + x)),
+         |      CAST(0 AS BIGINT), (a, x) -> a + x) AS s,
+         |    (x2 - x1) * (y2 - y1) AS n
+         |  FROM (SELECT i.*, rr.r, cc.c,
+         |          (cc.c * iw) div 9 AS x1,
+         |          GREATEST((cc.c * iw) div 9 + 1,
+         |                   ((cc.c + 1) * iw) div 9) AS x2,
+         |          (rr.r * ih) div 8 AS y1,
+         |          GREATEST((rr.r * ih) div 8 + 1,
+         |                   ((rr.r + 1) * ih) div 8) AS y2
+         |        FROM imgs i
+         |        CROSS JOIN (SELECT explode(sequence(0, 7)) AS r) rr
+         |        CROSS JOIN (SELECT explode(sequence(0, 8)) AS c) cc)),
+         |bits AS (
+         |  SELECT a.img_id, a.r * 8 + a.c AS k,
+         |    CASE WHEN b.s * a.n > a.s * b.n THEN 1 ELSE 0 END AS bit
+         |  FROM cells a JOIN cells b
+         |    ON b.img_id = a.img_id AND b.r = a.r AND b.c = a.c + 1
+         |  WHERE a.c < 8),
+         |keys AS (SELECT img_id, k div 16 AS band,
+         |         SUM(CAST(bit AS BIGINT)
+         |             * shiftleft(CAST(1 AS BIGINT),
+         |                         CAST(k % 16 AS INT))) AS key
+         |         FROM bits GROUP BY 1, 2),
+         |kk AS (SELECT img_id,
+         |        MAX(CASE WHEN band = 0 THEN key END) AS k0,
+         |        MAX(CASE WHEN band = 1 THEN key END) AS k1,
+         |        MAX(CASE WHEN band = 2 THEN key END) AS k2,
+         |        MAX(CASE WHEN band = 3 THEN key END) AS k3
+         |      FROM keys GROUP BY 1),
+         |cand AS (SELECT DISTINCT a.img_id AS ia, b.img_id AS ib
+         |         FROM keys a JOIN keys b
+         |           ON a.band = b.band AND a.key = b.key
+         |          AND a.img_id < b.img_id),
+         |ham AS (SELECT c.ia, c.ib,
+         |         bit_count(x.k0 ^ y.k0) + bit_count(x.k1 ^ y.k1)
+         |       + bit_count(x.k2 ^ y.k2) + bit_count(x.k3 ^ y.k3)
+         |           AS hamming
+         |        FROM cand c JOIN kk x ON x.img_id = c.ia
+         |                    JOIN kk y ON y.img_id = c.ib)
+         |SELECT CAST(ia div 2 AS BIGINT) AS doc_a,
+         |       CAST(ia % 2 AS BIGINT) AS var_a,
+         |       CAST(ib div 2 AS BIGINT) AS doc_b,
+         |       CAST(ib % 2 AS BIGINT) AS var_b,
+         |       CAST(hamming AS BIGINT) AS hamming
+         |FROM ham WHERE hamming <= ${graft.multimodal.Multimodal.DhashHamming}
+         |ORDER BY doc_a, var_a, doc_b, var_b""".stripMargin,
+
     "q_media_resize" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 24 AS INT) AS in_w,

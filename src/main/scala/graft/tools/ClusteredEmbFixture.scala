@@ -108,13 +108,57 @@ object ClusteredEmbFixture {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  /** SCALED variant of the mixture for octave studies (r13: the
+    * derived-IVF-cells recall trajectory needs clustered geometry at
+    * growing N — uniform random vectors are the structure-free worst
+    * case where NO sublinear probe can hold recall): same K clusters ×
+    * K subgroups, `members` points per subgroup (N = K·K·members), no
+    * bridge points. id → (cluster, subgroup) keeps the modular layout
+    * (id % K, (id/K) % K) so the anchor window (vec_id 100..) spans all
+    * clusters at every size. */
+  def rowsScaled(members: Int): Seq[(Long, Array[Float], Int)] = {
+    val rnd = new java.util.Random(42L)
+    def gaussian(dim: Int): Array[Double] =
+      Array.fill(dim)(rnd.nextGaussian())
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(K)(normalize(gaussian(Dim)))
+    val subCenters = Array.tabulate(K, K) { (k, _) =>
+      val g = gaussian(Dim)
+      normalize(Array.tabulate(Dim)(i => centers(k)(i) + SigmaCluster * g(i)))
+    }
+    (0 until K * K * members).map { id =>
+      val k = id % K
+      val j = (id / K) % K
+      val noise = gaussian(Dim)
+      val sc = subCenters(k)(j)
+      val v = Array.tabulate(Dim)(i =>
+        (sc(i) + SigmaSub * noise(i)).toFloat)
+      (id.toLong, v, k)
+    }
+  }
+
+  /** Write the scaled mixture to `<out>/embeddings.parquet`. */
+  def writeScaled(s: SparkSession, out: String, members: Int): Unit = {
+    import s.implicits._
+    rowsScaled(members).toDF("vec_id", "embedding", "label")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_clustered_emb")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    write(spark, out)
+    // optional second arg: members per subgroup → the SCALED mixture
+    args.drop(1).headOption.map(_.toInt) match {
+      case Some(m) => writeScaled(spark, out, m)
+      case None => write(spark, out)
+    }
     println(s"[clustered-emb] wrote $out/embeddings.parquet")
     spark.stop()
   }

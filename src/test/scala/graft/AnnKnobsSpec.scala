@@ -12,7 +12,7 @@ import graft.similarity.Similarity
 class AnnKnobsSpec extends AnyFunSuite {
 
   private val knobEnvs = Seq("GRAFT_LSH_BANDS", "GRAFT_LSH_PLANES_PER_BAND",
-    "GRAFT_IVF_CELLS", "GRAFT_IVF_NPROBE")
+    "GRAFT_IVF_CELLS", "GRAFT_IVF_NPROBE", "GRAFT_IVF_TARGET_OCC")
 
   test("defaults are the documented historical values") {
     // only meaningful when the test JVM runs unconfigured (the normal case)
@@ -21,6 +21,7 @@ class AnnKnobsSpec extends AnyFunSuite {
     assert(Similarity.PlanesPerBand == 8)
     assert(Similarity.IvfCells == 16)
     assert(Similarity.IvfProbe == 2)
+    assert(Similarity.IvfTargetOcc == 128)
   }
 
   test("system property overrides the default") {

@@ -96,4 +96,33 @@ class AnnRecallFloorSpec extends SparkSpec {
     ClusteredEmbFixture.write(spark, dir)
     checkFloors(dir, clusteredFloors, "clustered")
   }
+
+  test("auto-sized IVF lands exactly on the incumbent where the constant " +
+    "was tuned, and sizes from the corpus where it wasn't") {
+    // at the bench corpus (2,000 vecs, target_occ 128) the derivation
+    // says 16 = GRAFT_IVF_CELLS, so the auto tier must serve
+    // ROW-IDENTICAL results to the fixed tier — the knob change is
+    // observable only at scales where the constant is wrong
+    val byName = Similarity.all.map(q => q.name -> q).toMap
+    val sf01dir = "/root/testdata/sf0.1"
+    assert(Similarity.derivedCellsOf(2000) == Similarity.IvfCells)
+    val auto = byName("q_ann_ivf_auto").fn(spark, sf01dir).collect().toSeq
+    val fixed = byName("q_ann_ivf").fn(spark, sf01dir).collect().toSeq
+    assert(auto.nonEmpty && auto.map(_.toSeq) == fixed.map(_.toSeq),
+      s"auto (${auto.size} rows) must equal fixed at the tuned scale")
+    // the derivation itself: exact ceil, clamped — the 25x octave
+    // corpus (50,000) demands 391 cells where the constant stays 16
+    assert(Similarity.derivedCellsOf(1) == 1)
+    assert(Similarity.derivedCellsOf(500) == 4)
+    assert(Similarity.derivedCellsOf(50000) == 391)
+    assert(Similarity.derivedCellsOf(Long.MaxValue) == (1 << 20))
+    // the report consumes the monitor on the index the derivation
+    // sized: occupied cells never exceed derived, totals reconcile
+    val rep = byName("q_ann_cells_auto").fn(spark, sf001).head()
+    val (nCells, nVecs) = (rep.getLong(1), rep.getLong(2))
+    assert(rep.getLong(9) == Similarity.derivedCellsOf(nVecs),
+      s"derived_cells column must be the derivation's value: $rep")
+    assert(nCells <= rep.getLong(9) && nCells > 0, s"occupied>derived: $rep")
+    assert(math.abs(rep.getDouble(5) - nVecs.toDouble / nCells) < 1e-12)
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.multimodal.{Multimodal, PngCodec}
+
+/** Perceptual near-dup (dHash over decoded luma): the hash must catch a
+  * re-encoded and a resized-re-encoded near-dup pair through the REAL
+  * PNG round trip, keep unrelated images far, and the banded candidate
+  * join must surface the planted pairs the registered gate emits. */
+class ImageDhashSpec extends SparkSpec {
+
+  private def ramp(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h)(j => ((j % w) * 3 + (j / w) * 2).toByte)
+
+  private def hashOf(w: Int, h: Int, px: Array[Byte],
+      filter: Int => Int, split: Int): Array[Long] = {
+    val (dw, dh, dpx) = PngCodec.decodeGray8(
+      PngCodec.encodeGray8(w, h, px, filter, split)).get
+    assert(dw == w && dh == h)
+    Multimodal.dhashBands(dw, dh, dpx)
+  }
+
+  private def hamming(a: Array[Long], b: Array[Long]): Int =
+    a.zip(b).map { case (x, y) =>
+      java.lang.Long.bitCount(x ^ y) }.sum
+
+  test("a pure re-encode (different filter cycle and chunking) hashes " +
+    "identically — PNG is lossless, so the verdict is exact") {
+    val px = ramp(50, 40)
+    val a = hashOf(50, 40, px, y => y % 5, 96)
+    val b = hashOf(50, 40, px, y => (y + 3) % 5, 64)
+    assert(hamming(a, b) == 0, "lossless re-encode must not move the hash")
+  }
+
+  test("a RESIZED re-encode of smooth content lands within the Hamming " +
+    "radius AND shares a band key — the banded join catches it") {
+    val (w, h) = (50, 40)
+    val px = ramp(w, h)
+    val orig = hashOf(w, h, px, y => y % 5, 96)
+    val resized = Multimodal.resizeNearest(px, w, h, w + 3, h + 2)
+    val variant = hashOf(w + 3, h + 2, resized, y => (y + 1) % 5, 64)
+    val d = hamming(orig, variant)
+    assert(d <= Multimodal.DhashHamming,
+      s"resized near-dup drifted past the radius: hamming $d")
+    assert(orig.zip(variant).exists { case (a, b) => a == b },
+      "the pair must share an exact band key to be a candidate")
+  }
+
+  test("unrelated images land far apart") {
+    val a = hashOf(50, 40, ramp(50, 40), y => y % 5, 96)
+    // reversed ramp: opposite gradient direction everywhere
+    val px = ramp(50, 40).reverse
+    val b = hashOf(50, 40, px, y => y % 5, 96)
+    assert(hamming(a, b) > Multimodal.DhashHamming,
+      s"opposite-gradient images must not be near-dups: ${hamming(a, b)}")
+  }
+
+  test("the registered gate emits the planted resized variants (banded " +
+    "candidates -> exact verdicts) and every verdict is within radius") {
+    val rows = Multimodal.qImageDhashPairs.fn(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val planted = rows.filter(r =>
+      r.getLong(0) == r.getLong(2) && r.getLong(3) == 1L)
+    assert(planted.nonEmpty,
+      "at least some original<->own-variant pairs must be caught")
+    assert(rows.forall(_.getLong(4) <= Multimodal.DhashHamming))
+    // banding economics, stated not hidden: 4 16-bit bands GUARANTEE
+    // candidates only at radius <= 3 (Manku-style trade); the planted
+    // resize severity sits at Hamming ~1-7, so a strict majority but
+    // not all 50 variants surface. The count pins the measured recall
+    // so a silent banding regression (or an accidental all-pairs join)
+    // moves a spec, not just a bench number.
+    assert(planted.length >= 20 && planted.length <= 50,
+      s"banded recall moved: ${planted.length} planted pairs")
+  }
+}
