@@ -841,8 +841,12 @@ object Multimodal {
     * (mapPartitions, the codec tier's sanctioned shape); the join is
     * |imgs|×4 band rows hashed on (band, key) — bucket-occupancy-bound
     * candidates exactly like the MinHash screen, never N². */
-  val qImageDhashPairs: Q = Q("q_image_dhash_pairs",
-    s"""WITH dims AS (SELECT doc_id, text, length(text) AS L,
+  /** The dHash oracle's shared CTE chain (generator → cells → bits →
+    * band keys → banded candidates → exact Hamming verdicts): ONE
+    * spelling for the pair gate and the resolution gate, the
+    * `autocapCandCteSql` discipline. Binds `ham(ia, ib, hamming)`. */
+  private val dhashOracleCtes: String =
+    s"""dims AS (SELECT doc_id, text, length(text) AS L,
        |        48 + doc_id % 24 AS sw, 32 + doc_id % 16 AS sh_
        |      FROM documents),
        |imgs AS (
@@ -894,7 +898,57 @@ object Multimodal {
        |       + bit_count(xor(x.k2, y.k2)) + bit_count(xor(x.k3, y.k3))
        |           AS hamming
        |        FROM cand c JOIN kk x ON x.img_id = c.ia
-       |                    JOIN kk y ON y.img_id = c.ib)
+       |                    JOIN kk y ON y.img_id = c.ib)""".stripMargin
+
+  /** The verified near-dup pair graph (ia, ib, hamming) over img ids —
+    * session-memoized: decode + hash + banded join run once, both the
+    * pair gate and the resolution gate serve off the persisted frame
+    * (the artifact an image-dedup pipeline keeps). */
+  private def dhashPairs(s: SparkSession, d: String): DataFrame =
+    graft.plans.FrameMemo.memo(s, "imgDhashPairs", d) {
+      import s.implicits._
+      val hashes = dhashMediaTable(s, d).mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (w, h, px) = PngCodec.decodeGray8(r.payload).getOrElse(
+            sys.error(s"undecodable PNG for doc ${r.doc_id}"))
+          val o = dhashBands(w, h, px)
+          val orig =
+            ImgHash(r.doc_id * 2, r.doc_id, 0, o(0), o(1), o(2), o(3))
+          if (r.doc_id % 10 == DhashVariantMod) {
+            val (w2, h2) = (w + 3, h + 2)
+            val re = PngCodec.encodeGray8(w2, h2,
+              resizeNearest(px, w, h, w2, h2),
+              y => ((r.doc_id + y + 1) % 5).toInt, idatSplit = 64)
+            val (dw, dh, dpx) = PngCodec.decodeGray8(re).getOrElse(
+              sys.error(s"undecodable re-encode for doc ${r.doc_id}"))
+            val v = dhashBands(dw, dh, dpx)
+            Iterator(orig,
+              ImgHash(r.doc_id * 2 + 1, r.doc_id, 1, v(0), v(1), v(2), v(3)))
+          } else Iterator(orig)
+        }
+      }.toDF().localCheckpoint(true) // decode+hash once; banding joins twice
+      val bandRows = hashes.select(col("img_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        .toDF("img_id", "band", "key")
+      val cand = bandRows.as("a").join(bandRows.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.img_id") < col("b.img_id"))
+        .select(col("a.img_id").as("ia"), col("b.img_id").as("ib"))
+        .distinct()
+      val left = hashes.select(col("img_id").as("ia"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+      val right = hashes.select(col("img_id").as("ib"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+      cand.join(left, "ia").join(right, "ib")
+        .withColumn("hamming",
+          expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+        .filter(col("hamming") <= DhashHamming)
+        .select(col("ia"), col("ib"), col("hamming"))
+    }
+
+  val qImageDhashPairs: Q = Q("q_image_dhash_pairs",
+    s"""WITH $dhashOracleCtes
        |SELECT CAST(ia // 2 AS BIGINT) AS doc_a,
        |       CAST(ia % 2 AS BIGINT) AS var_a,
        |       CAST(ib // 2 AS BIGINT) AS doc_b,
@@ -902,43 +956,7 @@ object Multimodal {
        |       CAST(hamming AS BIGINT) AS hamming
        |FROM ham WHERE hamming <= $DhashHamming
        |ORDER BY doc_a, var_a, doc_b, var_b""".stripMargin) { (s, d) =>
-    import s.implicits._
-    val hashes = dhashMediaTable(s, d).mapPartitions { rows =>
-      rows.flatMap { r =>
-        val (w, h, px) = PngCodec.decodeGray8(r.payload).getOrElse(
-          sys.error(s"undecodable PNG for doc ${r.doc_id}"))
-        val o = dhashBands(w, h, px)
-        val orig = ImgHash(r.doc_id * 2, r.doc_id, 0, o(0), o(1), o(2), o(3))
-        if (r.doc_id % 10 == DhashVariantMod) {
-          val (w2, h2) = (w + 3, h + 2)
-          val re = PngCodec.encodeGray8(w2, h2,
-            resizeNearest(px, w, h, w2, h2),
-            y => ((r.doc_id + y + 1) % 5).toInt, idatSplit = 64)
-          val (dw, dh, dpx) = PngCodec.decodeGray8(re).getOrElse(
-            sys.error(s"undecodable re-encode for doc ${r.doc_id}"))
-          val v = dhashBands(dw, dh, dpx)
-          Iterator(orig,
-            ImgHash(r.doc_id * 2 + 1, r.doc_id, 1, v(0), v(1), v(2), v(3)))
-        } else Iterator(orig)
-      }
-    }.toDF().localCheckpoint(true) // decode+hash once; banding joins twice
-    val bandRows = hashes.select(col("img_id"),
-      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
-      .toDF("img_id", "band", "key")
-    val cand = bandRows.as("a").join(bandRows.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.img_id") < col("b.img_id"))
-      .select(col("a.img_id").as("ia"), col("b.img_id").as("ib"))
-      .distinct()
-    val left = hashes.select(col("img_id").as("ia"), col("b0").as("a0"),
-      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-    val right = hashes.select(col("img_id").as("ib"), col("b0").as("c0"),
-      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
-    cand.join(left, "ia").join(right, "ib")
-      .withColumn("hamming",
-        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
-          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
-      .filter(col("hamming") <= DhashHamming)
+    dhashPairs(s, d)
       .select(expr("ia div 2").as("doc_a"),
         (col("ia") % 2).cast("long").as("var_a"),
         expr("ib div 2").as("doc_b"),
@@ -946,7 +964,47 @@ object Multimodal {
       .orderBy("doc_a", "var_a", "doc_b", "var_b")
   }
 
+  /** Image near-dup RESOLUTION — the media path's completion of the
+    * text family's pair→components→verdict pipeline
+    * ([[graft.dedup.Dedup]]'s `q_dedup_resolve_autocap` shape): the
+    * verified dHash pair graph resolves into connected components via
+    * the O(log d) star rounds, keep = the component's minimum img_id
+    * (for an original+variant cluster that is always the original —
+    * variants carry odd ids). Only images that appear in some verified
+    * pair are emitted (singletons are trivially kept, like the text
+    * resolve). Oracle: the same banded-Hamming pair derivation, then a
+    * recursive component walk from scratch. */
+  val qImageDedupResolve: Q = Q("q_image_dedup_resolve",
+    s"""WITH RECURSIVE $dhashOracleCtes,
+       |pr AS (SELECT ia, ib FROM ham WHERE hamming <= $DhashHamming),
+       |edges AS (
+       |  SELECT ia AS src, ib AS dst FROM pr
+       |  UNION ALL SELECT ib, ia FROM pr),
+       |walk(node, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.reach FROM walk w JOIN edges e ON e.src = w.node)
+       |SELECT CAST(node // 2 AS BIGINT) AS doc_id,
+       |       CAST(node % 2 AS BIGINT) AS variant,
+       |       CAST(MIN(reach) // 2 AS BIGINT) AS comp_doc,
+       |       CAST(MIN(reach) % 2 AS BIGINT) AS comp_var,
+       |       node = MIN(reach) AS is_kept
+       |FROM walk GROUP BY node ORDER BY doc_id, variant""".stripMargin) {
+    (s, d) =>
+      graft.plans.FrameMemo.memo(s, "imgDhashComps", d)(
+        graft.dedup.Dedup.starComponents(
+          dhashPairs(s, d).select("ia", "ib")))
+        .select(expr("doc_id div 2").as("img_doc"),
+          (col("doc_id") % 2).cast("long").as("variant"),
+          expr("component div 2").as("comp_doc"),
+          (col("component") % 2).cast("long").as("comp_var"),
+          col("is_kept"))
+        .withColumnRenamed("img_doc", "doc_id")
+        .orderBy("doc_id", "variant")
+  }
+
   val all: Seq[Q] =
     Seq(qMultimodalFeatures, qMediaDims, qMediaPixels, qMediaResize,
-      qMediaEnergy, qGifFrames, qAviFrames, qImageDhashPairs)
+      qMediaEnergy, qGifFrames, qAviFrames, qImageDhashPairs,
+      qImageDedupResolve)
 }

@@ -104,6 +104,11 @@ object SqlTwins {
         "pair graph (driver-side loop over checkpoints); same recursion " +
         "limitation as q_dedup_components — the derived-cap PAIR " +
         "surface is q_jaccard_pairs_autocap's registered twin"),
+    "q_image_dedup_resolve" ->
+      ("iterative large-star/small-star rounds over the dHash near-dup " +
+        "pair graph (driver-side loop over checkpoints); same recursion " +
+        "limitation as q_dedup_components — the verified PAIR surface " +
+        "is q_image_dhash_pairs's hand-written twin"),
     "q_dedup_keep_best" ->
       ("ranks within the iterative star-CC clusters (driver-side loop " +
         "over checkpoints); same recursion limitation as " +

@@ -607,6 +607,51 @@ object Similarity {
       .withColumn("derived_cells", lit(cAuto.toLong))
   }
 
+  /** INCREMENTAL maintenance of the sizing statistic — the ANN twin of
+    * the dedup family's `q_capstat_update`: the derived cell count is a
+    * function of ONE corpus statistic (n_vecs), which ADDS under
+    * disjoint union, so a continuous-ingest pipeline re-derives the
+    * quantizer size after each fold from persisted counts, never a
+    * corpus re-scan. This operator performs one such step (base =
+    * everything outside the arriving slice; batch = the vec_id%10 == 7
+    * slice the ANN ingest chain streams first) and reports the counts,
+    * the cell sizes derived BEFORE and AFTER the fold, and `grew` — the
+    * flag that schedules the quantizer rebuild the retrain operators
+    * (`q_ann_ivf_retrain`/`q_ann_lifecycle`) pay. All-integer, spelled
+    * identically in both engines. */
+  val qAnnCellsUpdate: Q = Q("q_ann_cells_update",
+    s"""WITH e AS (SELECT vec_id FROM embeddings),
+       |b AS (SELECT COUNT(*) AS base_vecs FROM e WHERE vec_id % 10 != 7),
+       |a AS (SELECT COUNT(*) AS batch_vecs FROM e WHERE vec_id % 10 = 7),
+       |f AS (SELECT base_vecs, batch_vecs,
+       |        GREATEST(1, LEAST(1048576,
+       |          (base_vecs + $IvfTargetOcc - 1) // $IvfTargetOcc))
+       |          AS cells_before,
+       |        GREATEST(1, LEAST(1048576,
+       |          (base_vecs + batch_vecs + $IvfTargetOcc - 1)
+       |            // $IvfTargetOcc)) AS cells_after
+       |      FROM b CROSS JOIN a)
+       |SELECT CAST(base_vecs AS BIGINT) AS base_vecs,
+       |       CAST(batch_vecs AS BIGINT) AS batch_vecs,
+       |       CAST(base_vecs + batch_vecs AS BIGINT) AS n_vecs,
+       |       CAST($IvfTargetOcc AS BIGINT) AS target_occ,
+       |       CAST(cells_before AS BIGINT) AS cells_before,
+       |       CAST(cells_after AS BIGINT) AS cells_after,
+       |       cells_after > cells_before AS grew
+       |FROM f""".stripMargin) { (s, d) =>
+    import s.implicits._
+    // two bounded count reads (parquet metadata) feeding the same pure
+    // derivation the serving path uses — engine and report cannot drift
+    val ids = emb(s, d).select("vec_id")
+    val base = ids.filter(col("vec_id") % 10 =!= 7).count()
+    val batch = ids.filter(col("vec_id") % 10 === 7).count()
+    val (cb, ca) = (derivedCellsOf(base), derivedCellsOf(base + batch))
+    Seq((base, batch, base + batch, IvfTargetOcc.toLong,
+      cb.toLong, ca.toLong, ca > cb))
+      .toDF("base_vecs", "batch_vecs", "n_vecs", "target_occ",
+        "cells_before", "cells_after", "grew")
+  }
+
   /** IVF ANN under the AUTO-sized quantizer — [[qAnnIvf]]'s serve path
     * (same probe join, same scoring, same top-3 heap) over the index
     * the derivation sized; nprobe clamps to the derived cell count the
@@ -3127,7 +3172,7 @@ object Similarity {
       qAnnIndexUpdate3, qAnnIvfRetrain, qAnnLifecycle,
       qEmbedNearDup,
       qSemdedup, qAnnInt8, qAnnIvfKmeans, qAnnCellStats, qAnnCellsAuto,
-      qAnnIvfAuto, qLabelOutliers, qKmeans,
+      qAnnCellsUpdate, qAnnIvfAuto, qLabelOutliers, qKmeans,
       qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered,
       qHardNegatives, qMmrRerank, qRandProject, qKnnClassify, qAnnRecall,
       qSilhouette, qPqDistortion, qPqTrain, qAnnIvfPqTrained)

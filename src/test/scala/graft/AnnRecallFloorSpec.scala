@@ -124,5 +124,13 @@ class AnnRecallFloorSpec extends SparkSpec {
       s"derived_cells column must be the derivation's value: $rep")
     assert(nCells <= rep.getLong(9) && nCells > 0, s"occupied>derived: $rep")
     assert(math.abs(rep.getDouble(5) - nVecs.toDouble / nCells) < 1e-12)
+    // the incremental step: counts reconcile and the before/after cells
+    // are the same pure derivation on the folded statistic
+    val upd = byName("q_ann_cells_update").fn(spark, sf001).head()
+    assert(upd.getLong(0) + upd.getLong(1) == upd.getLong(2))
+    assert(upd.getLong(2) == nVecs, "folded count must equal the corpus")
+    assert(upd.getLong(4) == Similarity.derivedCellsOf(upd.getLong(0)))
+    assert(upd.getLong(5) == Similarity.derivedCellsOf(upd.getLong(2)))
+    assert(upd.getBoolean(6) == (upd.getLong(5) > upd.getLong(4)))
   }
 }

@@ -72,4 +72,26 @@ class ImageDhashSpec extends SparkSpec {
     assert(planted.length >= 20 && planted.length <= 50,
       s"banded recall moved: ${planted.length} planted pairs")
   }
+
+  test("resolution: every caught variant lands in its original's " +
+    "component, and the kept representative is always an original") {
+    val pairs = Multimodal.qImageDhashPairs.fn(spark, sf001).collect()
+    val resolved = Multimodal.qImageDedupResolve.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)), r.getBoolean(4))).toMap
+    assert(resolved.nonEmpty)
+    // component representatives are minimum img_ids: an orig+variant
+    // cluster keeps the original (even img_id beats odd)
+    resolved.foreach { case (img, (comp, kept)) =>
+      assert(kept == (img == comp), s"$img kept=$kept comp=$comp")
+    }
+    // a caught (orig, own-variant) pair must resolve into one component
+    pairs.filter(r => r.getLong(0) == r.getLong(2) && r.getLong(3) == 1L)
+      .foreach { r =>
+        val doc = r.getLong(0)
+        assert(resolved((doc, 0L))._1 == resolved((doc, 1L))._1,
+          s"doc $doc's variant resolved apart from its original")
+        assert(!resolved((doc, 1L))._2, s"doc $doc's variant was kept")
+      }
+  }
 }
