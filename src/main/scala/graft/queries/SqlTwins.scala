@@ -83,6 +83,13 @@ object SqlTwins {
         "swaps the index version mid-chain; a SQL string cannot start " +
         "a streaming query, and the decision arithmetic's batch SQL " +
         "surface is q_dedup_occupancy's twin"),
+    "q_stream_retrain_ingest" ->
+      ("the ANN in-stream maintenance gate: a real StreamingQuery whose " +
+        "sink runs the cell-balance monitor between micro-batches and " +
+        "retrains the quantizer mid-chain; a SQL string cannot start a " +
+        "streaming query, and its from-scratch surface is " +
+        "q_ann_lifecycle's (shared oracle), whose twin is the unrolled-" +
+        "Lloyd spelling"),
     "q_dedup_components" ->
       ("iterative label propagation (driver-side loop over checkpoints); " +
         "the recursive-CTE spelling needs UNION-distinct recursion to " +

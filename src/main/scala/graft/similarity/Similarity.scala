@@ -795,6 +795,45 @@ object Similarity {
       cells: DataFrame): DataFrame = ivfServeTop3(ivfRanked(s, d), cells)
   private[graft] def ivfBatchPredicate(s: SparkSession, m: Int) =
     expr(ivfBatchSql(m))
+
+  /** Codes of everything OUTSIDE the arriving slices — the base the
+    * streaming RETRAIN gate seeds. Queries (vec_id < 10) and the anchor
+    * window stay base-side by [[ivfBatchSql]]'s own carve-outs, so the
+    * 8 smallest vec_ids (the Lloyd seed) are always here. */
+  private[graft] def annRetrainBaseCodes(s: SparkSession, d: String,
+      slices: Seq[Int]): DataFrame =
+    int8Codes(s, d).select("vec_id", "c")
+      .filter(!slices.map(m => ivfBatchPredicate(s, m)).reduce(_ || _))
+
+  /** Serve top-3 off a STREAMED retrain state: `cells` = the final
+    * committed (vec_id, c, cl) assignment, `quant` = the final
+    * committed centroids. Query probe ranks are computed against the
+    * final quantizer (bounded: |queries| × k in-row sort); the corpus
+    * side serves the state's OWN `cl` — the gate's point is that the
+    * streamed assignment, not a recomputation, answers queries. */
+  private[graft] def annRetrainServe(s: SparkSession, d: String,
+      cells: DataFrame, quant: Seq[(Long, Seq[Long])]): DataFrame = {
+    val n = withNorm(emb(s, d)).select("vec_id", "v", "nrm")
+    val scored = array_sort(array(quant.map { case (cl, m) =>
+      struct(lloydD2(m).as("d2"), lit(cl).as("cl"))
+    }: _*))
+    val probes = n.filter(expr(QuerySet))
+      .join(int8Codes(s, d).select("vec_id", "c"), "vec_id")
+      .withColumn("sc", slice(scored, 1, LloydProbe))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), posexplode(col("sc")))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        col("col.cl").as("qcell"))
+    val served = cells.select(col("vec_id"), col("cl").as("cell"))
+      .join(n, "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    ivfServeTop3From(probes, served)
+      .withColumn("is_new", ivfIsNewCol(AnnNewSlice))
+  }
+
+  /** The slice the lifecycle/retrain gates mark as `is_new` (the batch
+    * the retrain never trained on). */
+  private[graft] val AnnNewSlice = 3
   private[graft] def ivfIsNewCol(m: Int): Column = {
     val nb = col("neighbor_id")
     nb % 10 === m && nb >= 10 &&
@@ -1249,13 +1288,24 @@ object Similarity {
       build: => DataFrame): DataFrame =
     graft.plans.FrameMemo.memo(s, tag, d)(build)
 
+  /** The int8 coder over an arbitrary (vec_id, v) frame: per-vector
+    * max-abs scale, so coding is BATCHING-INVARIANT — a streamed batch
+    * codes identically to its rows inside a whole-corpus pass (the
+    * property the streaming retrain gate leans on). */
+  private[graft] def int8CodesOf(vecs: DataFrame): DataFrame =
+    vecs
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"),
+        transform(col("v"),
+          x => floor(x * lit(127) / col("mx")).cast("long")).as("c"))
+
   private[graft] def int8Codes(s: SparkSession, d: String): DataFrame =
     memo(s, "int8Codes", d) {
-      emb(s, d)
+      val e = emb(s, d)
         .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-        .select(col("vec_id"), col("label"),
-          transform(col("v"),
-            x => floor(x * lit(127) / col("mx")).cast("long")).as("c"))
+      e.select(col("vec_id"), col("label"),
+        transform(col("v"),
+          x => floor(x * lit(127) / col("mx")).cast("long")).as("c"))
     }
 
   val qAnnInt8: Q = Q("q_ann_int8",
@@ -1569,7 +1619,7 @@ object Similarity {
     * Integer counts + two single divisions (bit-equal across engines);
     * one hash aggregation per call, corpus-linear. */
   private[graft] def cellStats(cells: DataFrame,
-      quantizer: String): DataFrame = {
+      quantizer: String, budget: Double = CellBalance): DataFrame = {
     val per = cells.groupBy("cell").agg(count(lit(1)).as("n"))
     per.agg(
       count(lit(1)).cast("long").as("n_cells"),
@@ -1582,7 +1632,7 @@ object Similarity {
         ((col("max_cell") * col("n_cells")).cast("double") / col("n_vecs"))
           .as("imbalance"),
         ((col("max_cell") * col("n_cells")).cast("double") >
-          lit(CellBalance) * col("n_vecs")).as("retrain"))
+          lit(budget) * col("n_vecs")).as("retrain"))
   }
 
   /** The registered cell-balance/RETRAIN-DECISION report: both serving

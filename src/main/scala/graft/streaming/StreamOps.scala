@@ -1757,10 +1757,155 @@ object StreamOps {
     } finally for (p <- Seq(state, ckpt)) deletePath(s, p)
   }
 
+  // ------------------------------------------------------------------
+  // Streaming ANN RETRAIN: the decision-gated quantizer rebuild under
+  // the real runtime (the ANN symmetric half of q_stream_retune_ingest)
+  // ------------------------------------------------------------------
+
+  /** Imbalance budget for the LIVE-STREAM retrain gate — the ANN twin
+    * of [[StreamOccBudget]]: max_cell / (n/cells) a folded assignment
+    * may reach before the between-batches maintenance check retrains
+    * the quantizer. Default 1.0 = the strictest SLO (any imbalance at
+    * all flags the move — the seed quantizer's round-0 cells on this
+    * corpus are far from uniform, so the corpus's own statistics demand
+    * the retrain); `StreamOpsSpec` drives the opposite branch. */
+  val StreamCellBudget: Double = graft.similarity.Similarity
+    .doubleKnob("GRAFT_STREAM_CELL_BALANCE", 1.0, 0.0, 1e9)
+
+  /** The micro-batch after whose fold the ANN maintenance check runs. */
+  private[graft] val RetrainAfterBatch = 0L
+
+  private def readQuant(s: SparkSession,
+      path: String): Seq[(Long, Seq[Long])] =
+    s.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+
+  /** One fold→MAINTAIN step of the retrain-aware ANN ingest sink: the
+    * state is the Lloyd-quantizer world end to end — each version
+    * carries its cell assignment WITH the int8 codes (`v=N`: vec_id, c,
+    * cl — codes ride along so a retrain can re-train from state alone)
+    * and the quantizer that produced it (`q=N`: cl, m — written FIRST,
+    * so a committed `v=N` implies its quantizer is readable). The
+    * arriving batch codes its own vectors (per-vector max-abs scale ⇒
+    * batching-invariant), assigns them against the newest committed
+    * version's quantizer, and folds. On the maintenance batch, the
+    * cell-balance monitor measures the folded assignment and IFF
+    * imbalance exceeds `budget` the quantizer RETRAINS — 3 Lloyd rounds
+    * over the accumulated codes (seed = codes of the accumulated set's
+    * 8 smallest vec_ids, [[graft.similarity.Similarity.lloydSeed]]) —
+    * and the whole accumulated state is re-assigned; later batches
+    * assign against the retrained centroids they read from the version
+    * chain. The swap lives inside the batch's own version write, so a
+    * crash replay re-derives fold→monitor→decision→retrain→re-assign
+    * deterministically (integer Lloyd — no float reduction order). */
+  private[graft] def applyAnnRetrainBatch(batch: DataFrame, batchId: Long,
+      statePath: String, maintainAfter: Long = RetrainAfterBatch,
+      budget: Double = StreamCellBudget): Unit = {
+    val s = batch.sparkSession
+    val sim = graft.similarity.Similarity
+    val fs = hadoopFs(s, statePath)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val prevV = committedVersions(fs, root).filter(_ <= batchId)
+      .sorted.lastOption
+      .getOrElse(sys.error(s"no committed index version <= $batchId " +
+        s"under $statePath — the base seed (v=0) is missing"))
+    val quant = readQuant(s, s"$statePath/q=$prevV")
+    val bcodes = sim.int8CodesOf(
+      batch.select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("v")))
+    val folded = s.read.parquet(s"$statePath/v=$prevV")
+      .select("vec_id", "c", "cl")
+      .unionByName(sim.lloydAssign(bcodes, quant)
+        .select("vec_id", "c", "cl"))
+      .localCheckpoint(true) // monitor + (maybe) retrain + write
+    val (cellsOut, quantOut) =
+      if (batchId == maintainAfter) {
+        val fired = sim.cellStats(folded.select(col("cl").as("cell")),
+            "fold", budget)
+          .head().getBoolean(7)
+        if (fired) {
+          val cents = sim.lloydCentroids(folded.select("vec_id", "c"),
+            sim.LloydK, rounds = 3)
+          (sim.lloydAssign(folded.select("vec_id", "c"), cents)
+            .select("vec_id", "c", "cl"), cents)
+        } else (folded, quant)
+      } else (folded, quant)
+    import s.implicits._
+    quantOut.toDF("cl", "m")
+      .write.mode("overwrite").parquet(s"$statePath/q=${batchId + 1}")
+    cellsOut.write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
+  }
+
+  /** The retrain-aware ANN chain through [[runVersionedStream]]. */
+  private[graft] def runAnnRetrainChain(s: SparkSession, src: String,
+      state: String, ckpt: String, budget: Double = StreamCellBudget,
+      crashAfter: Option[Long] = None): Unit =
+    runVersionedStream(s, src, ckpt, crashAfter)((batch, batchId) =>
+      applyAnnRetrainBatch(batch, batchId, state, RetrainAfterBatch,
+        budget))
+
+  /** The cell-balance-triggered RETRAIN under the live stream — the ANN
+    * symmetric half of [[qStreamRetuneIngest]], and the streaming
+    * graduation of [[graft.similarity.Similarity.qAnnLifecycle]]'s
+    * batch-mode chronology: base vectors seed v=0 assigned under the
+    * round-0 seed quantizer; batch 7 arrives as a real micro-batch and
+    * folds; the monitor measures the folded assignment, flags it over
+    * [[StreamCellBudget]], and the quantizer retrains on base+batch-7 —
+    * the data that EXISTS at retrain time — with the version chain
+    * carrying centroids and re-assignment; batch 3 then arrives and
+    * assigns against a quantizer that never saw it. The registered
+    * result is the final top-3 serve off the STREAMED state, and the
+    * oracle is EXPRESSION-IDENTICAL to q_ann_lifecycle's from-scratch
+    * prefix-trained spelling — exactly-once plus a correctly-fired,
+    * correctly-ordered retrain means the stream must land value-exactly
+    * on the batch-mode lifecycle answer (the [[qStreamAnnIngest]] ≡
+    * q_ann_index_update3 discipline, one maintenance level up). A
+    * chain that retrained on the wrong prefix, skipped the retrain,
+    * re-assigned against stale centroids, or let the replay fork the
+    * chain all hash-mismatch. `StreamOpsSpec` crash-kills the chain ON
+    * the retrain batch (retrained v=1 + q=1 sink-committed,
+    * checkpoint-uncommitted) and pins the recovery state-identical,
+    * plus the under-budget branch (no retrain → a different serve). */
+  val qStreamRetrainIngest: graft.queries.Q =
+    graft.queries.Q("q_stream_retrain_ingest",
+      graft.similarity.Similarity.qAnnLifecycle.oracle.getOrElse(
+        sys.error("q_ann_lifecycle lost its oracle"))) { (s, d) =>
+      graft.io.Tables.ensureSessionRegistered(s)
+      val sim = graft.similarity.Similarity
+      val src = embSplit(s, d)
+      val runId = java.util.UUID.randomUUID()
+      val root = scratchRoot(s)
+      val state = s"$root/graft_retrain_state_$runId"
+      val ckpt = s"$root/graft_retrain_ckpt_$runId"
+      try {
+        withStatePartitions(s) {
+          import s.implicits._
+          val baseCodes = sim.annRetrainBaseCodes(s, d, AnnIngestSlices)
+            .localCheckpoint(true) // seed quantizer + seed assignment
+          val seed = sim.lloydSeed(baseCodes, sim.LloydK)
+          seed.toDF("cl", "m")
+            .write.mode("overwrite").parquet(s"$state/q=0")
+          sim.lloydAssign(baseCodes, seed).select("vec_id", "c", "cl")
+            .write.mode("overwrite").parquet(s"$state/v=0")
+          runAnnRetrainChain(s, src, state, ckpt)
+          val fs = hadoopFs(s, state)
+          val finalV = committedVersions(fs,
+            new org.apache.hadoop.fs.Path(state)).sorted.last
+          require(finalV == AnnIngestSlices.size.toLong,
+            s"expected ${AnnIngestSlices.size} folds, newest $finalV")
+          sim.annRetrainServe(s, d,
+            s.read.parquet(s"$state/v=$finalV"),
+            readQuant(s, s"$state/q=$finalV"))
+            .orderBy("query_id", "rnk").localCheckpoint(true)
+        }
+      } finally for (p <- Seq(state, ckpt)) deletePath(s, p)
+    }
+
   /** The streaming family's registered (oracle-gated) queries; the
     * remaining operators above are spec-gated batch/stream twins. */
   val all: Seq[graft.queries.Q] =
     Seq(qStreamHourly, qStreamMerge, qStreamMergeBucketed,
       qStreamSessionize, qStreamConversionLag, qStreamDedupIngest,
-      qStreamIngestRestart, qStreamRetuneIngest, qStreamAnnIngest)
+      qStreamIngestRestart, qStreamRetuneIngest, qStreamAnnIngest,
+      qStreamRetrainIngest)
 }

@@ -720,6 +720,70 @@ class StreamOpsSpec extends SparkSpec {
     assert(ld.nonEmpty)
   }
 
+  test("ANN retrain under the live stream: the monitor's decision " +
+    "retrains the quantizer mid-chain, crash-restart THROUGH the " +
+    "retrain is exactly-once, and an under-budget chain keeps the seed") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    graft.io.Tables.ensureSessionRegistered(spark)
+    val sim = graft.similarity.Similarity
+    val src = StreamOps.embSplit(spark, sf001)
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val baseCodes = sim
+      .annRetrainBaseCodes(spark, sf001, StreamOps.AnnIngestSlices)
+      .localCheckpoint(true)
+    val seed = sim.lloydSeed(baseCodes, sim.LloydK)
+    def quantOf(path: String): Seq[(Long, Seq[Long])] =
+      spark.read.parquet(path).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+        .sortBy(_._1)
+    def run(crash: Boolean, budget: Double)
+        : (Set[Seq[Any]], Seq[(Long, Seq[Long])], Seq[Long]) = {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_annretrain_spec").toString
+      val (state, ckpt) = (s"$root/state", s"$root/ckpt")
+      try {
+        seed.toDF("cl", "m").write.mode("overwrite").parquet(s"$state/q=0")
+        sim.lloydAssign(baseCodes, seed).select("vec_id", "c", "cl")
+          .write.mode("overwrite").parquet(s"$state/v=0")
+        if (crash) {
+          StreamOps.runAnnRetrainChain(spark, src, state, ckpt, budget,
+            crashAfter = Some(StreamOps.RetrainAfterBatch))
+          // torn THROUGH the retrain: the retrained assignment AND its
+          // quantizer are sink-committed, the batch is absent from the
+          // commit log, the tail batch never ran
+          assert(fs.exists(new Path(s"$state/v=1/_SUCCESS")))
+          assert(fs.exists(new Path(s"$state/q=1/_SUCCESS")))
+          assert(!fs.exists(new Path(s"$ckpt/commits/0")),
+            "batch 0 must be checkpoint-uncommitted at the cut")
+          assert(!fs.exists(new Path(s"$state/v=2")),
+            "the kill must land before the tail batch")
+        }
+        StreamOps.runAnnRetrainChain(spark, src, state, ckpt, budget)
+        val versions = StreamOps
+          .committedVersions(fs, new Path(state)).sorted
+        val cells = spark.read.parquet(s"$state/v=${versions.last}")
+          .select("vec_id", "cl").collect().map(_.toSeq).toSet
+        (cells, quantOf(s"$state/q=${versions.last}"), versions)
+      } finally fs.delete(new Path(root), true)
+    }
+    val (ia, qa, va) = run(crash = false, budget = 1.0)
+    assert(va == Seq(0L, 1L, 2L))
+    assert(qa != seed, "the strict budget must have retrained (the " +
+      "final quantizer cannot still be the round-0 seed)")
+    // crash ON the retrain batch: the replay re-derives
+    // fold→monitor→decision→retrain→re-assign and lands identical
+    val (ib, qb, vb) = run(crash = true, budget = 1.0)
+    assert(ib == ia && qb == qa && vb == va,
+      "crash-restart THROUGH the retrain diverged")
+    // the DECISION is what acts: impossible budget → the quantizer is
+    // still the seed and the assignment differs
+    val (ic, qc, _) = run(crash = false, budget = 1e18)
+    assert(qc == seed, "under-budget chain must keep the seed quantizer")
+    assert(ic != ia,
+      "retrained and seed-quantizer chains must commit different states")
+  }
+
   test("ANN ingest crash-restart: a kill after batch 0 and a fresh " +
     "query from the same checkpoint land the final cell index identical " +
     "to the uninterrupted run") {
