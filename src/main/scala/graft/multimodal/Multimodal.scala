@@ -927,25 +927,34 @@ object Multimodal {
           } else Iterator(orig)
         }
       }.toDF().localCheckpoint(true) // decode+hash once; banding joins twice
-      val bandRows = hashes.select(col("img_id"),
-        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
-        .toDF("img_id", "band", "key")
-      val cand = bandRows.as("a").join(bandRows.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.img_id") < col("b.img_id"))
-        .select(col("a.img_id").as("ia"), col("b.img_id").as("ib"))
-        .distinct()
-      val left = hashes.select(col("img_id").as("ia"), col("b0").as("a0"),
-        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-      val right = hashes.select(col("img_id").as("ib"), col("b0").as("c0"),
-        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
-      cand.join(left, "ia").join(right, "ib")
-        .withColumn("hamming",
-          expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
-            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
-        .filter(col("hamming") <= DhashHamming)
-        .select(col("ia"), col("ib"), col("hamming"))
+      dhashPairsOf(hashes)
     }
+
+  /** The banded-Hamming pair pipeline over a hashes frame (img_id,
+    * b0..b3): candidates from the (band, key) equi-join, verdicts from
+    * exact 64-bit Hamming ≤ [[DhashHamming]]. Factored out of the memo
+    * so `PlanShapeSpec` can guard the REAL join's shape (the memoized
+    * frame's plan is just a checkpoint scan). */
+  private[graft] def dhashPairsOf(hashes: DataFrame): DataFrame = {
+    val bandRows = hashes.select(col("img_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .toDF("img_id", "band", "key")
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("ia"), col("b.img_id").as("ib"))
+      .distinct()
+    val left = hashes.select(col("img_id").as("ia"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val right = hashes.select(col("img_id").as("ib"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(left, "ia").join(right, "ib")
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .filter(col("hamming") <= DhashHamming)
+      .select(col("ia"), col("ib"), col("hamming"))
+  }
 
   val qImageDhashPairs: Q = Q("q_image_dhash_pairs",
     s"""WITH $dhashOracleCtes

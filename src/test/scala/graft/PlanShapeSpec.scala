@@ -460,4 +460,21 @@ class PlanShapeSpec extends SparkSpec {
         s"window fed by an unaggregated subtree:\n${w.child.treeString}"))
     }
   }
+
+  test("dHash near-dup candidates come from a (band, key) equi-join — " +
+    "never a nested loop or an all-pairs Hamming scan") {
+    import spark.implicits._
+    // the 100 TB posture of the image-dedup tier: candidate volume is
+    // bucket-occupancy-bound exactly like the MinHash screen, so the
+    // join on the 16-bit band keys must plan as a hash/sort-merge
+    // equi-join; a NestedLoop/Cartesian here is quadratic in the
+    // corpus. Guarded on the UNMEMOIZED pipeline (the registered
+    // query's own plan is a scan of the memoized pair frame).
+    val hashes = (1 to 64).map(i =>
+      (i.toLong, i.toLong, i % 2, 1L, 2L, 3L, 4L))
+      .toDF("img_id", "doc_id", "variant", "b0", "b1", "b2", "b3")
+    val p = plan(graft.multimodal.Multimodal.dhashPairsOf(hashes))
+    assert(p.contains("Join"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
 }
