@@ -497,15 +497,32 @@ object Similarity {
     * where it should be, at scale. */
   val IvfTargetOcc: Int = intKnob("GRAFT_IVF_TARGET_OCC", 128, 1, 1 << 30)
 
+  /** Broadcast ceiling for the anchor frame of the AUTO-sized quantizer
+    * (ADVICE r13): derived cells grow as ⌈n/occ⌉ up to 2^20, and at
+    * ~1M 64-dim anchor rows (~0.5 GB) a forced broadcast strains the
+    * driver where the fixed 16-row tier never could. Above this cell
+    * count the assignment drops the broadcast hint and lets the planner
+    * partition both sides (the N×cells work is inherent to flat
+    * assignment either way — the ceiling only changes the delivery
+    * mechanism). Default 2^16 cells ≈ 32 MB of anchor payload, the
+    * usual safe auto-broadcast ballpark. */
+  val BcastCellsMax: Int = intKnob("GRAFT_BCAST_CELLS_MAX", 1 << 16, 1,
+    1 << 30)
+
   /** cells = ⌈n_vecs / target_occ⌉ clamped to [1, 2^20] — all integer
     * arithmetic, spelled identically in the DuckDB oracle and the
     * Spark-SQL twin (the ADVICE r12 exact-integer discipline). */
-  private[graft] def derivedCellsOf(nVecs: Long): Int = {
+  private[graft] def derivedCellsOf(nVecs: Long): Int =
+    derivedCellsFor(nVecs, IvfTargetOcc)
+
+  /** The same derivation at an explicit occupancy target — shared with
+    * the streaming RESIZE chain ([[graft.streaming.StreamOps]]'s
+    * q_stream_resize_ingest), whose target is its own knob. */
+  private[graft] def derivedCellsFor(nVecs: Long, occ: Int): Int = {
     // ceil spelled without the +occ-1 addition, which wraps at the top
     // of the long range (the same overflow class ADVICE r12 flagged in
     // the df-cap sum)
-    val ceilDiv = nVecs / IvfTargetOcc +
-      (if (nVecs % IvfTargetOcc == 0) 0L else 1L)
+    val ceilDiv = nVecs / occ + (if (nVecs % occ == 0) 0L else 1L)
     math.min(1L << 20, math.max(1L, ceilDiv)).toInt
   }
 
@@ -557,7 +574,13 @@ object Similarity {
           col("vec_id") < IvfAnchorBase + cAuto)
         .select(col("vec_id").as("anchor_id"), col("v").as("av"),
           col("nrm").as("anrm"))
-      val assign = n.crossJoin(broadcast(anch))
+      // broadcast only under the [[BcastCellsMax]] ceiling: the derived
+      // cell count is unbounded-ish (2^20), and a ~0.5 GB anchor
+      // broadcast is driver abuse — above the ceiling the planner
+      // partitions both sides instead (same N×cells work, no driver
+      // single point)
+      val anchF = if (cAuto <= BcastCellsMax) broadcast(anch) else anch
+      val assign = n.crossJoin(anchF)
         .select(col("vec_id"), col("anchor_id"),
           (dot(col("v"), col("av")) / (col("nrm") * col("anrm"))).as("acos"))
       // top-nprobe per vector through the bounded-heap operator (the
@@ -613,8 +636,15 @@ object Similarity {
     * disjoint union, so a continuous-ingest pipeline re-derives the
     * quantizer size after each fold from persisted counts, never a
     * corpus re-scan. This operator performs one such step (base =
-    * everything outside the arriving slice; batch = the vec_id%10 == 7
-    * slice the ANN ingest chain streams first) and reports the counts,
+    * everything outside the arriving slice; batch = the PLAIN
+    * vec_id % 10 == 7 modulus slice — NOT the ingest chain's carved
+    * batch, which additionally excludes the query window and anchors
+    * (`ivfBatchSql`), so this statistic's base/batch counts demonstrate
+    * the fold arithmetic rather than reconciling with that chain's
+    * folds; the chain that CONSUMES the derivation under the live
+    * stream is [[graft.streaming.StreamOps]]'s q_stream_resize_ingest,
+    * which derives from its own slices — ADVICE r13) and reports the
+    * counts,
     * the cell sizes derived BEFORE and AFTER the fold, and `grew` — the
     * flag that schedules the quantizer rebuild the retrain operators
     * (`q_ann_ivf_retrain`/`q_ann_lifecycle`) pay. All-integer, spelled
@@ -690,6 +720,227 @@ object Similarity {
         .join(n, "vec_id")
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       ivfServeTop3From(probes, cells).orderBy("query_id", "rnk")
+  }
+
+  // ------------------------------------------------------------------
+  // STATISTICS-derived nprobe (VERDICT r13 next #1): close the knob
+  // pair the r13 octave study named — derived cells POSITION the index
+  // (probe cost nprobe × target_occ flat by construction), derived
+  // nprobe BUYS BACK sister-cell recall when the corpus's near-dup
+  // cluster scale exceeds one cell (clustered 25×: ~4 anchors land
+  // inside each subgroup, fixed nprobe=2 drops to 20/30; the probe
+  // sample below derives 4 and restores 30/30 at 12× less scan than
+  // the fixed-16 tier).
+  // ------------------------------------------------------------------
+
+  /** Exact brute-force top-3 per query of an arbitrary bounded query
+    * predicate — the probe-sample ground truth the nprobe derivation
+    * calibrates against. ONE linear corpus pass with the |sample|-row
+    * query frame broadcast (the cost class of a single brute query
+    * batch — a calibration pass, paid at maintenance time, never per
+    * query); top-3 via the [[graft.plans.TopKPerKey]] bounded heap, no
+    * data-scaled window. Tie-break (cos desc, neighbor_id asc) and the
+    * float cosine expression are [[qCosineTopk]]'s verbatim. */
+  private[graft] def bruteTop3For(s: SparkSession, d: String,
+      querySql: String): DataFrame = {
+    val n = withNorm(emb(s, d)).select("vec_id", "v", "nrm")
+    val qs = n.filter(expr(querySql))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val scored = n.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
+      Seq("cos" -> false, "neighbor_id" -> true), 3, mapSideCombine = true)
+      .select("query_id", "neighbor_id")
+  }
+
+  /** FULL anchor ranking (all derived cells, not the index's truncated
+    * top-nprobe) for an arbitrary bounded query set under the
+    * AUTO-sized quantizer — |sample| × cells rows. This is the
+    * query-time half of a real IVF serve (a query ranks every coarse
+    * cell before probing), kept separate from [[ivfAssignAuto]] so the
+    * persisted index stays narrow while probe width remains a pure
+    * QUERY-time parameter. No broadcast of the anchor side (the
+    * [[BcastCellsMax]] concern): the bounded query frame is the
+    * broadcast side. */
+  private[graft] def probeRankedFor(s: SparkSession, d: String,
+      querySql: String): DataFrame = {
+    val cAuto = derivedIvfCells(s, d)
+    val n = withNorm(emb(s, d)).select("vec_id", "v", "nrm")
+    val anch = n.filter(col("vec_id") >= IvfAnchorBase &&
+        col("vec_id") < IvfAnchorBase + cAuto)
+      .select(col("vec_id").as("anchor_id"), col("v").as("av"),
+        col("nrm").as("anrm"))
+    val qs = n.filter(expr(querySql))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val qw = Window.partitionBy("query_id").orderBy(desc("acos"),
+      asc("anchor_id"))
+    anch.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("anchor_id"),
+        (dot(col("qv"), col("av")) / (col("qnrm") * col("anrm")))
+          .as("acos"))
+      .withColumn("arnk", row_number().over(qw).cast("long"))
+  }
+
+  /** The calibration frames for the FIXED probe sample ([[QuerySet]]),
+    * session-memoized: the sample's exact top-3 and its full anchor
+    * ranking — the two bounded artifacts the derivation joins. */
+  private def probeTruth(s: SparkSession, d: String): DataFrame =
+    memo(s, "annProbeTruth", d)(bruteTop3For(s, d, QuerySet))
+  private def probeRanked(s: SparkSession, d: String): DataFrame =
+    memo(s, "annProbeRank", d)(probeRankedFor(s, d, QuerySet))
+
+  /** Per (sample query, true neighbor) pair: the probe rank the query
+    * must reach for the index to surface that neighbor — the arnk of
+    * the NEIGHBOR'S cell in the QUERY'S anchor ranking. The maximum
+    * over the sample is the smallest nprobe with full sample recall. */
+  private def probeNeedRanks(s: SparkSession, d: String): DataFrame = {
+    val cells = ivfAssignAuto(s, d).filter(col("arnk") === 1)
+      .select(col("vec_id").as("neighbor_id"),
+        col("anchor_id").as("cell"))
+    probeTruth(s, d).join(cells, "neighbor_id")
+      .join(probeRanked(s, d)
+          .select(col("query_id"), col("anchor_id").as("cell"),
+            col("arnk").as("need_rank")),
+        Seq("query_id", "cell"))
+      .select("query_id", "neighbor_id", "need_rank")
+  }
+
+  /** nprobe = clamp(max need-rank over the probe sample, [1, derived
+    * cells]) — full recall ON THE SAMPLE by construction; what the
+    * derivation buys is that the width tracks the corpus's cluster
+    * scale instead of a hand knob (clustered 25×: derives 4 where
+    * `GRAFT_IVF_NPROBE` had to be hand-set; held-out queries measured
+    * in SCALE.md r14). On structure-free uniform noise the sample
+    * honestly demands a wide probe — the r9/r13 studies' structural
+    * conclusion, surfaced as a number instead of silent recall loss. */
+  private[graft] def derivedIvfProbe(s: SparkSession, d: String): Int = {
+    val mx = probeNeedRanks(s, d).agg(max("need_rank")).head()
+    val needed = if (mx.isNullAt(0)) 1L else mx.getLong(0)
+    math.min(derivedIvfCells(s, d).toLong, math.max(1L, needed)).toInt
+  }
+
+  /** Shared oracle CTE tail for the nprobe derivation, appended after
+    * [[ivfRankedAutoCteSql]] (needs its `n`, `ranked`, `dc`): the
+    * sample's brute top-3, each true neighbor's cell, the needed probe
+    * rank per pair, and the derived width. */
+  private def probeNeedCteSql: String =
+    s"""pq AS (SELECT vec_id, v, nrm FROM n WHERE $QuerySet),
+       |psc AS (SELECT pq.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |          list_dot_product(pq.v, b.v) / (pq.nrm * b.nrm) AS cos
+       |        FROM pq JOIN n b ON b.vec_id != pq.vec_id),
+       |ptr AS (SELECT query_id, neighbor_id FROM (
+       |          SELECT query_id, neighbor_id,
+       |            ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS rnk
+       |          FROM psc) WHERE rnk <= 3),
+       |pcell AS (SELECT vec_id AS neighbor_id, anchor_id AS cell
+       |          FROM ranked WHERE arnk = 1),
+       |pneed AS (SELECT t.query_id, t.neighbor_id, r.arnk AS need_rank
+       |          FROM ptr t
+       |          JOIN pcell c ON c.neighbor_id = t.neighbor_id
+       |          JOIN ranked r ON r.vec_id = t.query_id
+       |                       AND r.anchor_id = c.cell),
+       |pdp AS (SELECT LEAST((SELECT c FROM dc),
+       |                     GREATEST(1, MAX(need_rank))) AS p
+       |        FROM pneed)""".stripMargin
+
+  /** The registered nprobe-DERIVATION report (VERDICT r13 next #1 —
+    * the second half of the sizing pair [[qAnnCellsAuto]] opened): one
+    * row with the probe sample's size, how many true neighbors sit in
+    * their query's own cell (the same-cell neighbor fraction — the
+    * cluster-scale statistic), the maximum needed rank, and the
+    * derived nprobe. The DuckDB oracle re-derives EVERYTHING — cells
+    * from the corpus count, assignment, the brute truth, the need
+    * ranks, the clamp — so an engine that calibrated against the wrong
+    * truth, the wrong index, or clamped differently hash-mismatches. */
+  val qAnnProbeAuto: Q = Q("q_ann_probe_auto",
+    s"""WITH $ivfRankedAutoCteSql,
+       |$probeNeedCteSql,
+       |rep AS (SELECT COUNT(DISTINCT query_id) AS nq, COUNT(*) AS np,
+       |          SUM(CASE WHEN need_rank = 1 THEN 1 ELSE 0 END) AS c1,
+       |          MAX(need_rank) AS mx
+       |        FROM pneed)
+       |SELECT CAST(nq AS BIGINT) AS n_queries,
+       |       CAST(np AS BIGINT) AS n_pairs,
+       |       CAST(c1 AS BIGINT) AS self_cell_pairs,
+       |       CAST(mx AS BIGINT) AS max_rank,
+       |       (SELECT CAST(c AS BIGINT) FROM dc) AS derived_cells,
+       |       (SELECT CAST(p AS BIGINT) FROM pdp) AS derived_nprobe,
+       |       CAST($IvfTargetOcc AS BIGINT) AS target_occ
+       |FROM rep""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val need = probeNeedRanks(s, d)
+      .agg(countDistinct("query_id").as("nq"), count(lit(1)).as("np"),
+        sum(when(col("need_rank") === 1, 1L).otherwise(0L)).as("c1"),
+        max("need_rank").as("mx"))
+      .head()
+    Seq((need.getLong(0), need.getLong(1), need.getLong(2),
+      need.getLong(3), derivedIvfCells(s, d).toLong,
+      derivedIvfProbe(s, d).toLong, IvfTargetOcc.toLong))
+      .toDF("n_queries", "n_pairs", "self_cell_pairs", "max_rank",
+        "derived_cells", "derived_nprobe", "target_occ")
+  }
+
+  /** IVF top-3 at the FULLY derived operating point — cells from
+    * [[derivedIvfCells]], probe width from [[derivedIvfProbe]] — for
+    * an arbitrary query predicate (the registered gate serves
+    * [[QuerySet]]; the SCALE.md held-out study serves queries OUTSIDE
+    * the calibration sample through the same code). Probe ranks are
+    * query-time ([[probeRankedFor]]); the corpus side is the narrow
+    * persisted index's arnk=1 slice joined back to its vectors. */
+  private[graft] def ivfProbeAutoServeFor(s: SparkSession, d: String,
+      querySql: String): DataFrame = {
+    val p = derivedIvfProbe(s, d)
+    val n = withNorm(emb(s, d)).select("vec_id", "v", "nrm")
+    val probes = probeRankedFor(s, d, querySql)
+      .filter(col("arnk") <= p)
+      .join(n, col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("anchor_id").as("qcell"))
+    val cells = ivfAssignAuto(s, d).filter(col("arnk") === 1)
+      .select(col("vec_id"), col("anchor_id").as("cell"))
+      .join(n, "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    ivfServeTop3From(probes, cells)
+      .withColumn("nprobe", lit(p.toLong))
+  }
+
+  /** The registered AUTO-cells + AUTO-nprobe serve: [[qAnnIvfAuto]]'s
+    * probe join, scoring, and top-3 tail, with BOTH knobs replaced by
+    * derivations the oracle recomputes inside the SQL — cell count
+    * from ⌈n/occ⌉, probe width from the sample calibration. The
+    * `nprobe` column value-gates the derived width itself, so an
+    * engine that served at the right width derived the wrong way (or
+    * vice versa) still hash-mismatches. For the registered gate the
+    * served queries ARE the calibration sample — full recall on them
+    * is by construction; the held-out generalization is measured in
+    * SCALE.md r14 (AnnCellsProbe's auto_probe tier). */
+  val qAnnIvfProbeAuto: Q = Q("q_ann_ivf_probe_auto",
+    s"""WITH $ivfRankedAutoCteSql,
+       |$probeNeedCteSql,
+       |cells AS (SELECT vec_id, v, nrm, anchor_id AS cell FROM ranked
+       |          WHERE arnk = 1),
+       |probes AS (SELECT vec_id, v, nrm, anchor_id AS cell FROM ranked
+       |           WHERE arnk <= (SELECT p FROM pdp) AND $QuerySet),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |  FROM probes q JOIN cells c ON c.cell = q.cell
+       |                AND c.vec_id != q.vec_id),
+       |ranked2 AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim,
+       |       (SELECT CAST(p AS BIGINT) FROM pdp) AS nprobe
+       |FROM ranked2 WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) {
+    (s, d) =>
+      ivfProbeAutoServeFor(s, d, QuerySet).orderBy("query_id", "rnk")
   }
 
   /** [[qAnnIvf]]'s serve stage over an arbitrary cell index: the fixed
@@ -3222,7 +3473,8 @@ object Similarity {
       qAnnIndexUpdate3, qAnnIvfRetrain, qAnnLifecycle,
       qEmbedNearDup,
       qSemdedup, qAnnInt8, qAnnIvfKmeans, qAnnCellStats, qAnnCellsAuto,
-      qAnnCellsUpdate, qAnnIvfAuto, qLabelOutliers, qKmeans,
+      qAnnCellsUpdate, qAnnIvfAuto, qAnnProbeAuto, qAnnIvfProbeAuto,
+      qLabelOutliers, qKmeans,
       qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered,
       qHardNegatives, qMmrRerank, qRandProject, qKnnClassify, qAnnRecall,
       qSilhouette, qPqDistortion, qPqTrain, qAnnIvfPqTrained)

@@ -55,11 +55,26 @@ object AnnCellsProbe {
       }
       side("fixed16", "q_ann_ivf", "ivfRanked")
       side("auto", "q_ann_ivf_auto", "ivfAssignAuto")
+      side("auto_probe", "q_ann_ivf_probe_auto", "ivfAssignAuto")
       if (rep > 1) {
+        val sim = graft.similarity.Similarity
         val n = graft.io.Tables.load(s, d, "embeddings").count()
-        val c = graft.similarity.Similarity.derivedCellsOf(n)
+        val c = sim.derivedCellsOf(n)
+        val p = sim.derivedIvfProbe(s, d)
+        // held-out generalization (r14): the derivation calibrates on
+        // vec_id < 10; serve 10 DIFFERENT queries at the derived width
+        // and score them against their own brute truth — the number
+        // that makes the auto_probe tier's sample recall non-tautological
+        val heldSql = "vec_id >= 10 AND vec_id < 20"
+        val heldExact = sim.bruteTop3For(s, d, heldSql)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val heldRows = sim.ivfProbeAutoServeFor(s, d, heldSql)
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val heldHits = heldRows.count(heldExact.contains)
         println(s"""{"ann_cells_derivation":{"dir":"$d","n_vecs":$n,""" +
-          s""""derived_cells":$c}}""")
+          s""""derived_cells":$c,"derived_nprobe":$p,""" +
+          s""""heldout_hits":$heldHits,"heldout_exact":${heldExact.size}}}""")
       }
       root.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
