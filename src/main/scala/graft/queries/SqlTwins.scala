@@ -87,9 +87,15 @@ object SqlTwins {
       ("the ANN in-stream maintenance gate: a real StreamingQuery whose " +
         "sink runs the cell-balance monitor between micro-batches and " +
         "retrains the quantizer mid-chain; a SQL string cannot start a " +
-        "streaming query, and its from-scratch surface is " +
-        "q_ann_lifecycle's (shared oracle), whose twin is the unrolled-" +
-        "Lloyd spelling"),
+        "streaming query, and its from-scratch surface is the value-" +
+        "gated variant of q_ann_lifecycle's (decision recomputed in " +
+        "SQL, r14), whose batch twin is the unrolled-Lloyd spelling"),
+    "q_stream_resize_ingest" ->
+      ("the derived-SIZE quantizer rebuild under the live stream (the " +
+        "chain consuming q_ann_cells_update's grew flag, r14); a SQL " +
+        "string cannot start a streaming query, and the sizing " +
+        "arithmetic's batch SQL surface is q_ann_cells_update's " +
+        "registered twin with the Lloyd rounds under q_ann_lifecycle's"),
     "q_dedup_components" ->
       ("iterative label propagation (driver-side loop over checkpoints); " +
         "the recursive-CTE spelling needs UNION-distinct recursion to " +

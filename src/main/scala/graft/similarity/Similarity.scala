@@ -1746,6 +1746,26 @@ object Similarity {
     cents
   }
 
+  /** Seed centroids at a DERIVED k: the codes of the frame's k SMALLEST
+    * vec_ids ([[lloydSeed]]'s `vec_id < k` spelling assumes ids 0..k−1
+    * all exist, which a carved base slice breaks — e.g. the streaming
+    * chains' base excludes vec_id 13/17/23 at k = 26). Bounded k-row
+    * collect, ORDER BY vec_id ≡ ROW_NUMBER() ≤ k in the oracle. */
+  private[graft] def lloydSeedN(codes: DataFrame,
+      k: Int): Seq[(Long, Seq[Long])] =
+    codes.select("vec_id", "c").orderBy("vec_id").limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+
+  /** [[lloydCentroids]] from an EXPLICIT seed (the streaming RESIZE
+    * chain trains at a k derived mid-stream, so the seed is computed
+    * from the folded state, not from `vec_id < k`). */
+  private[graft] def lloydCentroidsSeeded(codes: DataFrame,
+      seed: Seq[(Long, Seq[Long])], rounds: Int): Seq[(Long, Seq[Long])] = {
+    var cents = seed
+    for (_ <- 1 until rounds) cents = lloydUpdate(lloydAssign(codes, cents))
+    cents
+  }
+
   /** Run-to-convergence Lloyd (the convergence-gated sibling of the
     * fixed-round [[qKmeans]], same shape as the graph family's
     * `kcoreConverged`): iterate assign→update until no centroid

@@ -1844,6 +1844,123 @@ object StreamOps {
       applyAnnRetrainBatch(batch, batchId, state, RetrainAfterBatch,
         budget))
 
+  /** Two-update (3-round) integer-Lloyd CTE chain over training CTE
+    * `ct` seeded from CTE `seed` (cl, m): emits a1/s1/cent1/a2/s2/cent2
+    * — [[graft.similarity.Similarity.qAnnLifecycle]]'s unrolled
+    * spelling, factored so the two maintenance-chain oracles below
+    * (value-gated retrain, derived-k resize) cannot drift from it. */
+  private def lloydRoundsSql(ct: String, seed: String): String =
+    s"""a1 AS (SELECT vec_id, cl, c, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+       |           AS rn
+       |       FROM (SELECT $ct.vec_id, $seed.cl, $ct.c,
+       |               list_sum(list_transform(range(1, 65),
+       |                 i -> ($ct.c[i] - $seed.m[i])
+       |                      * ($ct.c[i] - $seed.m[i]))) AS d2
+       |             FROM $ct CROSS JOIN $seed)),
+       |s1 AS (SELECT vec_id, cl, c FROM a1 WHERE rn = 1),
+       |cent1 AS (SELECT cl,
+       |            list_transform(range(1, 65),
+       |              i -> CAST(floor(CAST(list_sum(list_transform(list(c),
+       |                   cc -> cc[i])) AS DOUBLE) / COUNT(*)) AS BIGINT))
+       |              AS m
+       |          FROM s1 GROUP BY cl),
+       |a2 AS (SELECT vec_id, cl, c, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+       |           AS rn
+       |       FROM (SELECT $ct.vec_id, cent1.cl, $ct.c,
+       |               list_sum(list_transform(range(1, 65),
+       |                 i -> ($ct.c[i] - cent1.m[i])
+       |                      * ($ct.c[i] - cent1.m[i]))) AS d2
+       |             FROM $ct CROSS JOIN cent1)),
+       |s2 AS (SELECT vec_id, cl, c FROM a2 WHERE rn = 1),
+       |cent2 AS (SELECT cl,
+       |            list_transform(range(1, 65),
+       |              i -> CAST(floor(CAST(list_sum(list_transform(list(c),
+       |                   cc -> cc[i])) AS DOUBLE) / COUNT(*)) AS BIGINT))
+       |              AS m
+       |          FROM s2 GROUP BY cl)""".stripMargin
+
+  /** The final-assignment + top-3 serve CTE tail over centroid CTE
+    * `centF`: every vector re-ranks against the final quantizer, cells
+    * = rn 1, the query set probes its best [[graft.similarity
+    * .Similarity.LloydProbe]] cells, float-cosine scoring, top-3. */
+  private def lloydServeSql(centF: String): String = {
+    val sim = graft.similarity.Similarity
+    s"""a3 AS (SELECT vec_id, cl, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
+       |           AS rn
+       |       FROM (SELECT c.vec_id, $centF.cl,
+       |               list_sum(list_transform(range(1, 65),
+       |                 i -> (c.c[i] - $centF.m[i])
+       |                      * (c.c[i] - $centF.m[i]))) AS d2
+       |             FROM c CROSS JOIN $centF)),
+       |cells AS (SELECT a3.vec_id, a3.cl, n.v, n.nrm
+       |          FROM a3 JOIN n ON n.vec_id = a3.vec_id WHERE a3.rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cl FROM a3
+       |           WHERE rn <= ${sim.LloydProbe} AND ${sim.QuerySet}),
+       |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
+       |  FROM probes p
+       |  JOIN n q ON q.vec_id = p.query_id
+       |  JOIN cells b ON b.cl = p.cl AND b.vec_id != p.query_id),
+       |ranked2 AS (SELECT query_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)""".stripMargin
+  }
+
+  /** The embeddings→int8-codes CTE prefix shared by both maintenance
+    * oracles (the [[graft.similarity.Similarity.qAnnLifecycle]]
+    * quantization spelling). */
+  private val annCodesCteSql: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |m AS (SELECT vec_id, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |c AS (SELECT vec_id,
+      |        list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+      |          AS c
+      |      FROM m)""".stripMargin
+
+  private def isNewSql: String = {
+    val sim = graft.similarity.Similarity
+    s"(neighbor_id % 10 = ${sim.AnnNewSlice} AND neighbor_id >= 10 AND " +
+      s"NOT (neighbor_id >= ${sim.IvfAnchorBase} AND neighbor_id < " +
+      s"${sim.IvfAnchorBase + sim.IvfCells}))"
+  }
+
+  /** VALUE-GATED from-scratch oracle for [[qStreamRetrainIngest]]
+    * (ADVICE r13): unlike the previously shared q_ann_lifecycle oracle
+    * — which unconditionally assumed the retrain fired — this one
+    * recomputes the cell-balance DECISION in SQL (the folded prefix
+    * assignment under the seed quantizer is exactly `s1`; imbalance =
+    * max_cell × n_cells > budget × n_vecs) and serves from the trained
+    * centroids IFF it fired, the seed otherwise. At the default budget
+    * (1.0, fires on this corpus) the fired branch reduces to the
+    * lifecycle oracle's values verbatim, so the gate keeps its original
+    * strength; at budgets that do NOT fire the gate now tracks the
+    * engine's no-retrain branch instead of spuriously mismatching. */
+  private def annRetrainOracleSql(budget: Double): String = {
+    val sim = graft.similarity.Similarity
+    s"""WITH $annCodesCteSql,
+       |ct AS (SELECT vec_id, c FROM c
+       |       WHERE NOT (${sim.ivfBatchSql(sim.AnnNewSlice)})),
+       |cent0 AS (SELECT vec_id AS cl, c AS m FROM ct WHERE vec_id < 8),
+       |${lloydRoundsSql("ct", "cent0")},
+       |g AS (SELECT cl, COUNT(*) AS nn FROM s1 GROUP BY cl),
+       |dec AS (SELECT CAST(MAX(nn) * COUNT(*) AS DOUBLE)
+       |               > $budget * SUM(nn) AS fired FROM g),
+       |centF AS (SELECT cl, m FROM cent2 WHERE (SELECT fired FROM dec)
+       |          UNION ALL
+       |          SELECT cl, m FROM cent0
+       |          WHERE NOT (SELECT fired FROM dec)),
+       |${lloydServeSql("centF")}
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim,
+       |       $isNewSql AS is_new
+       |FROM ranked2 WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** The cell-balance-triggered RETRAIN under the live stream — the ANN
     * symmetric half of [[qStreamRetuneIngest]], and the streaming
     * graduation of [[graft.similarity.Similarity.qAnnLifecycle]]'s
@@ -1865,11 +1982,17 @@ object StreamOps {
     * chain all hash-mismatch. `StreamOpsSpec` crash-kills the chain ON
     * the retrain batch (retrained v=1 + q=1 sink-committed,
     * checkpoint-uncommitted) and pins the recovery state-identical,
-    * plus the under-budget branch (no retrain → a different serve). */
+    * plus the under-budget branch (no retrain → a different serve).
+    *
+    * The oracle is [[annRetrainOracleSql]] (ADVICE r13): the
+    * cell-balance decision is recomputed IN SQL and the serve branches
+    * on it, so the gate tracks the decision at any budget; at the
+    * default (fires on this corpus) its values are exactly
+    * q_ann_lifecycle's, preserving the original stream ≡ batch-mode
+    * equivalence. */
   val qStreamRetrainIngest: graft.queries.Q =
     graft.queries.Q("q_stream_retrain_ingest",
-      graft.similarity.Similarity.qAnnLifecycle.oracle.getOrElse(
-        sys.error("q_ann_lifecycle lost its oracle"))) { (s, d) =>
+      annRetrainOracleSql(StreamCellBudget)) { (s, d) =>
       graft.io.Tables.ensureSessionRegistered(s)
       val sim = graft.similarity.Similarity
       val src = embSplit(s, d)
@@ -1901,11 +2024,194 @@ object StreamOps {
       } finally for (p <- Seq(state, ckpt)) deletePath(s, p)
     }
 
+  // ------------------------------------------------------------------
+  // Streaming ANN RESIZE: the derived-k quantizer rebuild under the
+  // real runtime — the chain that CONSUMES q_ann_cells_update's `grew`
+  // signal (VERDICT r13 next #2)
+  // ------------------------------------------------------------------
+
+  /** Occupancy target for the STREAMING resize chain's derived
+    * quantizer size (k = ⌈n_vecs/occ⌉, [[graft.similarity.Similarity
+    * .derivedCellsFor]]): its own knob, not `GRAFT_IVF_TARGET_OCC`,
+    * because the chain's gate needs the boundary crossing to land
+    * MID-CHAIN on the gated corpora — at 64, the sf0.01 chain grows
+    * k 7→8 on the batch-7 fold (404→452 vecs) and sf0.1 grows 26→29
+    * (1604→1802), so the decision→action wiring is exercised at both
+    * scales with genuinely different derived sizes. */
+  val StreamTargetOcc: Int = graft.similarity.Similarity
+    .intKnob("GRAFT_STREAM_TARGET_OCC", 64, 1, 1 << 30)
+
+  /** The micro-batch after whose fold the SIZE check consumes the
+    * derivation (the scheduled maintenance slot — the family's
+    * [[RetrainAfterBatch]] discipline). */
+  private[graft] val ResizeAfterBatch = 0L
+
+  /** One fold→RESIZE step of the size-aware ANN ingest sink — the
+    * state contract of [[applyAnnRetrainBatch]] (versions carry codes +
+    * assignment, `q=N` before `v=N`, swap inside the batch's own
+    * version write ⇒ replay-deterministic) with the maintenance
+    * decision changed from cell BALANCE at fixed k to SIZE at derived
+    * k: after the fold, k_next = ⌈n_folded/occ⌉ is re-derived from the
+    * folded state's own count (the `q_ann_cells_update` arithmetic,
+    * consumed instead of merely reported), and IFF it exceeds the
+    * current quantizer's size — the `grew` flag — the quantizer
+    * RETRAINS at k_next (3 integer-Lloyd rounds over the accumulated
+    * codes, seed = the folded set's k_next smallest vec_ids) and the
+    * whole accumulated state re-assigns. The current size needs no
+    * side-channel: it IS the row count of the newest committed `q`
+    * version, so a crash replay re-derives count→k→grew→retrain from
+    * the same inputs. */
+  private[graft] def applyAnnResizeBatch(batch: DataFrame, batchId: Long,
+      statePath: String, maintainAfter: Long = ResizeAfterBatch,
+      occ: Int = StreamTargetOcc): Unit = {
+    val s = batch.sparkSession
+    val sim = graft.similarity.Similarity
+    val fs = hadoopFs(s, statePath)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val prevV = committedVersions(fs, root).filter(_ <= batchId)
+      .sorted.lastOption
+      .getOrElse(sys.error(s"no committed index version <= $batchId " +
+        s"under $statePath — the base seed (v=0) is missing"))
+    val quant = readQuant(s, s"$statePath/q=$prevV")
+    val bcodes = sim.int8CodesOf(
+      batch.select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("v")))
+    val folded = s.read.parquet(s"$statePath/v=$prevV")
+      .select("vec_id", "c", "cl")
+      .unionByName(sim.lloydAssign(bcodes, quant)
+        .select("vec_id", "c", "cl"))
+      .localCheckpoint(true) // count + (maybe) retrain + write
+    val (cellsOut, quantOut) =
+      if (batchId == maintainAfter) {
+        val kNext = sim.derivedCellsFor(folded.count(), occ)
+        val grew = kNext > quant.size
+        if (grew) {
+          val codes = folded.select("vec_id", "c")
+          val cents = sim.lloydCentroidsSeeded(codes,
+            sim.lloydSeedN(codes, kNext), rounds = 3)
+          (sim.lloydAssign(codes, cents).select("vec_id", "c", "cl"),
+            cents)
+        } else (folded, quant)
+      } else (folded, quant)
+    import s.implicits._
+    quantOut.toDF("cl", "m")
+      .write.mode("overwrite").parquet(s"$statePath/q=${batchId + 1}")
+    cellsOut.write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
+  }
+
+  /** The size-aware ANN chain through [[runVersionedStream]]. */
+  private[graft] def runAnnResizeChain(s: SparkSession, src: String,
+      state: String, ckpt: String, occ: Int = StreamTargetOcc,
+      crashAfter: Option[Long] = None): Unit =
+    runVersionedStream(s, src, ckpt, crashAfter)((batch, batchId) =>
+      applyAnnResizeBatch(batch, batchId, state, ResizeAfterBatch, occ))
+
+  /** From-scratch VALUE-GATED oracle for [[qStreamResizeIngest]]: both
+    * derived sizes are recomputed from the slice counts (the
+    * q_ann_cells_update integer arithmetic), `grew` branches the
+    * centroid source (trained-at-k1 over the prefix vs the k0 seed),
+    * and the final serve re-derives from the branch — plus the served
+    * quantizer size itself as a `quant_k` column, so an engine that
+    * retrained at the wrong k, skipped the resize, or derived from the
+    * wrong count hash-mismatches on the values AND the size. */
+  private def annResizeOracleSql(occ: Int): String = {
+    val sim = graft.similarity.Similarity
+    val b7 = sim.ivfBatchSql(AnnIngestSlices.head)
+    val b3 = sim.ivfBatchSql(AnnIngestSlices(1))
+    s"""WITH $annCodesCteSql,
+       |cb AS (SELECT vec_id, c FROM c
+       |       WHERE NOT ($b7) AND NOT ($b3)),
+       |ct AS (SELECT vec_id, c FROM c WHERE NOT ($b3)),
+       |ks AS (SELECT
+       |    GREATEST(1, LEAST(1048576,
+       |      ((SELECT COUNT(*) FROM cb) + $occ - 1) // $occ)) AS k0,
+       |    GREATEST(1, LEAST(1048576,
+       |      ((SELECT COUNT(*) FROM ct) + $occ - 1) // $occ)) AS k1),
+       |kss AS (SELECT k0, k1, k1 > k0 AS grew,
+       |               CASE WHEN k1 > k0 THEN k1 ELSE k0 END AS kf
+       |        FROM ks),
+       |cent0 AS (SELECT vec_id AS cl, c AS m FROM (
+       |            SELECT vec_id, c,
+       |              ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM cb)
+       |          WHERE rn <= (SELECT k0 FROM kss)),
+       |sd1 AS (SELECT vec_id AS cl, c AS m FROM (
+       |            SELECT vec_id, c,
+       |              ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM ct)
+       |        WHERE rn <= (SELECT k1 FROM kss)),
+       |${lloydRoundsSql("ct", "sd1")},
+       |centF AS (SELECT cl, m FROM cent2 WHERE (SELECT grew FROM kss)
+       |          UNION ALL
+       |          SELECT cl, m FROM cent0
+       |          WHERE NOT (SELECT grew FROM kss)),
+       |${lloydServeSql("centF")}
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim,
+       |       $isNewSql AS is_new,
+       |       (SELECT CAST(kf AS BIGINT) FROM kss) AS quant_k
+       |FROM ranked2 WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** The derived-SIZE quantizer rebuild under the live stream (VERDICT
+    * r13 next #2 — the chain that CONSUMES the `grew` flag
+    * q_ann_cells_update only reported): base vectors seed v=0 assigned
+    * under a seed quantizer sized k0 = ⌈n_base/occ⌉ from the base
+    * count; batch 7 arrives as a real micro-batch and folds; the
+    * maintenance slot re-derives k from the FOLDED count, sees the
+    * target-occupancy boundary crossed (k0 → k1: 7→8 at sf0.01, 26→29
+    * at sf0.1), and retrains the quantizer AT THE DERIVED k1 over the
+    * accumulated codes — the version chain carrying the new size (q=1
+    * has k1 rows) — then batch 3 arrives and assigns against a
+    * quantizer sized by data it never saw. The registered result is
+    * the final top-3 serve off the streamed state with the served
+    * quantizer size as `quant_k`; the oracle recomputes
+    * count→derived-k→grew→retrain→serve from scratch, value-gating the
+    * decision AND the size. `StreamOpsSpec` crash-kills the chain ON
+    * the resize batch and pins the recovery state-identical, plus the
+    * no-grow branch (occupancy target high enough that k1 == k0 → no
+    * retrain → the seed-quantizer serve). Decision separation from
+    * [[qStreamRetrainIngest]] is deliberate: that chain retrains on
+    * cell BALANCE at fixed k; this one re-SIZES on the count-derived
+    * k — the two triggers a production store schedules independently. */
+  val qStreamResizeIngest: graft.queries.Q =
+    graft.queries.Q("q_stream_resize_ingest",
+      annResizeOracleSql(StreamTargetOcc)) { (s, d) =>
+      graft.io.Tables.ensureSessionRegistered(s)
+      val sim = graft.similarity.Similarity
+      val src = embSplit(s, d)
+      val runId = java.util.UUID.randomUUID()
+      val root = scratchRoot(s)
+      val state = s"$root/graft_resize_state_$runId"
+      val ckpt = s"$root/graft_resize_ckpt_$runId"
+      try {
+        withStatePartitions(s) {
+          import s.implicits._
+          val baseCodes = sim.annRetrainBaseCodes(s, d, AnnIngestSlices)
+            .localCheckpoint(true) // seed sizing + seed assignment
+          val k0 = sim.derivedCellsFor(baseCodes.count(), StreamTargetOcc)
+          val seed = sim.lloydSeedN(baseCodes, k0)
+          seed.toDF("cl", "m")
+            .write.mode("overwrite").parquet(s"$state/q=0")
+          sim.lloydAssign(baseCodes, seed).select("vec_id", "c", "cl")
+            .write.mode("overwrite").parquet(s"$state/v=0")
+          runAnnResizeChain(s, src, state, ckpt)
+          val fs = hadoopFs(s, state)
+          val finalV = committedVersions(fs,
+            new org.apache.hadoop.fs.Path(state)).sorted.last
+          require(finalV == AnnIngestSlices.size.toLong,
+            s"expected ${AnnIngestSlices.size} folds, newest $finalV")
+          val quant = readQuant(s, s"$state/q=$finalV")
+          sim.annRetrainServe(s, d,
+            s.read.parquet(s"$state/v=$finalV"), quant)
+            .withColumn("quant_k", lit(quant.size.toLong))
+            .orderBy("query_id", "rnk").localCheckpoint(true)
+        }
+      } finally for (p <- Seq(state, ckpt)) deletePath(s, p)
+    }
+
   /** The streaming family's registered (oracle-gated) queries; the
     * remaining operators above are spec-gated batch/stream twins. */
   val all: Seq[graft.queries.Q] =
     Seq(qStreamHourly, qStreamMerge, qStreamMergeBucketed,
       qStreamSessionize, qStreamConversionLag, qStreamDedupIngest,
       qStreamIngestRestart, qStreamRetuneIngest, qStreamAnnIngest,
-      qStreamRetrainIngest)
+      qStreamRetrainIngest, qStreamResizeIngest)
 }

@@ -784,6 +784,87 @@ class StreamOpsSpec extends SparkSpec {
       "retrained and seed-quantizer chains must commit different states")
   }
 
+  test("ANN resize under the live stream: the derived-k boundary " +
+    "crossing retrains at the NEW size, crash-restart THROUGH the " +
+    "resize is exactly-once, and a no-grow chain keeps the seed") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    graft.io.Tables.ensureSessionRegistered(spark)
+    val sim = graft.similarity.Similarity
+    val src = StreamOps.embSplit(spark, sf001)
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val baseCodes = sim
+      .annRetrainBaseCodes(spark, sf001, StreamOps.AnnIngestSlices)
+      .localCheckpoint(true)
+    val nBase = baseCodes.count()
+    // prefix = base + batch 7 (what exists at the maintenance slot)
+    val nPrefix = sim.annRetrainBaseCodes(spark, sf001,
+      StreamOps.AnnIngestSlices.tail).count()
+    def quantOf(path: String): Seq[(Long, Seq[Long])] =
+      spark.read.parquet(path).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+        .sortBy(_._1)
+    def run(crash: Boolean, occ: Int)
+        : (Set[Seq[Any]], Seq[(Long, Seq[Long])], Seq[Long]) = {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_annresize_spec").toString
+      val (state, ckpt) = (s"$root/state", s"$root/ckpt")
+      val k0 = sim.derivedCellsFor(nBase, occ)
+      val seed = sim.lloydSeedN(baseCodes, k0)
+      try {
+        seed.toDF("cl", "m").write.mode("overwrite").parquet(s"$state/q=0")
+        sim.lloydAssign(baseCodes, seed).select("vec_id", "c", "cl")
+          .write.mode("overwrite").parquet(s"$state/v=0")
+        if (crash) {
+          StreamOps.runAnnResizeChain(spark, src, state, ckpt, occ,
+            crashAfter = Some(StreamOps.ResizeAfterBatch))
+          // torn THROUGH the resize: the re-sized assignment AND its
+          // k1-row quantizer are sink-committed, the batch is absent
+          // from the commit log, the tail batch never ran
+          assert(fs.exists(new Path(s"$state/v=1/_SUCCESS")))
+          assert(fs.exists(new Path(s"$state/q=1/_SUCCESS")))
+          assert(!fs.exists(new Path(s"$ckpt/commits/0")),
+            "batch 0 must be checkpoint-uncommitted at the cut")
+          assert(!fs.exists(new Path(s"$state/v=2")),
+            "the kill must land before the tail batch")
+        }
+        StreamOps.runAnnResizeChain(spark, src, state, ckpt, occ)
+        val versions = StreamOps
+          .committedVersions(fs, new Path(state)).sorted
+        val cells = spark.read.parquet(s"$state/v=${versions.last}")
+          .select("vec_id", "cl").collect().map(_.toSeq).toSet
+        (cells, quantOf(s"$state/q=${versions.last}"), versions)
+      } finally fs.delete(new Path(root), true)
+    }
+    val occ = StreamOps.StreamTargetOcc
+    val k0 = sim.derivedCellsFor(nBase, occ)
+    val k1 = sim.derivedCellsFor(nPrefix, occ)
+    assert(k1 > k0,
+      s"fixture must cross a boundary mid-chain at occ=$occ: $k0 -> $k1")
+    val (ia, qa, va) = run(crash = false, occ)
+    assert(va == Seq(0L, 1L, 2L))
+    assert(qa.size == k1,
+      s"the version chain must carry the DERIVED size: ${qa.size} != $k1")
+    assert(qa != sim.lloydSeedN(baseCodes, k0),
+      "the grown chain cannot still serve the seed quantizer")
+    // crash ON the resize batch: the replay re-derives
+    // count→k→grew→retrain→re-assign and lands identical
+    val (ib, qb, vb) = run(crash = true, occ)
+    assert(ib == ia && qb == qa && vb == va,
+      "crash-restart THROUGH the resize diverged")
+    // the DECISION is what acts: an occupancy target the corpus never
+    // crosses → k1 == k0 == 1, the quantizer stays the seed
+    val bigOcc = 100000
+    assert(sim.derivedCellsFor(nBase, bigOcc) ==
+      sim.derivedCellsFor(nPrefix, bigOcc))
+    val (ic, qc, _) = run(crash = false, bigOcc)
+    assert(qc == sim.lloydSeedN(baseCodes,
+      sim.derivedCellsFor(nBase, bigOcc)),
+      "no-grow chain must keep the seed quantizer")
+    assert(ic != ia,
+      "re-sized and seed-quantizer chains must commit different states")
+  }
+
   test("ANN ingest crash-restart: a kill after batch 0 and a fresh " +
     "query from the same checkpoint land the final cell index identical " +
     "to the uninterrupted run") {
