@@ -341,6 +341,61 @@ object SqlTwins {
 
   // ---- hand-written twins ----
 
+  /** Spark-dialect dHash derivation (generator → box-sum cells → bits →
+    * 16-bit band keys → packed kk row per image) — ONE spelling shared
+    * by the three image-dedup twins (pair gate, delta screen, index
+    * update), mirroring the engine oracles' shared `dhashOracleCtes`.
+    * Binds CTEs `dims/imgs/cells/bits/keys/kk`. */
+  private val dhashSparkCtes: String =
+    s"""dims AS (SELECT doc_id, text, length(text) AS L,
+       |        48 + doc_id % 24 AS sw, 32 + doc_id % 16 AS sh_
+       |      FROM documents),
+       |imgs AS (
+       |  SELECT doc_id * 2 AS img_id, sw AS iw, sh_ AS ih, sw, sh_,
+       |         text, L
+       |  FROM dims
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1, sw + 3, sh_ + 2, sw, sh_, text, L
+       |  FROM dims WHERE doc_id % 10 = 4),
+       |cells AS (
+       |  SELECT img_id, r, c,
+       |    aggregate(transform(sequence(y1, y2 - 1), yy ->
+       |      aggregate(transform(sequence(x1, x2 - 1), xx ->
+       |        CAST(ascii(substring(text,
+       |          CAST( (((yy * sh_) div ih) div 3) * 16
+       |            + (((xx * sw) div iw) div 3) AS INT) % CAST(L AS INT)
+       |            + 1, 1)) AS BIGINT)),
+       |        CAST(0 AS BIGINT), (a, x) -> a + x)),
+       |      CAST(0 AS BIGINT), (a, x) -> a + x) AS s,
+       |    (x2 - x1) * (y2 - y1) AS n
+       |  FROM (SELECT i.*, rr.r, cc.c,
+       |          (cc.c * iw) div 9 AS x1,
+       |          GREATEST((cc.c * iw) div 9 + 1,
+       |                   ((cc.c + 1) * iw) div 9) AS x2,
+       |          (rr.r * ih) div 8 AS y1,
+       |          GREATEST((rr.r * ih) div 8 + 1,
+       |                   ((rr.r + 1) * ih) div 8) AS y2
+       |        FROM imgs i
+       |        CROSS JOIN (SELECT explode(sequence(0, 7)) AS r) rr
+       |        CROSS JOIN (SELECT explode(sequence(0, 8)) AS c) cc)),
+       |bits AS (
+       |  SELECT a.img_id, a.r * 8 + a.c AS k,
+       |    CASE WHEN b.s * a.n > a.s * b.n THEN 1 ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON b.img_id = a.img_id AND b.r = a.r AND b.c = a.c + 1
+       |  WHERE a.c < 8),
+       |keys AS (SELECT img_id, k div 16 AS band,
+       |         SUM(CAST(bit AS BIGINT)
+       |             * shiftleft(CAST(1 AS BIGINT),
+       |                         CAST(k % 16 AS INT))) AS key
+       |         FROM bits GROUP BY 1, 2),
+       |kk AS (SELECT img_id,
+       |        MAX(CASE WHEN band = 0 THEN key END) AS k0,
+       |        MAX(CASE WHEN band = 1 THEN key END) AS k1,
+       |        MAX(CASE WHEN band = 2 THEN key END) AS k2,
+       |        MAX(CASE WHEN band = 3 THEN key END) AS k3
+       |      FROM keys GROUP BY 1)""".stripMargin
+
   private val overrides: Map[String, String] = Map(
     // HLL registers: sequence()/explode() for the bucket frame and
     // shiftleft() for the power of two (DuckDB spells them range/unnest
@@ -1886,54 +1941,7 @@ object SqlTwins {
         |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_image_dhash_pairs" ->
-      s"""WITH dims AS (SELECT doc_id, text, length(text) AS L,
-         |        48 + doc_id % 24 AS sw, 32 + doc_id % 16 AS sh_
-         |      FROM documents),
-         |imgs AS (
-         |  SELECT doc_id * 2 AS img_id, sw AS iw, sh_ AS ih, sw, sh_,
-         |         text, L
-         |  FROM dims
-         |  UNION ALL
-         |  SELECT doc_id * 2 + 1, sw + 3, sh_ + 2, sw, sh_, text, L
-         |  FROM dims WHERE doc_id % 10 = 4),
-         |cells AS (
-         |  SELECT img_id, r, c,
-         |    aggregate(transform(sequence(y1, y2 - 1), yy ->
-         |      aggregate(transform(sequence(x1, x2 - 1), xx ->
-         |        CAST(ascii(substring(text,
-         |          CAST( (((yy * sh_) div ih) div 3) * 16
-         |            + (((xx * sw) div iw) div 3) AS INT) % CAST(L AS INT)
-         |            + 1, 1)) AS BIGINT)),
-         |        CAST(0 AS BIGINT), (a, x) -> a + x)),
-         |      CAST(0 AS BIGINT), (a, x) -> a + x) AS s,
-         |    (x2 - x1) * (y2 - y1) AS n
-         |  FROM (SELECT i.*, rr.r, cc.c,
-         |          (cc.c * iw) div 9 AS x1,
-         |          GREATEST((cc.c * iw) div 9 + 1,
-         |                   ((cc.c + 1) * iw) div 9) AS x2,
-         |          (rr.r * ih) div 8 AS y1,
-         |          GREATEST((rr.r * ih) div 8 + 1,
-         |                   ((rr.r + 1) * ih) div 8) AS y2
-         |        FROM imgs i
-         |        CROSS JOIN (SELECT explode(sequence(0, 7)) AS r) rr
-         |        CROSS JOIN (SELECT explode(sequence(0, 8)) AS c) cc)),
-         |bits AS (
-         |  SELECT a.img_id, a.r * 8 + a.c AS k,
-         |    CASE WHEN b.s * a.n > a.s * b.n THEN 1 ELSE 0 END AS bit
-         |  FROM cells a JOIN cells b
-         |    ON b.img_id = a.img_id AND b.r = a.r AND b.c = a.c + 1
-         |  WHERE a.c < 8),
-         |keys AS (SELECT img_id, k div 16 AS band,
-         |         SUM(CAST(bit AS BIGINT)
-         |             * shiftleft(CAST(1 AS BIGINT),
-         |                         CAST(k % 16 AS INT))) AS key
-         |         FROM bits GROUP BY 1, 2),
-         |kk AS (SELECT img_id,
-         |        MAX(CASE WHEN band = 0 THEN key END) AS k0,
-         |        MAX(CASE WHEN band = 1 THEN key END) AS k1,
-         |        MAX(CASE WHEN band = 2 THEN key END) AS k2,
-         |        MAX(CASE WHEN band = 3 THEN key END) AS k3
-         |      FROM keys GROUP BY 1),
+      s"""WITH $dhashSparkCtes,
          |cand AS (SELECT DISTINCT a.img_id AS ia, b.img_id AS ib
          |         FROM keys a JOIN keys b
          |           ON a.band = b.band AND a.key = b.key
@@ -1951,6 +1959,83 @@ object SqlTwins {
          |       CAST(hamming AS BIGINT) AS hamming
          |FROM ham WHERE hamming <= ${graft.multimodal.Multimodal.DhashHamming}
          |ORDER BY doc_a, var_a, doc_b, var_b""".stripMargin,
+
+    // directional delta screen over the shared dHash derivation (r14)
+    "q_image_dedup_delta" ->
+      s"""WITH $dhashSparkCtes,
+         |candd AS (SELECT DISTINCT a.img_id AS bi, b.img_id AS oi
+         |          FROM keys a JOIN keys b
+         |            ON a.band = b.band AND a.key = b.key
+         |          WHERE a.img_id % 2 = 1 AND b.img_id % 2 = 0),
+         |hamd AS (SELECT c.bi, c.oi,
+         |          bit_count(x.k0 ^ y.k0) + bit_count(x.k1 ^ y.k1)
+         |        + bit_count(x.k2 ^ y.k2) + bit_count(x.k3 ^ y.k3)
+         |            AS hamming
+         |         FROM candd c JOIN kk x ON x.img_id = c.bi
+         |                      JOIN kk y ON y.img_id = c.oi),
+         |h8 AS (SELECT * FROM hamd
+         |       WHERE hamming <= ${graft.multimodal.Multimodal.DhashHamming}),
+         |best AS (SELECT bi, MIN(hamming) AS best_hamming
+         |         FROM h8 GROUP BY 1),
+         |pick AS (SELECT h.bi, b.best_hamming, MIN(h.oi) AS best_base
+         |         FROM h8 h JOIN best b
+         |           ON b.bi = h.bi AND h.hamming = b.best_hamming
+         |         GROUP BY 1, 2)
+         |SELECT d.doc_id,
+         |       CAST(p.best_base div 2 AS BIGINT) AS best_doc,
+         |       CAST(p.best_hamming AS BIGINT) AS best_hamming,
+         |       p.best_hamming IS NOT NULL AS is_dup
+         |FROM documents d
+         |LEFT JOIN pick p ON p.bi = d.doc_id * 2 + 1
+         |WHERE d.doc_id % 10 = 4
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // two-phase image index fold (r14): batch-2 eligibility = originals
+    // plus batch 1's non-dup survivors
+    "q_image_index_update" ->
+      s"""WITH $dhashSparkCtes,
+         |c1 AS (SELECT DISTINCT a.img_id AS bi, b.img_id AS oi
+         |       FROM keys a JOIN keys b
+         |         ON a.band = b.band AND a.key = b.key
+         |       WHERE a.img_id % 2 = 1 AND (a.img_id div 2) % 20 = 4
+         |         AND b.img_id % 2 = 0),
+         |b1dups AS (SELECT DISTINCT c.bi
+         |           FROM c1 c JOIN kk x ON x.img_id = c.bi
+         |                     JOIN kk y ON y.img_id = c.oi
+         |           WHERE bit_count(x.k0 ^ y.k0) + bit_count(x.k1 ^ y.k1)
+         |               + bit_count(x.k2 ^ y.k2) + bit_count(x.k3 ^ y.k3)
+         |               <= ${graft.multimodal.Multimodal.DhashHamming}),
+         |c2 AS (SELECT DISTINCT a.img_id AS bi, b.img_id AS oi
+         |       FROM keys a JOIN keys b
+         |         ON a.band = b.band AND a.key = b.key
+         |       WHERE a.img_id % 2 = 1 AND (a.img_id div 2) % 20 = 14
+         |         AND (b.img_id % 2 = 0
+         |              OR (b.img_id % 2 = 1 AND (b.img_id div 2) % 20 = 4
+         |                  AND b.img_id NOT IN (SELECT bi FROM b1dups)))),
+         |ham2 AS (SELECT c.bi, c.oi,
+         |          bit_count(x.k0 ^ y.k0) + bit_count(x.k1 ^ y.k1)
+         |        + bit_count(x.k2 ^ y.k2) + bit_count(x.k3 ^ y.k3)
+         |            AS hamming
+         |         FROM c2 c JOIN kk x ON x.img_id = c.bi
+         |                   JOIN kk y ON y.img_id = c.oi),
+         |h82 AS (SELECT * FROM ham2
+         |        WHERE hamming <= ${graft.multimodal.Multimodal.DhashHamming}),
+         |best AS (SELECT bi, MIN(hamming) AS best_hamming
+         |         FROM h82 GROUP BY 1),
+         |pick AS (SELECT h.bi, b.best_hamming, MIN(h.oi) AS best_base
+         |         FROM h82 h JOIN best b
+         |           ON b.bi = h.bi AND h.hamming = b.best_hamming
+         |         GROUP BY 1, 2)
+         |SELECT d.doc_id,
+         |       CAST(p.best_base div 2 AS BIGINT) AS best_doc,
+         |       CAST(p.best_base % 2 AS BIGINT) AS best_var,
+         |       CAST(p.best_hamming AS BIGINT) AS best_hamming,
+         |       p.best_hamming IS NOT NULL AS is_dup,
+         |       p.best_base % 2 = 1 AS from_batch1
+         |FROM documents d
+         |LEFT JOIN pick p ON p.bi = d.doc_id * 2 + 1
+         |WHERE d.doc_id % 20 = 14
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_media_resize" ->
       """SELECT doc_id,

@@ -94,4 +94,72 @@ class ImageDhashSpec extends SparkSpec {
         assert(!resolved((doc, 1L))._2, s"doc $doc's variant was kept")
       }
   }
+
+  test("delta screen catches every pair-gate verdict and never beats " +
+    "the planted pair's distance") {
+    // every verified (original, variant) pair the PAIR gate emits with
+    // the variant side, keyed by the variant's doc — the delta screen
+    // must catch at least these (its candidates are a superset
+    // restricted to the original side)
+    val pairRows = Multimodal.qImageDhashPairs.fn(spark, sf001).collect()
+    val ownHam = pairRows
+      .filter(r => r.getLong(0) == r.getLong(2) && r.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val verdicts = Multimodal.qImageDedupDelta.fn(spark, sf001).collect()
+    assert(verdicts.length == 50) // doc_id % 10 == 4 slice at sf0.001
+    verdicts.foreach { r =>
+      val (doc, dup) = (r.getLong(0), r.getBoolean(3))
+      ownHam.get(doc).foreach { own =>
+        assert(dup, s"doc $doc's caught pair missing from the delta")
+        // the best match is at least as close as the planted pair —
+        // usually the own original, but the corpus has NATURAL
+        // cross-doc near-dups (near-identical texts → near-identical
+        // block bitmaps), so a closer indexed original may win
+        assert(r.getLong(2) <= own,
+          s"doc $doc best_hamming ${r.getLong(2)} worse than own $own")
+      }
+      if (dup) assert(!r.isNullAt(1) && r.getLong(2) <=
+        Multimodal.DhashHamming)
+    }
+    assert(verdicts.count(_.getBoolean(3)) >= 20)
+    // most caught variants still name their own original
+    val ownBest = verdicts.count(r =>
+      r.getBoolean(3) && r.getLong(1) == r.getLong(0))
+    assert(ownBest >= verdicts.count(_.getBoolean(3)) / 2)
+  }
+
+  test("index fold: a batch-2 image near a batch-1 SURVIVOR is caught " +
+    "from the fold; near a batch-1 REJECT it is not (rejects never " +
+    "enter the index)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // synthetic hash corpus, band keys chosen for exact control:
+    //   O1=100 original (1,1,1,1)
+    //   X=501 batch-1 survivor (5,5,5,5): shares no band with O1
+    //   X2=503 batch-1 REJECT (1,1,1,3): hamming 1 from O1
+    //   Y=601 batch-2, (5,5,5,13): shares bands 0-2 with X, hamming 1
+    //   Y2=603 batch-2, (9,9,9,3): shares ONLY band3 with X2 (key 3),
+    //          nothing with any original
+    //   W=605 batch-2, (1,1,1,1): exact copy of O1
+    val hashes = Seq(
+      (100L, 50L, 0, 1L, 1L, 1L, 1L),
+      (501L, 250L, 1, 5L, 5L, 5L, 5L),
+      (503L, 251L, 1, 1L, 1L, 1L, 3L),
+      (601L, 300L, 1, 5L, 5L, 5L, 13L),
+      (603L, 301L, 1, 9L, 9L, 9L, 3L),
+      (605L, 302L, 1, 1L, 1L, 1L, 1L))
+      .toDF("img_id", "doc_id", "variant", "b0", "b1", "b2", "b3")
+    val isB1 = col("img_id").isin(501L, 503L)
+    val isB2 = col("img_id").isin(601L, 603L, 605L)
+    val v = Multimodal.imgIndexUpdateOf(hashes, isB1, isB2).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(3)))
+      .toMap
+    assert(v(601L) == (Some(501L), true),
+      s"batch-2 near a folded SURVIVOR must be caught from it: ${v(601L)}")
+    assert(v(603L) == (None, false),
+      s"batch-2 near a batch-1 REJECT must not match: ${v(603L)}")
+    assert(v(605L) == (Some(100L), true),
+      s"batch-2 copy of an original must match it: ${v(605L)}")
+  }
 }
