@@ -45,6 +45,23 @@ class ImageDhashSpec extends SparkSpec {
       "the pair must share an exact band key to be a candidate")
   }
 
+  test("a uniform brightness shift does not move the hash (gradient " +
+    "comparisons are photometric-shift invariant below the clamp)") {
+    // the r14 sweep's measured row, pinned: dHash compares adjacent
+    // box MEANS with strict >, so adding a constant to every pixel
+    // moves both operands equally — only the 255 clamp can flatten a
+    // gradient, and this ramp stays below it at +16/+48
+    val (w, h) = (50, 40)
+    val px = ramp(w, h)
+    val orig = hashOf(w, h, px, y => y % 5, 96)
+    for (d <- Seq(16, 48)) {
+      val shifted = px.map(v => math.min(255, (v & 0xff) + d).toByte)
+      val b = hashOf(w, h, shifted, y => (y + 1) % 5, 64)
+      assert(hamming(orig, b) == 0,
+        s"brightness +$d moved the hash: ${hamming(orig, b)}")
+    }
+  }
+
   test("unrelated images land far apart") {
     val a = hashOf(50, 40, ramp(50, 40), y => y % 5, 96)
     // reversed ramp: opposite gradient direction everywhere
