@@ -863,7 +863,7 @@ object Multimodal {
     * band keys → banded candidates → exact Hamming verdicts): ONE
     * spelling for the pair gate and the resolution gate, the
     * `autocapCandCteSql` discipline. Binds `ham(ia, ib, hamming)`. */
-  private val dhashOracleCtes: String =
+  private[graft] val dhashOracleCtes: String =
     s"""dims AS (SELECT doc_id, text, length(text) AS L,
        |        48 + doc_id % 24 AS sw, 32 + doc_id % 16 AS sh_
        |      FROM documents),
@@ -918,6 +918,45 @@ object Multimodal {
        |        FROM cand c JOIN kk x ON x.img_id = c.ia
        |                    JOIN kk y ON y.img_id = c.ib)""".stripMargin
 
+  /** ONE spelling of the variant round trip (resize to (w+3, h+2) →
+    * real PNG re-encode with a shifted filter cycle → decode → dHash),
+    * shared by the batch hash store ([[imgHashes]]) and the STREAMING
+    * image-ingest sink — the same batching-invariance discipline as
+    * the ANN families' shared assignment expressions. */
+  private[graft] def variantFromPixels(id: Long, w: Int, h: Int,
+      px: Array[Byte]): ImgHash = {
+    val (w2, h2) = (w + 3, h + 2)
+    val re = PngCodec.encodeGray8(w2, h2, resizeNearest(px, w, h, w2, h2),
+      y => ((id + y + 1) % 5).toInt, idatSplit = 64)
+    val (dw, dh, dpx) = PngCodec.decodeGray8(re).getOrElse(
+      sys.error(s"undecodable re-encode for doc $id"))
+    val v = dhashBands(dw, dh, dpx)
+    ImgHash(id * 2 + 1, id, 1, v(0), v(1), v(2), v(3))
+  }
+
+  /** The variant hash straight from a document body (the streamed
+    * micro-batch path: text arrives, the image pipeline derives) —
+    * identical to the store's hash because PNG is lossless
+    * (spec-pinned), so decoded original pixels ARE the generator's. */
+  private[graft] def variantImgHashOf(id: Long, body: Array[Byte]): ImgHash = {
+    val (w, h, px) = dhashBitmap(id, requireAscii(id, body))
+    variantFromPixels(id, w, h, px)
+  }
+
+  /** [[variantImgHashOf]] over a (doc_id, text) frame — the streaming
+    * image-ingest sink's batch hasher, living here so the closure
+    * captures no outer module (Task-serializability) and the stream
+    * path cannot drift from the store's spelling. */
+  private[graft] def variantHashesOf(batch: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    batch.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        variantImgHashOf(id,
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }).toDF()
+  }
+
   /** The decoded-and-hashed image corpus (one [[ImgHash]] row per
     * image: originals at img_id = 2·doc, planted re-encoded variants at
     * 2·doc+1) — session-memoized as its OWN artifact (r14): the decode
@@ -935,17 +974,9 @@ object Multimodal {
           val o = dhashBands(w, h, px)
           val orig =
             ImgHash(r.doc_id * 2, r.doc_id, 0, o(0), o(1), o(2), o(3))
-          if (r.doc_id % 10 == DhashVariantMod) {
-            val (w2, h2) = (w + 3, h + 2)
-            val re = PngCodec.encodeGray8(w2, h2,
-              resizeNearest(px, w, h, w2, h2),
-              y => ((r.doc_id + y + 1) % 5).toInt, idatSplit = 64)
-            val (dw, dh, dpx) = PngCodec.decodeGray8(re).getOrElse(
-              sys.error(s"undecodable re-encode for doc ${r.doc_id}"))
-            val v = dhashBands(dw, dh, dpx)
-            Iterator(orig,
-              ImgHash(r.doc_id * 2 + 1, r.doc_id, 1, v(0), v(1), v(2), v(3)))
-          } else Iterator(orig)
+          if (r.doc_id % 10 == DhashVariantMod)
+            Iterator(orig, variantFromPixels(r.doc_id, w, h, px))
+          else Iterator(orig)
         }
       }.toDF()
     }

@@ -90,6 +90,11 @@ object SqlTwins {
         "streaming query, and its from-scratch surface is the value-" +
         "gated variant of q_ann_lifecycle's (decision recomputed in " +
         "SQL, r14), whose batch twin is the unrolled-Lloyd spelling"),
+    "q_stream_image_ingest" ->
+      ("the streaming image-ingest chain (dHash delta screen + fold " +
+        "under a real StreamingQuery); a SQL string cannot start a " +
+        "streaming query, and the same two-phase admission's batch SQL " +
+        "surface is q_image_index_update's hand-written twin"),
     "q_stream_resize_ingest" ->
       ("the derived-SIZE quantizer rebuild under the live stream (the " +
         "chain consuming q_ann_cells_update's grew flag, r14); a SQL " +

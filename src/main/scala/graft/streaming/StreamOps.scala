@@ -2207,11 +2207,235 @@ object StreamOps {
       } finally for (p <- Seq(state, ckpt)) deletePath(s, p)
     }
 
+  // ------------------------------------------------------------------
+  // Streaming IMAGE INGEST: the dHash delta→fold under the real
+  // runtime — the media-side completion of the ingest-chain family
+  // (text: q_stream_dedup_ingest; ANN: q_stream_ann_ingest; r14)
+  // ------------------------------------------------------------------
+
+  /** Arriving image batches, in order: the planted-variant docs split
+    * mod 20 — the same two slices the batch-mode image fold gate
+    * (q_image_index_update) phases. */
+  private[graft] val ImgIngestSlices: Seq[Long] = Seq(4L, 14L)
+
+  private val imgSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Ordered 2-file split of the variant-doc slices (doc_id, text) —
+    * one file per [[ImgIngestSlices]] slice with strictly increasing
+    * mtimes, so `maxFilesPerTrigger=1` delivers them as ordered
+    * micro-batches. */
+  private[graft] def imgSplit(s: SparkSession, d: String): String =
+    imgSplitCache.computeIfAbsent(s"${scratchRoot(s)}|$d", _ => {
+      import org.apache.hadoop.fs.Path
+      val dir = s"${scratchRoot(s)}/graft_img_split_" +
+        java.util.UUID.randomUUID()
+      val fs = hadoopFs(s, dir)
+      val docs = graft.io.Tables.load(s, d, "documents")
+        .select("doc_id", "text")
+      val t0 = System.currentTimeMillis()
+      ImgIngestSlices.zipWithIndex.foreach { case (m, k) =>
+        val tmp = s"$dir/__tmp"
+        docs.filter(pmod(col("doc_id"), lit(20L)) === m)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"no part file written under $tmp"))
+        val target = new Path(dir, f"imgs_$k%02d.parquet")
+        fs.rename(part, target)
+        fs.delete(new Path(tmp), true)
+        fs.setTimes(target, t0 + k * 60000L, -1)
+      }
+      deleteAtExit(s, dir)
+      dir
+    })
+
+  /** One admit→fold step of the streaming IMAGE ingest sink: the
+    * arriving batch is raw (doc_id, text) rows — the sink derives the
+    * variant image hash from the STREAMED content through the shared
+    * round-trip spelling ([[graft.multimodal.Multimodal
+    * .variantImgHashOf]]: block bitmap → resize → real PNG re-encode →
+    * decode → dHash), screens it against the newest committed index
+    * version with the DIRECTIONAL banded probe, writes the batch's
+    * verdict ledger, and folds the survivors' HASH rows into the next
+    * version. Unlike the text chain, no side-channel verify table is
+    * needed: the four band keys ARE the 64-bit hash, so the persisted
+    * index is self-verifying — state versions carry (img_id, doc_id,
+    * variant, b0..b3) and both the candidate bands and the exact
+    * Hamming verify read off it. Exactly-once by the seeded version
+    * chain ([[applyIngestBatch]]'s argument). */
+  private[graft] def applyImageIngestBatch(batch: DataFrame, batchId: Long,
+      statePath: String, verdictsPath: String): Unit = {
+    val s = batch.sparkSession
+    val mm = graft.multimodal.Multimodal
+    val fs = hadoopFs(s, statePath)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val bhashes = mm.variantHashesOf(batch)
+      .localCheckpoint(true) // decode+hash once: screen twice + fold
+    val prevV = committedVersions(fs, root).filter(_ <= batchId)
+      .sorted.lastOption
+      .getOrElse(sys.error(s"no committed index version <= $batchId " +
+        s"under $statePath — the base seed (v=0) is missing"))
+    val index = s.read.parquet(s"$statePath/v=$prevV")
+    val verdicts = mm.screenImgBatch(
+      bhashes.select(col("img_id").as("bi")),
+      mm.imgBandRows(bhashes), mm.imgBandRows(index), bhashes, index)
+      .localCheckpoint(true) // ledger write + survivor fold
+    verdicts.withColumn("batch", lit(batchId))
+      .write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
+    val survivors = verdicts.filter(!col("is_dup"))
+      .select(col("bi").as("img_id"))
+    index.unionByName(
+      bhashes.join(survivors, Seq("img_id"), "left_semi"))
+      .write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
+  }
+
+  /** The image ingest chain through [[runVersionedStream]]. */
+  private[graft] def runImageIngestChain(s: SparkSession, src: String,
+      state: String, verd: String, ckpt: String,
+      crashAfter: Option[Long] = None): Unit =
+    runVersionedStream(s, src, ckpt, crashAfter)((batch, batchId) =>
+      applyImageIngestBatch(batch, batchId, state, verd))
+
+  /** The committed verdict ledger across both [[ImgIngestSlices]]
+    * batches, in doc terms. */
+  private def imageIngestLedger(s: SparkSession, verd: String): DataFrame = {
+    val fs = hadoopFs(s, verd)
+    val ledgers = ImgIngestSlices.indices.map { i =>
+      val p = s"$verd/b=$i"
+      require(fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")),
+        s"image ingest batch $i left no committed verdict ledger at $p")
+      s.read.parquet(p)
+    }
+    ledgers.reduce(_ unionByName _)
+      .select(col("batch"), expr("bi div 2").as("doc_id"),
+        expr("best_base div 2").as("best_doc"),
+        (col("best_base") % 2).cast("long").as("best_var"),
+        col("best_hamming"), col("is_dup"))
+      .orderBy("batch", "doc_id").localCheckpoint(true)
+  }
+
+  /** From-scratch two-phase admission oracle for the image chain: the
+    * closed-form dHash derivation (shared CTE chain with the batch
+    * image gates), then phase-1 verdicts against the originals, phase-2
+    * eligibility = originals + phase-1 non-dup survivors — both
+    * ledgers emitted. Exactly-once means the stream's cut points are
+    * invisible: the crash-restart spec leg gates against THIS same
+    * from-scratch answer. */
+  private def imageIngestOracleSql: String = {
+    val mm = graft.multimodal.Multimodal
+    s"""WITH ${mm.dhashOracleCtes},
+       |c1 AS (SELECT DISTINCT a.img_id AS bi, b.img_id AS oi
+       |       FROM keys a JOIN keys b
+       |         ON a.band = b.band AND a.key = b.key
+       |       WHERE a.img_id % 2 = 1 AND (a.img_id // 2) % 20 = 4
+       |         AND b.img_id % 2 = 0),
+       |ham1 AS (SELECT c.bi, c.oi,
+       |          bit_count(xor(x.k0, y.k0)) + bit_count(xor(x.k1, y.k1))
+       |        + bit_count(xor(x.k2, y.k2)) + bit_count(xor(x.k3, y.k3))
+       |            AS hamming
+       |         FROM c1 c JOIN kk x ON x.img_id = c.bi
+       |                   JOIN kk y ON y.img_id = c.oi),
+       |h81 AS (SELECT * FROM ham1 WHERE hamming <= ${mm.DhashHamming}),
+       |best1 AS (SELECT bi, MIN(hamming) AS best_hamming
+       |          FROM h81 GROUP BY 1),
+       |pick1 AS (SELECT h.bi, b.best_hamming, MIN(h.oi) AS best_base
+       |          FROM h81 h JOIN best1 b
+       |            ON b.bi = h.bi AND h.hamming = b.best_hamming
+       |          GROUP BY 1, 2),
+       |led1 AS (SELECT CAST(0 AS BIGINT) AS batch, d.doc_id,
+       |                p.best_base, p.best_hamming
+       |         FROM documents d
+       |         LEFT JOIN pick1 p ON p.bi = d.doc_id * 2 + 1
+       |         WHERE d.doc_id % 20 = 4),
+       |c2 AS (SELECT DISTINCT a.img_id AS bi, b.img_id AS oi
+       |       FROM keys a JOIN keys b
+       |         ON a.band = b.band AND a.key = b.key
+       |       WHERE a.img_id % 2 = 1 AND (a.img_id // 2) % 20 = 14
+       |         AND (b.img_id % 2 = 0
+       |              OR (b.img_id % 2 = 1 AND (b.img_id // 2) % 20 = 4
+       |                  AND b.img_id NOT IN (SELECT bi FROM best1)))),
+       |ham2 AS (SELECT c.bi, c.oi,
+       |          bit_count(xor(x.k0, y.k0)) + bit_count(xor(x.k1, y.k1))
+       |        + bit_count(xor(x.k2, y.k2)) + bit_count(xor(x.k3, y.k3))
+       |            AS hamming
+       |         FROM c2 c JOIN kk x ON x.img_id = c.bi
+       |                   JOIN kk y ON y.img_id = c.oi),
+       |h82 AS (SELECT * FROM ham2 WHERE hamming <= ${mm.DhashHamming}),
+       |best2 AS (SELECT bi, MIN(hamming) AS best_hamming
+       |          FROM h82 GROUP BY 1),
+       |pick2 AS (SELECT h.bi, b.best_hamming, MIN(h.oi) AS best_base
+       |          FROM h82 h JOIN best2 b
+       |            ON b.bi = h.bi AND h.hamming = b.best_hamming
+       |          GROUP BY 1, 2),
+       |led2 AS (SELECT CAST(1 AS BIGINT) AS batch, d.doc_id,
+       |                p.best_base, p.best_hamming
+       |         FROM documents d
+       |         LEFT JOIN pick2 p ON p.bi = d.doc_id * 2 + 1
+       |         WHERE d.doc_id % 20 = 14),
+       |led AS (SELECT * FROM led1 UNION ALL SELECT * FROM led2)
+       |SELECT batch, doc_id,
+       |       CAST(best_base // 2 AS BIGINT) AS best_doc,
+       |       CAST(best_base % 2 AS BIGINT) AS best_var,
+       |       CAST(best_hamming AS BIGINT) AS best_hamming,
+       |       best_hamming IS NOT NULL AS is_dup
+       |FROM led ORDER BY batch, doc_id""".stripMargin
+  }
+
+  /** Streaming CONTINUOUS-INGEST for images (r14 — the media-side
+    * completion of the ingest-chain family, graduating the batch-mode
+    * q_image_dedup_delta / q_image_index_update pair to the real
+    * micro-batch runtime): the two variant-doc slices arrive as raw
+    * (doc_id, text) micro-batches; each batch's sink DERIVES the
+    * variant image from the streamed content (block bitmap → resize →
+    * real PNG re-encode → decode → dHash, the store-shared spelling),
+    * screens it against the newest committed hash-index version, and
+    * folds the admitted survivors in — the version chain seeded with
+    * the ORIGINALS' hashes at v=0. The registered result is the full
+    * 2-batch verdict ledger, and the oracle recomputes the two-phase
+    * admission from scratch, so a dropped fold, a re-screen against a
+    * stale version, wrong slice order, or a replay that forked the
+    * chain all hash-mismatch. `StreamOpsSpec` crash-kills the chain
+    * after batch 0 (ledger sink-committed, checkpoint-uncommitted) and
+    * pins the recovery ledger- and state-identical to the
+    * uninterrupted run.
+    *
+    * Scale posture: per batch, one decode+hash pass over the ARRIVING
+    * images only (mapPartitions, the codec tier's sanctioned shape —
+    * the corpus is never re-decoded), a directional banded probe
+    * (|batch| × bucket-occupancy candidates), and an append-shaped
+    * union write of survivors' 4-long hash rows. */
+  val qStreamImageIngest: graft.queries.Q =
+    graft.queries.Q("q_stream_image_ingest", imageIngestOracleSql) {
+      (s, d) =>
+        graft.io.Tables.ensureSessionRegistered(s)
+        val mm = graft.multimodal.Multimodal
+        val src = imgSplit(s, d)
+        val runId = java.util.UUID.randomUUID()
+        val root = scratchRoot(s)
+        val state = s"$root/graft_imging_state_$runId"
+        val verd = s"$root/graft_imging_verd_$runId"
+        val ckpt = s"$root/graft_imging_ckpt_$runId"
+        try {
+          withStatePartitions(s) {
+            mm.imgHashes(s, d).filter(col("variant") === 0)
+              .write.mode("overwrite").parquet(s"$state/v=0")
+            runImageIngestChain(s, src, state, verd, ckpt)
+            val fs = hadoopFs(s, state)
+            val finalV = committedVersions(fs,
+              new org.apache.hadoop.fs.Path(state)).sorted.last
+            require(finalV == ImgIngestSlices.size.toLong,
+              s"expected ${ImgIngestSlices.size} folds, newest $finalV")
+            imageIngestLedger(s, verd)
+          }
+        } finally for (p <- Seq(state, verd, ckpt)) deletePath(s, p)
+    }
+
   /** The streaming family's registered (oracle-gated) queries; the
     * remaining operators above are spec-gated batch/stream twins. */
   val all: Seq[graft.queries.Q] =
     Seq(qStreamHourly, qStreamMerge, qStreamMergeBucketed,
       qStreamSessionize, qStreamConversionLag, qStreamDedupIngest,
       qStreamIngestRestart, qStreamRetuneIngest, qStreamAnnIngest,
-      qStreamRetrainIngest, qStreamResizeIngest)
+      qStreamRetrainIngest, qStreamResizeIngest, qStreamImageIngest)
 }

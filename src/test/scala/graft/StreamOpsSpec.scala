@@ -784,6 +784,53 @@ class StreamOpsSpec extends SparkSpec {
       "retrained and seed-quantizer chains must commit different states")
   }
 
+  test("IMAGE ingest crash-restart: a kill after batch 0 and a fresh " +
+    "query from the same checkpoint land the ledger and the final hash " +
+    "index identical to the uninterrupted run") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    graft.io.Tables.ensureSessionRegistered(spark)
+    val mm = graft.multimodal.Multimodal
+    val src = StreamOps.imgSplit(spark, sf001)
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val seed = mm.imgHashes(spark, sf001)
+      .filter(org.apache.spark.sql.functions.col("variant") === 0)
+    def run(crash: Boolean): (Seq[Seq[Any]], Set[Seq[Any]]) = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_imging_spec").toString
+      val (state, verd, ckpt) = (s"$root/state", s"$root/verd", s"$root/ckpt")
+      try {
+        seed.write.mode("overwrite").parquet(s"$state/v=0")
+        if (crash) {
+          StreamOps.runImageIngestChain(spark, src, state, verd, ckpt,
+            crashAfter = Some(0L))
+          // torn: batch 0's ledger + folded v=1 sink-committed, batch 0
+          // absent from the commit log, the tail batch never ran
+          assert(fs.exists(new Path(s"$verd/b=0/_SUCCESS")))
+          assert(fs.exists(new Path(s"$state/v=1/_SUCCESS")))
+          assert(!fs.exists(new Path(s"$ckpt/commits/0")),
+            "batch 0 must be checkpoint-uncommitted at the cut")
+          assert(!fs.exists(new Path(s"$verd/b=1")),
+            "the kill must land before the tail batch")
+        }
+        StreamOps.runImageIngestChain(spark, src, state, verd, ckpt)
+        val versions = StreamOps
+          .committedVersions(fs, new Path(state)).sorted
+        assert(versions == Seq(0L, 1L, 2L))
+        val ledger = (0 to 1).flatMap(i =>
+          spark.read.parquet(s"$verd/b=$i").collect().map(_.toSeq))
+          .sortBy(_.toString)
+        val index = spark.read.parquet(s"$state/v=2")
+          .collect().map(_.toSeq).toSet
+        (ledger, index)
+      } finally fs.delete(new Path(root), true)
+    }
+    val (la, ia) = run(crash = false)
+    assert(la.nonEmpty && ia.nonEmpty)
+    val (lb, ib) = run(crash = true)
+    assert(lb == la && ib == ia,
+      "image-ingest crash-restart diverged from the uninterrupted run")
+  }
+
   test("ANN resize under the live stream: the derived-k boundary " +
     "crossing retrains at the NEW size, crash-restart THROUGH the " +
     "resize is exactly-once, and a no-grow chain keeps the seed") {
