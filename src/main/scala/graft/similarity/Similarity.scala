@@ -1065,16 +1065,37 @@ object Similarity {
   private[graft] def annRetrainServe(s: SparkSession, d: String,
       cells: DataFrame, quant: Seq[(Long, Seq[Long])]): DataFrame = {
     val n = withNorm(emb(s, d)).select("vec_id", "v", "nrm")
-    val scored = array_sort(array(quant.map { case (cl, m) =>
-      struct(lloydD2(m).as("d2"), lit(cl).as("cl"))
-    }: _*))
-    val probes = n.filter(expr(QuerySet))
+    // probe ranks against the final quantizer: the in-row literal sort
+    // at the trained scale, a bounded |queries| × k broadcast join
+    // above it (the [[LloydLiteralMax]] dispatch — a 141-literal
+    // array_sort expression has the same codegen-size pathology as the
+    // literal assignment)
+    val qcodes = n.filter(expr(QuerySet))
       .join(int8Codes(s, d).select("vec_id", "c"), "vec_id")
-      .withColumn("sc", slice(scored, 1, LloydProbe))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), posexplode(col("sc")))
-      .select(col("query_id"), col("qv"), col("qnrm"),
-        col("col.cl").as("qcell"))
+    val probes =
+      if (quant.size <= LloydLiteralMax) {
+        val scored = array_sort(array(quant.map { case (cl, m) =>
+          struct(lloydD2(m).as("d2"), lit(cl).as("cl"))
+        }: _*))
+        qcodes.withColumn("sc", slice(scored, 1, LloydProbe))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"), posexplode(col("sc")))
+          .select(col("query_id"), col("qv"), col("qnrm"),
+            col("col.cl").as("qcell"))
+      } else {
+        import s.implicits._
+        val centsDF = broadcast(quant.toDF("cl0", "m"))
+        val qw = Window.partitionBy("vec_id")
+          .orderBy(col("d2x"), col("cl0"))
+        qcodes.crossJoin(centsDF)
+          .withColumn("d2x", aggregate(
+            zip_with(col("c"), col("m"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x))
+          .withColumn("rn", row_number().over(qw))
+          .filter(col("rn") <= LloydProbe)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"), col("cl0").as("qcell"))
+      }
     val served = cells.select(col("vec_id"), col("cl").as("cell"))
       .join(n, "vec_id")
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
@@ -1713,6 +1734,48 @@ object Similarity {
       .drop("best")
   }
 
+  /** Above this quantizer size, Lloyd assignment switches from the
+    * literal-centroid projection to the broadcast-join form. The
+    * literal form bakes k × 64 constants into ONE generated expression
+    * — zero-shuffle and unbeatable at the trained k = 8, but the plan
+    * and its codegen grow with k, and the DERIVED-k path
+    * (q_stream_resize_ingest: k = ⌈n/occ⌉) grows k with the corpus —
+    * the r14 streaming octave measured the chain at 42 s at the 5×
+    * corpus (k = 141), dominated by compiling three 141-literal
+    * assignment expressions. The join form carries centroids as DATA
+    * (a k-row broadcast), scores N×k narrow rows, and argmins with a
+    * map-side-combined min(struct) — the same plan at k = 8 and
+    * k = 10⁶, integer-exact either way. */
+  private[graft] val LloydLiteralMax = 16
+
+  /** Join-based Lloyd assignment — value-identical to [[lloydAssign]]
+    * (same integer d2, same (d2, cl) argmin tiebreak, spec-pinned):
+    * centroids broadcast as a k-row frame, N×k scored rows reduced by
+    * a partial-aggregated min(struct), best joined back so every input
+    * column rides through. */
+  private[graft] def lloydAssignJoin(
+      codes: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
+    val centsDF = broadcast(cents.toDF("cl0", "m"))
+    val best = codes.select(col("vec_id"), col("c"))
+      .crossJoin(centsDF)
+      .withColumn("d2x", aggregate(
+        zip_with(col("c"), col("m"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2x"), col("cl0"))).as("b"))
+      .select(col("vec_id"), col("b.cl0").as("cl"), col("b.d2x").as("d2"))
+    codes.join(best, "vec_id")
+  }
+
+  /** k-dispatching assignment: literal projection at the trained
+    * scale, broadcast join above [[LloydLiteralMax]]. */
+  private[graft] def lloydAssignScaled(
+      codes: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame =
+    if (cents.size <= LloydLiteralMax) lloydAssign(codes, cents)
+    else lloydAssignJoin(codes, cents)
+
   /** Update = one map-side-combined (cl, dim) aggregate; the k×64
     * floored-mean matrix comes back to the driver (bounded by k —
     * empty clusters drop out). */
@@ -1758,11 +1821,14 @@ object Similarity {
 
   /** [[lloydCentroids]] from an EXPLICIT seed (the streaming RESIZE
     * chain trains at a k derived mid-stream, so the seed is computed
-    * from the folded state, not from `vec_id < k`). */
+    * from the folded state, not from `vec_id < k`); assignment
+    * dispatches on k ([[lloydAssignScaled]]) because the derived k
+    * grows with the corpus. */
   private[graft] def lloydCentroidsSeeded(codes: DataFrame,
       seed: Seq[(Long, Seq[Long])], rounds: Int): Seq[(Long, Seq[Long])] = {
     var cents = seed
-    for (_ <- 1 until rounds) cents = lloydUpdate(lloydAssign(codes, cents))
+    for (_ <- 1 until rounds)
+      cents = lloydUpdate(lloydAssignScaled(codes, cents))
     cents
   }
 

@@ -2078,7 +2078,7 @@ object StreamOps {
         .as("v")))
     val folded = s.read.parquet(s"$statePath/v=$prevV")
       .select("vec_id", "c", "cl")
-      .unionByName(sim.lloydAssign(bcodes, quant)
+      .unionByName(sim.lloydAssignScaled(bcodes, quant)
         .select("vec_id", "c", "cl"))
       .localCheckpoint(true) // count + (maybe) retrain + write
     val (cellsOut, quantOut) =
@@ -2089,8 +2089,8 @@ object StreamOps {
           val codes = folded.select("vec_id", "c")
           val cents = sim.lloydCentroidsSeeded(codes,
             sim.lloydSeedN(codes, kNext), rounds = 3)
-          (sim.lloydAssign(codes, cents).select("vec_id", "c", "cl"),
-            cents)
+          (sim.lloydAssignScaled(codes, cents)
+            .select("vec_id", "c", "cl"), cents)
         } else (folded, quant)
       } else (folded, quant)
     import s.implicits._
@@ -2190,7 +2190,8 @@ object StreamOps {
           val seed = sim.lloydSeedN(baseCodes, k0)
           seed.toDF("cl", "m")
             .write.mode("overwrite").parquet(s"$state/q=0")
-          sim.lloydAssign(baseCodes, seed).select("vec_id", "c", "cl")
+          sim.lloydAssignScaled(baseCodes, seed)
+            .select("vec_id", "c", "cl")
             .write.mode("overwrite").parquet(s"$state/v=0")
           runAnnResizeChain(s, src, state, ckpt)
           val fs = hadoopFs(s, state)

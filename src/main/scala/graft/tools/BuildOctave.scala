@@ -37,7 +37,9 @@ object BuildOctave {
     "q_jaccard_pairs_autocap", // jacPairsAuto (pairs under the derived cap)
     "q_dedup_resolve_autocap", // starCompsAuto (CC over the autocap pairs)
     "q_ann_ivf_auto", // ivfAssignAuto (the statistics-sized IVF index)
-    "q_image_dedup_resolve", // imgDhashPairs -> imgDhashComps
+    "q_ann_probe_auto", // annProbeTruth + annProbeRank (nprobe calibration)
+    "q_image_dedup_resolve", // imgHashes -> imgDhashPairs -> imgDhashComps
+    "q_image_index_update", // imgBandsIncr1 (the image-index fold)
     "q_dedup_reband", // bandsReband
     "q_dedup_lifecycle", // bandsLifecycle (fold -> 2x8 retune -> fold)
     "q_ann_lifecycle", // ivfLifecycle (prefix-trained retrain mid-chain)

@@ -84,6 +84,31 @@ class AnnProbeAutoSpec extends AnyFunSuite with SparkSpec {
     assert(repP >= 1 && repP <= cellsN)
   }
 
+  test("join-based Lloyd assignment is value-identical to the literal " +
+      "projection at any k (the derived-k dispatch, r14 octave fix)") {
+    // the resize chain's derived k grows with the corpus; above
+    // LloydLiteralMax the literal-centroid expression (k×64 constants
+    // baked into ONE generated projection) is replaced by a broadcast
+    // join — same integer d2, same (d2, cl) argmin tiebreak, so the
+    // two forms must agree row-for-row, including on distance TIES
+    val rnd = new scala.util.Random(7)
+    import spark.implicits._
+    val codes = (0L until 300L).map { id =>
+      (id, Seq.fill(64)(rnd.nextInt(17).toLong - 8))
+    }.toDF("vec_id", "c").cache()
+    for (k <- Seq(8, 20, 41)) {
+      val cents = Similarity.lloydSeedN(codes, k)
+      val lit = Similarity.lloydAssign(codes, cents)
+        .select("vec_id", "cl", "d2").collect().map(_.toSeq).sortBy(_.toString)
+      val join = Similarity.lloydAssignJoin(codes, cents)
+        .select("vec_id", "cl", "d2").collect().map(_.toSeq).sortBy(_.toString)
+      assert(lit.toSeq == join.toSeq, s"assignment forms diverged at k=$k")
+      val scaled = Similarity.lloydAssignScaled(codes, cents)
+        .select("vec_id", "cl", "d2").collect().map(_.toSeq).sortBy(_.toString)
+      assert(scaled.toSeq == lit.toSeq, s"dispatch diverged at k=$k")
+    }
+  }
+
   test("held-out queries (outside the calibration sample) serve at the " +
       "derived width through the same code path") {
     val dir = "target/clustered-emb-fixture-probe"

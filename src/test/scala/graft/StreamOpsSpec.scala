@@ -860,7 +860,7 @@ class StreamOpsSpec extends SparkSpec {
       val seed = sim.lloydSeedN(baseCodes, k0)
       try {
         seed.toDF("cl", "m").write.mode("overwrite").parquet(s"$state/q=0")
-        sim.lloydAssign(baseCodes, seed).select("vec_id", "c", "cl")
+        sim.lloydAssignScaled(baseCodes, seed).select("vec_id", "c", "cl")
           .write.mode("overwrite").parquet(s"$state/v=0")
         if (crash) {
           StreamOps.runAnnResizeChain(spark, src, state, ckpt, occ,
