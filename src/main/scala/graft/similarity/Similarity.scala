@@ -1084,13 +1084,20 @@ object Similarity {
             col("col.cl").as("qcell"))
       } else {
         import s.implicits._
-        val centsDF = broadcast(quant.toDF("cl0", "m"))
+        graft.functions.GraftDotLong.ensureRegistered(s)
+        val idot = (a: Column, b: Column) =>
+          call_function(graft.functions.GraftDotLong.FunctionName, a, b)
+        val centsDF = broadcast(
+          quant.map { case (cl, m) => (cl, m, m.map(x => x * x).sum) }
+            .toDF("cl0", "m", "m2"))
         val qw = Window.partitionBy("vec_id")
           .orderBy(col("d2x"), col("cl0"))
-        qcodes.crossJoin(centsDF)
-          .withColumn("d2x", aggregate(
-            zip_with(col("c"), col("m"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x))
+        // same integer dot identity as [[lloydAssignJoin]] — bounded
+        // |queries| × k rows, but one HOF spelling per family
+        qcodes.withColumn("c2", idot(col("c"), col("c")))
+          .crossJoin(centsDF)
+          .withColumn("d2x",
+            col("c2") + col("m2") - lit(2L) * idot(col("c"), col("m")))
           .withColumn("rn", row_number().over(qw))
           .filter(col("rn") <= LloydProbe)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -1741,28 +1748,53 @@ object Similarity {
     * and its codegen grow with k, and the DERIVED-k path
     * (q_stream_resize_ingest: k = ⌈n/occ⌉) grows k with the corpus —
     * the r14 streaming octave measured the chain at 42 s at the 5×
-    * corpus (k = 141), dominated by compiling three 141-literal
-    * assignment expressions. The join form carries centroids as DATA
-    * (a k-row broadcast), scores N×k narrow rows, and argmins with a
-    * map-side-combined min(struct) — the same plan at k = 8 and
-    * k = 10⁶, integer-exact either way. */
+    * corpus (k = 141) under three 141-literal assignment expressions.
+    * The join form carries centroids as DATA (a k-row broadcast),
+    * scores N×k narrow rows through the codegen'd integer dot kernel,
+    * and argmins with a map-side-combined min(struct) — the same plan
+    * at k = 8 and k = 10⁶, integer-exact either way. */
   private[graft] val LloydLiteralMax = 16
 
   /** Join-based Lloyd assignment — value-identical to [[lloydAssign]]
     * (same integer d2, same (d2, cl) argmin tiebreak, spec-pinned):
     * centroids broadcast as a k-row frame, N×k scored rows reduced by
     * a partial-aggregated min(struct), best joined back so every input
-    * column rides through. */
+    * column rides through.
+    *
+    * Two details carry the whole cost at the derived-k scale (the
+    * first cut of this path measured 53 s on the 5× resize chain —
+    * WORSE than the literal form it replaced):
+    *  - the distance is the integer dot identity Σ(c−m)² =
+    *    Σc² + Σm² − 2·⟨c,m⟩ with ⟨c,m⟩ the codegen'd
+    *    [[graft.functions.GraftDotLong]] kernel and both norms
+    *    computed ONCE per side (Σm² driver-side into the broadcast
+    *    row, Σc² once per vector) — the HOF spelling
+    *    `aggregate(zip_with(…))` allocates a 64-element array per
+    *    (vector, centroid) PAIR, and N×k of those is exactly the
+    *    GraftDot lesson (VERDICT r1 #3) at its worst;
+    *  - the scoring side is repartitioned to the session's shuffle
+    *    width first: the chain's frames arrive from coalesce(1) files
+    *    and `localCheckpoint`s, so without it ONE task scores all N×k
+    *    pairs — the broadcast join inherits the probe side's
+    *    partitioning, and at k=8 that never mattered but at N×141 it
+    *    is the serial bottleneck. */
   private[graft] def lloydAssignJoin(
       codes: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
     val s = codes.sparkSession
     import s.implicits._
-    val centsDF = broadcast(cents.toDF("cl0", "m"))
+    graft.functions.GraftDotLong.ensureRegistered(s)
+    val idot = (a: Column, b: Column) =>
+      call_function(graft.functions.GraftDotLong.FunctionName, a, b)
+    val centsDF = broadcast(
+      cents.map { case (cl, m) => (cl, m, m.map(x => x * x).sum) }
+        .toDF("cl0", "m", "m2"))
+    val width = s.sessionState.conf.numShufflePartitions
     val best = codes.select(col("vec_id"), col("c"))
+      .repartition(width)
+      .withColumn("c2", idot(col("c"), col("c")))
       .crossJoin(centsDF)
-      .withColumn("d2x", aggregate(
-        zip_with(col("c"), col("m"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("d2x",
+        col("c2") + col("m2") - lit(2L) * idot(col("c"), col("m")))
       .groupBy("vec_id")
       .agg(min(struct(col("d2x"), col("cl0"))).as("b"))
       .select(col("vec_id"), col("b.cl0").as("cl"), col("b.d2x").as("d2"))
