@@ -60,7 +60,7 @@ object Bench {
     val chains = Set("q_stream_dedup_ingest", "q_stream_ann_ingest",
       "q_stream_ingest_restart", "q_stream_retune_ingest",
       "q_stream_retrain_ingest", "q_stream_resize_ingest",
-      "q_stream_image_ingest")
+      "q_stream_calibrate_ingest", "q_stream_image_ingest")
     // (median, min); (-1, -1) if any run threw
     val results: Seq[(String, (Double, Double))] = names.map { n =>
       def run(): Boolean =

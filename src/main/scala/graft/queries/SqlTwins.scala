@@ -101,6 +101,13 @@ object SqlTwins {
         "string cannot start a streaming query, and the sizing " +
         "arithmetic's batch SQL surface is q_ann_cells_update's " +
         "registered twin with the Lloyd rounds under q_ann_lifecycle's"),
+    "q_stream_calibrate_ingest" ->
+      ("the probe width riding the version chain (resize + " +
+        "recalibrate in one maintenance batch, r14); a SQL string " +
+        "cannot start a streaming query, and the calibration " +
+        "arithmetic's batch SQL surface is q_ann_probe_auto's " +
+        "registered twin (need-ranks + clamp) over the Lloyd family's " +
+        "oracle CTEs"),
     "q_dedup_components" ->
       ("iterative label propagation (driver-side loop over checkpoints); " +
         "the recursive-CTE spelling needs UNION-distinct recursion to " +

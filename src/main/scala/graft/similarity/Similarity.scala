@@ -1063,13 +1063,15 @@ object Similarity {
     * side serves the state's OWN `cl` — the gate's point is that the
     * streamed assignment, not a recomputation, answers queries. */
   private[graft] def annRetrainServe(s: SparkSession, d: String,
-      cells: DataFrame, quant: Seq[(Long, Seq[Long])]): DataFrame = {
+      cells: DataFrame, quant: Seq[(Long, Seq[Long])],
+      probeW: Int = LloydProbe): DataFrame = {
     val n = withNorm(emb(s, d)).select("vec_id", "v", "nrm")
     // probe ranks against the final quantizer: the in-row literal sort
     // at the trained scale, a bounded |queries| × k broadcast join
     // above it (the [[LloydLiteralMax]] dispatch — a 141-literal
     // array_sort expression has the same codegen-size pathology as the
-    // literal assignment)
+    // literal assignment). `probeW` defaults to the fixed knob; the
+    // calibrated chain passes the width its version chain carries.
     val qcodes = n.filter(expr(QuerySet))
       .join(int8Codes(s, d).select("vec_id", "c"), "vec_id")
     val probes =
@@ -1077,7 +1079,7 @@ object Similarity {
         val scored = array_sort(array(quant.map { case (cl, m) =>
           struct(lloydD2(m).as("d2"), lit(cl).as("cl"))
         }: _*))
-        qcodes.withColumn("sc", slice(scored, 1, LloydProbe))
+        qcodes.withColumn("sc", slice(scored, 1, probeW))
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
             col("nrm").as("qnrm"), posexplode(col("sc")))
           .select(col("query_id"), col("qv"), col("qnrm"),
@@ -1099,7 +1101,7 @@ object Similarity {
           .withColumn("d2x",
             col("c2") + col("m2") - lit(2L) * idot(col("c"), col("m")))
           .withColumn("rn", row_number().over(qw))
-          .filter(col("rn") <= LloydProbe)
+          .filter(col("rn") <= probeW)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
             col("nrm").as("qnrm"), col("cl0").as("qcell"))
       }
@@ -1108,6 +1110,54 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     ivfServeTop3From(probes, served)
       .withColumn("is_new", ivfIsNewCol(AnnNewSlice))
+  }
+
+  /** Calibrated probe width for a LLOYD-quantized state — the Lloyd
+    * analog of [[derivedIvfProbe]], computed FROM THE STATE ITSELF so
+    * a streamed index can recalibrate inside its own maintenance batch
+    * without touching the source table: truth is the exact int8-dot
+    * top-3 among the state's own codes (one linear pass with the
+    * bounded [[QuerySet]] sample broadcast — a quantized store may not
+    * retain raw floats, so the calibration scores what the index
+    * actually holds), need-rank is the rank the true neighbor's cell
+    * holds in the query's full centroid ranking (the
+    * [[lloydAssignJoin]] dot-identity spelling, bounded |sample| × k),
+    * and the width is clamp(max need-rank, [1, k]). Deterministic on
+    * replay: all-integer scores, (idot desc, neighbor asc) and
+    * (d2, cl) tie-breaks. */
+  private[graft] def calibratedLloydWidth(codes: DataFrame,
+      quant: Seq[(Long, Seq[Long])]): Int = {
+    val s = codes.sparkSession
+    import s.implicits._
+    graft.functions.GraftDotLong.ensureRegistered(s)
+    val idot = (a: Column, b: Column) =>
+      call_function(graft.functions.GraftDotLong.FunctionName, a, b)
+    val qs = codes.filter(expr(QuerySet))
+      .select(col("vec_id").as("query_id"), col("c").as("qc"))
+    val scored = codes.select(col("vec_id"), col("c"))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        idot(col("qc"), col("c")).as("idot"))
+    val truth = graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
+      Seq("idot" -> false, "neighbor_id" -> true), 3, mapSideCombine = true)
+      .select("query_id", "neighbor_id")
+    val centsDF = broadcast(
+      quant.map { case (cl, m) => (cl, m, m.map(x => x * x).sum) }
+        .toDF("cl0", "m", "m2"))
+    val qw = Window.partitionBy("query_id").orderBy(col("d2x"), col("cl0"))
+    val qrank = qs.withColumn("q2", idot(col("qc"), col("qc")))
+      .crossJoin(centsDF)
+      .withColumn("d2x",
+        col("q2") + col("m2") - lit(2L) * idot(col("qc"), col("m")))
+      .withColumn("need_rank", row_number().over(qw).cast("long"))
+      .select(col("query_id"), col("cl0").as("cl"), col("need_rank"))
+    val cells = codes.select(col("vec_id").as("neighbor_id"), col("cl"))
+    val mx = truth.join(cells, "neighbor_id")
+      .join(qrank, Seq("query_id", "cl"))
+      .agg(max("need_rank")).head()
+    val needed = if (mx.isNullAt(0)) 1L else mx.getLong(0)
+    math.min(quant.size.toLong, math.max(1L, needed)).toInt
   }
 
   /** The slice the lifecycle/retrain gates mark as `is_new` (the batch

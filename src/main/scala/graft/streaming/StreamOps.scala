@@ -1885,7 +1885,9 @@ object StreamOps {
     * `centF`: every vector re-ranks against the final quantizer, cells
     * = rn 1, the query set probes its best [[graft.similarity
     * .Similarity.LloydProbe]] cells, float-cosine scoring, top-3. */
-  private def lloydServeSql(centF: String): String = {
+  private def lloydServeSql(centF: String,
+      probeSql: String = graft.similarity.Similarity.LloydProbe.toString)
+      : String = {
     val sim = graft.similarity.Similarity
     s"""a3 AS (SELECT vec_id, cl, d2,
        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl)
@@ -1898,7 +1900,7 @@ object StreamOps {
        |cells AS (SELECT a3.vec_id, a3.cl, n.v, n.nrm
        |          FROM a3 JOIN n ON n.vec_id = a3.vec_id WHERE a3.rn = 1),
        |probes AS (SELECT vec_id AS query_id, cl FROM a3
-       |           WHERE rn <= ${sim.LloydProbe} AND ${sim.QuerySet}),
+       |           WHERE rn <= $probeSql AND ${sim.QuerySet}),
        |scored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
        |    list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cos
        |  FROM probes p
@@ -2209,6 +2211,225 @@ object StreamOps {
     }
 
   // ------------------------------------------------------------------
+  // Streaming PROBE CALIBRATION: the derived nprobe rides the version
+  // chain — after the derived-k rebuild, the SAME maintenance batch
+  // recalibrates the probe width from the state's own codes, and the
+  // serve probes at the carried width (closing the knob pair under the
+  // live runtime: cells sized by count, width sized by cluster scale)
+  // ------------------------------------------------------------------
+
+  /** The 1-row width version `p=N` of the calibrated chain. */
+  private def readWidth(s: SparkSession, path: String): Int =
+    s.read.parquet(path).head().getLong(0).toInt
+
+  /** One fold→resize→RECALIBRATE step: [[applyAnnResizeBatch]]'s state
+    * contract extended with a probe-width version — `q=N` (centroids),
+    * then `p=N` (the 1-row calibrated width), then `v=N` (assignment,
+    * the commit marker) — so a crash replay re-derives
+    * count→k→grew→retrain→calibrate from the same inputs. The
+    * maintenance decision and the calibration are ONE batch: a store
+    * that re-sizes its quantizer must re-derive the probe width too
+    * (the need-ranks are ranks against the NEW centroid set; carrying
+    * the old width across a re-size would be a category error the
+    * version chain makes unrepresentable). Non-maintenance batches and
+    * the no-grow branch carry the previous width forward. */
+  private[graft] def applyAnnCalibrateBatch(batch: DataFrame,
+      batchId: Long, statePath: String,
+      maintainAfter: Long = ResizeAfterBatch,
+      occ: Int = StreamTargetOcc): Unit = {
+    val s = batch.sparkSession
+    val sim = graft.similarity.Similarity
+    val fs = hadoopFs(s, statePath)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val prevV = committedVersions(fs, root).filter(_ <= batchId)
+      .sorted.lastOption
+      .getOrElse(sys.error(s"no committed index version <= $batchId " +
+        s"under $statePath — the base seed (v=0) is missing"))
+    val quant = readQuant(s, s"$statePath/q=$prevV")
+    val prevW = readWidth(s, s"$statePath/p=$prevV")
+    val bcodes = sim.int8CodesOf(
+      batch.select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("v")))
+    val folded = s.read.parquet(s"$statePath/v=$prevV")
+      .select("vec_id", "c", "cl")
+      .unionByName(sim.lloydAssignScaled(bcodes, quant)
+        .select("vec_id", "c", "cl"))
+      .localCheckpoint(true) // count + (maybe) retrain + write
+    val (cellsOut, quantOut, widthOut) =
+      if (batchId == maintainAfter) {
+        val kNext = sim.derivedCellsFor(folded.count(), occ)
+        if (kNext > quant.size) {
+          val codes = folded.select("vec_id", "c")
+          val cents = sim.lloydCentroidsSeeded(codes,
+            sim.lloydSeedN(codes, kNext), rounds = 3)
+          val re = sim.lloydAssignScaled(codes, cents)
+            .select("vec_id", "c", "cl")
+            .localCheckpoint(true) // calibrate + write
+          (re, cents, sim.calibratedLloydWidth(re, cents))
+        } else (folded, quant, prevW)
+      } else (folded, quant, prevW)
+    import s.implicits._
+    quantOut.toDF("cl", "m")
+      .write.mode("overwrite").parquet(s"$statePath/q=${batchId + 1}")
+    Seq(widthOut.toLong).toDF("w")
+      .write.mode("overwrite").parquet(s"$statePath/p=${batchId + 1}")
+    cellsOut.write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
+  }
+
+  /** The calibrated chain through [[runVersionedStream]]. */
+  private[graft] def runAnnCalibrateChain(s: SparkSession, src: String,
+      state: String, ckpt: String, occ: Int = StreamTargetOcc,
+      crashAfter: Option[Long] = None): Unit =
+    runVersionedStream(s, src, ckpt, crashAfter)((batch, batchId) =>
+      applyAnnCalibrateBatch(batch, batchId, state, ResizeAfterBatch, occ))
+
+  /** Calibration CTE block over corpus CTE `x` (vec_id, c) and
+    * centroid CTE `c0` (cl, m), prefixed to stay unique: `<p>tr` = the
+    * sample's exact int8-dot top-3 among `x`'s own codes, `<p>ax` =
+    * the full (vector × centroid) ranking — rn = 1 is the neighbor's
+    * cell AND (for query rows) rn at the neighbor's cl is the needed
+    * probe rank, one CTE serving both joins — `<p>w` = clamp(max
+    * need-rank, [1, k]). Mirrors
+    * [[graft.similarity.Similarity.calibratedLloydWidth]] exactly. */
+  private def lloydCalibrateSql(p: String, x: String,
+      c0: String): String =
+    s"""${p}tr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, 65),
+       |          i -> q.c[i] * b.c[i])) DESC, b.vec_id) AS trk
+       |    FROM $x q JOIN $x b ON b.vec_id != q.vec_id
+       |    WHERE q.${graft.similarity.Similarity.QuerySet})
+       |  WHERE trk <= 3),
+       |${p}ax AS (
+       |  SELECT vec_id, cl,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |  FROM (SELECT $x.vec_id, $c0.cl,
+       |          list_sum(list_transform(range(1, 65),
+       |            i -> ($x.c[i] - $c0.m[i]) * ($x.c[i] - $c0.m[i])))
+       |            AS d2
+       |        FROM $x CROSS JOIN $c0)),
+       |${p}w AS (
+       |  SELECT GREATEST(1, LEAST((SELECT COUNT(*) FROM $c0),
+       |    COALESCE(MAX(qr.rn), 1))) AS w
+       |  FROM ${p}tr t
+       |  JOIN ${p}ax nb ON nb.vec_id = t.neighbor_id AND nb.rn = 1
+       |  JOIN ${p}ax qr ON qr.vec_id = t.query_id AND qr.cl = nb.cl)"""
+      .stripMargin
+
+  /** From-scratch VALUE-GATED oracle for [[qStreamCalibrateIngest]]:
+    * [[annResizeOracleSql]]'s derivation chain (both sizes from slice
+    * counts, `grew` branching the centroid source) PLUS the width —
+    * the seed calibration over the base under the seed centroids, the
+    * maintenance recalibration over base+batch-7 under the trained
+    * centroids, the carried width = whichever branch `grew` selects —
+    * and the serve probing at exactly that width, with `quant_k` AND
+    * `nprobe` as value-gating result columns. */
+  private def annCalibrateOracleSql(occ: Int): String = {
+    val sim = graft.similarity.Similarity
+    val b7 = sim.ivfBatchSql(AnnIngestSlices.head)
+    val b3 = sim.ivfBatchSql(AnnIngestSlices(1))
+    s"""WITH $annCodesCteSql,
+       |cb AS (SELECT vec_id, c FROM c
+       |       WHERE NOT ($b7) AND NOT ($b3)),
+       |ct AS (SELECT vec_id, c FROM c WHERE NOT ($b3)),
+       |ks AS (SELECT
+       |    GREATEST(1, LEAST(1048576,
+       |      ((SELECT COUNT(*) FROM cb) + $occ - 1) // $occ)) AS k0,
+       |    GREATEST(1, LEAST(1048576,
+       |      ((SELECT COUNT(*) FROM ct) + $occ - 1) // $occ)) AS k1),
+       |kss AS (SELECT k0, k1, k1 > k0 AS grew,
+       |               CASE WHEN k1 > k0 THEN k1 ELSE k0 END AS kf
+       |        FROM ks),
+       |cent0 AS (SELECT vec_id AS cl, c AS m FROM (
+       |            SELECT vec_id, c,
+       |              ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM cb)
+       |          WHERE rn <= (SELECT k0 FROM kss)),
+       |sd1 AS (SELECT vec_id AS cl, c AS m FROM (
+       |            SELECT vec_id, c,
+       |              ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM ct)
+       |        WHERE rn <= (SELECT k1 FROM kss)),
+       |${lloydRoundsSql("ct", "sd1")},
+       |centF AS (SELECT cl, m FROM cent2 WHERE (SELECT grew FROM kss)
+       |          UNION ALL
+       |          SELECT cl, m FROM cent0
+       |          WHERE NOT (SELECT grew FROM kss)),
+       |${lloydCalibrateSql("s", "cb", "cent0")},
+       |${lloydCalibrateSql("f", "ct", "cent2")},
+       |wf AS (SELECT CASE WHEN (SELECT grew FROM kss)
+       |              THEN (SELECT w FROM fw) ELSE (SELECT w FROM sw)
+       |              END AS w),
+       |${lloydServeSql("centF", "(SELECT w FROM wf)")}
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos_sim,
+       |       $isNewSql AS is_new,
+       |       (SELECT CAST(kf AS BIGINT) FROM kss) AS quant_k,
+       |       (SELECT CAST(w AS BIGINT) FROM wf) AS nprobe
+       |FROM ranked2 WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** The probe width RIDES THE VERSION CHAIN (the knob pair closed
+    * under the live runtime — r14's batch derivation `q_ann_probe_auto`
+    * made nprobe a statistic; this chain makes it STATE): the
+    * [[qStreamResizeIngest]] chronology — seed quantizer at
+    * k0 = ⌈n_base/occ⌉, batch 7 folds, the maintenance slot re-derives
+    * k and retrains at the grown k1 — extended so the SAME maintenance
+    * batch recalibrates the probe width from the re-sized state's own
+    * codes ([[graft.similarity.Similarity.calibratedLloydWidth]]: exact
+    * int8-dot truth over what the index holds, need-ranks against the
+    * NEW centroids), the version chain carrying (q=N centroids, p=N
+    * width, v=N assignment — p before v, so replays land
+    * value-identical); batch 3 then folds under the carried pair, and
+    * the registered serve probes at the width read from `p=finalV`,
+    * emitting `quant_k` AND `nprobe` so the oracle value-gates BOTH
+    * derived knobs. v=0 seeds the width too: the seed calibration over
+    * the base corpus under the seed quantizer — a store is never
+    * width-less, and the no-grow branch (spec) carries exactly that
+    * seed width through. */
+  val qStreamCalibrateIngest: graft.queries.Q =
+    graft.queries.Q("q_stream_calibrate_ingest",
+      annCalibrateOracleSql(StreamTargetOcc)) { (s, d) =>
+      graft.io.Tables.ensureSessionRegistered(s)
+      val sim = graft.similarity.Similarity
+      val src = embSplit(s, d)
+      val runId = java.util.UUID.randomUUID()
+      val root = scratchRoot(s)
+      val state = s"$root/graft_calibrate_state_$runId"
+      val ckpt = s"$root/graft_calibrate_ckpt_$runId"
+      try {
+        withStatePartitions(s) {
+          import s.implicits._
+          val baseCodes = sim.annRetrainBaseCodes(s, d, AnnIngestSlices)
+            .localCheckpoint(true) // seed sizing + assignment + width
+          val k0 = sim.derivedCellsFor(baseCodes.count(), StreamTargetOcc)
+          val seed = sim.lloydSeedN(baseCodes, k0)
+          seed.toDF("cl", "m")
+            .write.mode("overwrite").parquet(s"$state/q=0")
+          val baseAssigned = sim.lloydAssignScaled(baseCodes, seed)
+            .select("vec_id", "c", "cl")
+            .localCheckpoint(true) // seed calibration + v=0 write
+          val w0 = sim.calibratedLloydWidth(baseAssigned, seed)
+          Seq(w0.toLong).toDF("w")
+            .write.mode("overwrite").parquet(s"$state/p=0")
+          baseAssigned.write.mode("overwrite").parquet(s"$state/v=0")
+          runAnnCalibrateChain(s, src, state, ckpt)
+          val fs = hadoopFs(s, state)
+          val finalV = committedVersions(fs,
+            new org.apache.hadoop.fs.Path(state)).sorted.last
+          require(finalV == AnnIngestSlices.size.toLong,
+            s"expected ${AnnIngestSlices.size} folds, newest $finalV")
+          val quant = readQuant(s, s"$state/q=$finalV")
+          val w = readWidth(s, s"$state/p=$finalV")
+          sim.annRetrainServe(s, d,
+            s.read.parquet(s"$state/v=$finalV"), quant, probeW = w)
+            .withColumn("quant_k", lit(quant.size.toLong))
+            .withColumn("nprobe", lit(w.toLong))
+            .orderBy("query_id", "rnk").localCheckpoint(true)
+        }
+      } finally for (p <- Seq(state, ckpt)) deletePath(s, p)
+    }
+
+  // ------------------------------------------------------------------
   // Streaming IMAGE INGEST: the dHash delta→fold under the real
   // runtime — the media-side completion of the ingest-chain family
   // (text: q_stream_dedup_ingest; ANN: q_stream_ann_ingest; r14)
@@ -2438,5 +2659,6 @@ object StreamOps {
     Seq(qStreamHourly, qStreamMerge, qStreamMergeBucketed,
       qStreamSessionize, qStreamConversionLag, qStreamDedupIngest,
       qStreamIngestRestart, qStreamRetuneIngest, qStreamAnnIngest,
-      qStreamRetrainIngest, qStreamResizeIngest, qStreamImageIngest)
+      qStreamRetrainIngest, qStreamResizeIngest, qStreamCalibrateIngest,
+      qStreamImageIngest)
 }

@@ -912,6 +912,89 @@ class StreamOpsSpec extends SparkSpec {
       "re-sized and seed-quantizer chains must commit different states")
   }
 
+  test("probe width rides the version chain: the maintenance batch " +
+    "recalibrates against the NEW quantizer, crash-restart through it " +
+    "is exactly-once, and a no-grow chain carries the seed width") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    graft.io.Tables.ensureSessionRegistered(spark)
+    val sim = graft.similarity.Similarity
+    val src = StreamOps.embSplit(spark, sf001)
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val baseCodes = sim
+      .annRetrainBaseCodes(spark, sf001, StreamOps.AnnIngestSlices)
+      .localCheckpoint(true)
+    val nBase = baseCodes.count()
+    def run(crash: Boolean, occ: Int)
+        : (Set[Seq[Any]], Int, Int, Seq[Long]) = {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_anncal_spec").toString
+      val (state, ckpt) = (s"$root/state", s"$root/ckpt")
+      val k0 = sim.derivedCellsFor(nBase, occ)
+      val seed = sim.lloydSeedN(baseCodes, k0)
+      try {
+        seed.toDF("cl", "m").write.mode("overwrite").parquet(s"$state/q=0")
+        val baseAssigned = sim.lloydAssignScaled(baseCodes, seed)
+          .select("vec_id", "c", "cl").localCheckpoint(true)
+        val w0 = sim.calibratedLloydWidth(baseAssigned, seed)
+        Seq(w0.toLong).toDF("w")
+          .write.mode("overwrite").parquet(s"$state/p=0")
+        baseAssigned.write.mode("overwrite").parquet(s"$state/v=0")
+        if (crash) {
+          StreamOps.runAnnCalibrateChain(spark, src, state, ckpt, occ,
+            crashAfter = Some(StreamOps.ResizeAfterBatch))
+          // torn THROUGH resize + recalibration: q=1 (k1 rows) and p=1
+          // (the recalibrated width) are sink-committed, the batch is
+          // checkpoint-uncommitted, the tail batch never ran
+          assert(fs.exists(new Path(s"$state/q=1/_SUCCESS")))
+          assert(fs.exists(new Path(s"$state/p=1/_SUCCESS")))
+          assert(fs.exists(new Path(s"$state/v=1/_SUCCESS")))
+          assert(!fs.exists(new Path(s"$ckpt/commits/0")),
+            "batch 0 must be checkpoint-uncommitted at the cut")
+          assert(!fs.exists(new Path(s"$state/v=2")),
+            "the kill must land before the tail batch")
+        }
+        StreamOps.runAnnCalibrateChain(spark, src, state, ckpt, occ)
+        val versions = StreamOps
+          .committedVersions(fs, new Path(state)).sorted
+        val cells = spark.read.parquet(s"$state/v=${versions.last}")
+          .select("vec_id", "cl").collect().map(_.toSeq).toSet
+        val wF = spark.read.parquet(s"$state/p=${versions.last}")
+          .head().getLong(0).toInt
+        (cells, w0, wF, versions)
+      } finally fs.delete(new Path(root), true)
+    }
+    val occ = StreamOps.StreamTargetOcc
+    val (ia, w0a, wa, va) = run(crash = false, occ)
+    assert(va == Seq(0L, 1L, 2L))
+    // the carried width is the recalibration against the NEW quantizer,
+    // re-derivable from the committed state alone (the replay premise):
+    // recompute it from the final fold's maintenance-time slice
+    val prefixCodes = sim.annRetrainBaseCodes(spark, sf001,
+      StreamOps.AnnIngestSlices.tail).localCheckpoint(true)
+    val k1 = sim.derivedCellsFor(prefixCodes.count(), occ)
+    assert(k1 > sim.derivedCellsFor(nBase, occ),
+      "fixture must cross the boundary so the recalibration fires")
+    val cents = sim.lloydCentroidsSeeded(prefixCodes,
+      sim.lloydSeedN(prefixCodes, k1), rounds = 3)
+    val expectW = sim.calibratedLloydWidth(
+      sim.lloydAssignScaled(prefixCodes, cents)
+        .select("vec_id", "c", "cl"), cents)
+    assert(wa == expectW,
+      s"carried width $wa != from-scratch recalibration $expectW")
+    assert(wa >= 1 && wa <= k1)
+    // crash ON the maintenance batch: replay re-derives
+    // count→k→grew→retrain→CALIBRATE and lands identical
+    val (ib, _, wb, vb) = run(crash = true, occ)
+    assert(ib == ia && wb == wa && vb == va,
+      "crash-restart through the recalibration diverged")
+    // no-grow: the decision gates the recalibration too — the seed
+    // width rides the whole chain untouched
+    val bigOcc = 100000
+    val (_, w0c, wc, _) = run(crash = false, bigOcc)
+    assert(wc == w0c, "no-grow chain must carry the seed width")
+  }
+
   test("ANN ingest crash-restart: a kill after batch 0 and a fresh " +
     "query from the same checkpoint land the final cell index identical " +
     "to the uninterrupted run") {
