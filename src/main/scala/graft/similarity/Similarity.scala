@@ -129,6 +129,13 @@ object Similarity {
   /** Queries = vec_id < 10 (fixed, scale-independent probe set). */
   private[graft] val QuerySet = "vec_id < 10"
 
+  /** The held-out canary set: ten queries the nprobe calibration NEVER
+    * sees (it calibrates on [[QuerySet]]), scored against their own
+    * brute truth right after derivation — the post-recalibration check
+    * a production store schedules (SCALE.md r14's held-out leg, as a
+    * registered operator). */
+  private[graft] val HeldoutSet = "vec_id >= 10 AND vec_id < 20"
+
   /** Brute-force cosine top-5 per query vector. */
   val qCosineTopk: Q = Q("q_cosine_topk",
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -941,6 +948,78 @@ object Similarity {
        |FROM ranked2 WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) {
     (s, d) =>
       ivfProbeAutoServeFor(s, d, QuerySet).orderBy("query_id", "rnk")
+  }
+
+  /** The held-out CANARY as a registered, oracle-gated operator
+    * (SCALE.md r14 promised "the held-out leg is the cheap canary a
+    * production store runs right after re-calibration" — this is that
+    * canary): the width is derived from the CALIBRATION sample
+    * ([[QuerySet]]) exactly as the serve gates derive it, then ten
+    * queries the calibration never saw ([[HeldoutSet]]) are served at
+    * that width and scored against their OWN brute top-3 — one
+    * (query_id, hits@3, nprobe) row per held-out query. The DuckDB
+    * oracle recomputes the whole pipeline from scratch (cells, width
+    * from the calibration sample, held-out truth, held-out serve,
+    * per-query intersection), so a canary that scored against the
+    * wrong truth, served at the wrong width, or leaked held-out
+    * queries into the calibration hash-mismatches. On the uniform
+    * registered corpus the derived width is probe-all and hits sit at
+    * the ceiling — the non-trivial trajectory (clustered narrow-width
+    * recall, the honest 29/30 wobble at 1×) is pinned by
+    * `AnnProbeAutoSpec` on the clustered fixture and measured in
+    * SCALE.md r14; the gate's job is value-exactness of the report a
+    * scheduler would alert on. Cost: one extra |heldout|-bounded brute
+    * pass — the canary IS cheap, that is its point. */
+  val qAnnProbeCanary: Q = Q("q_ann_probe_canary",
+    s"""WITH $ivfRankedAutoCteSql,
+       |$probeNeedCteSql,
+       |hq AS (SELECT vec_id, v, nrm FROM n WHERE $HeldoutSet),
+       |hsc AS (SELECT hq.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |          list_dot_product(hq.v, b.v) / (hq.nrm * b.nrm) AS cos
+       |        FROM hq JOIN n b ON b.vec_id != hq.vec_id),
+       |htr AS (SELECT query_id, neighbor_id FROM (
+       |          SELECT query_id, neighbor_id,
+       |            ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS rnk
+       |          FROM hsc) WHERE rnk <= 3),
+       |hcells AS (SELECT vec_id, v, nrm, anchor_id AS cell FROM ranked
+       |           WHERE arnk = 1),
+       |hprobes AS (SELECT vec_id, v, nrm, anchor_id AS cell FROM ranked
+       |            WHERE arnk <= (SELECT p FROM pdp) AND $HeldoutSet),
+       |hscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |  FROM hprobes q JOIN hcells c ON c.cell = q.cell
+       |                 AND c.vec_id != q.vec_id),
+       |hserved AS (SELECT query_id, neighbor_id FROM (
+       |          SELECT query_id, neighbor_id,
+       |            ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS rnk
+       |          FROM hscored) WHERE rnk <= 3),
+       |hh AS (SELECT t.query_id, COUNT(s.neighbor_id) AS hits
+       |       FROM htr t
+       |       LEFT JOIN hserved s ON s.query_id = t.query_id
+       |                          AND s.neighbor_id = t.neighbor_id
+       |       GROUP BY t.query_id)
+       |SELECT q.vec_id AS query_id,
+       |       CAST(COALESCE(hh.hits, 0) AS BIGINT) AS hits,
+       |       (SELECT CAST(p AS BIGINT) FROM pdp) AS nprobe
+       |FROM hq q LEFT JOIN hh ON hh.query_id = q.vec_id
+       |ORDER BY query_id""".stripMargin) { (s, d) =>
+    val truth = bruteTop3For(s, d, HeldoutSet)
+    val served = ivfProbeAutoServeFor(s, d, HeldoutSet)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    val hits = truth.join(served, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+    withNorm(emb(s, d)).filter(expr(HeldoutSet))
+      .select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        lit(derivedIvfProbe(s, d).toLong).as("nprobe"))
+      .orderBy("query_id")
   }
 
   /** [[qAnnIvf]]'s serve stage over an arbitrary cell index: the fixed
@@ -3642,7 +3721,7 @@ object Similarity {
       qEmbedNearDup,
       qSemdedup, qAnnInt8, qAnnIvfKmeans, qAnnCellStats, qAnnCellsAuto,
       qAnnCellsUpdate, qAnnIvfAuto, qAnnProbeAuto, qAnnIvfProbeAuto,
-      qLabelOutliers, qKmeans,
+      qAnnProbeCanary, qLabelOutliers, qKmeans,
       qClusterPurity, qKmeansConverged, qAnnIvfPq, qAnnFiltered,
       qHardNegatives, qMmrRerank, qRandProject, qKnnClassify, qAnnRecall,
       qSilhouette, qPqDistortion, qPqTrain, qAnnIvfPqTrained)

@@ -122,4 +122,28 @@ class AnnProbeAutoSpec extends AnyFunSuite with SparkSpec {
     val qids = rows.map(_.getLong(rows.head.fieldIndex("query_id"))).toSet
     assert(qids == (10L until 20L).toSet)
   }
+
+  test("the registered canary reports non-trivial hits at a NARROW " +
+      "derived width on clustered geometry (the r14 held-out floor)") {
+    // the registered gate's corpus is uniform (derived width =
+    // probe-all, hits at the ceiling by construction); the canary's
+    // VALUE is on clustered data where the width derives narrow — the
+    // SCALE.md r14 trajectory measured ≥29/30 there, so pin ≥27/30
+    // with the honest 1×-wobble headroom (max-over-sample is a floor
+    // estimator; one boundary neighbor may sit outside the witnessed
+    // cells)
+    val dir = "target/clustered-emb-fixture-probe"
+    ClusteredEmbFixture.write(spark, dir)
+    val p = Similarity.derivedIvfProbe(spark, dir)
+    assert(p < Similarity.derivedIvfCells(spark, dir),
+      "fixture must derive a narrow width or the canary proves nothing")
+    val rep = Similarity.qAnnProbeCanary.fn(spark, dir).collect()
+    assert(rep.length == 10)
+    assert(rep.forall(_.getLong(2) == p),
+      "the canary must report the width it served at")
+    val total = rep.map(_.getLong(1)).sum
+    assert(total >= 27,
+      s"held-out hits@3 $total/30 below the clustered floor at width $p")
+    assert(rep.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 3))
+  }
 }

@@ -16,9 +16,9 @@ class SqlTwinsSpec extends SparkSpec {
     assert(SparkEntry.queries.size == names.size)
     // the documented ledger (NOTES.md/COVERAGE.md) must stay exact: r2
     // verdict #4 caught a drift. Bump this alongside the docs per query.
-    assert(names.size == 223,
+    assert(names.size == 224,
       s"registry has ${names.size} queries; update NOTES.md and this pin")
-    assert(SparkEntry.oracleSql.size == 223,
+    assert(SparkEntry.oracleSql.size == 224,
       s"${SparkEntry.oracleSql.size} oracle-gated; update NOTES.md + pin")
   }
 
