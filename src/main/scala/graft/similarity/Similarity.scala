@@ -1849,20 +1849,57 @@ object Similarity {
   // ---- Lloyd machinery (shared by q_kmeans / q_cluster_purity /
   // kmeansConverged; all integer except the exactly-rounded ⌊s/n⌋) ----
 
-  /** Σ_d (c_d − m_d)² against ONE literal centroid — integer zip_with
-    * fold, whole-stage-codegen'd, no shuffle. */
-  private def lloydD2(m: Seq[Long]): Column =
+  /** Σ_d (c_d − m_d)² against ONE literal centroid.
+    *
+    * Spelled as the integer dot identity Σc² + Σm² − 2⟨c,m⟩ with ⟨·,·⟩
+    * the codegen'd [[graft.functions.GraftDotLong]] kernel and Σm²
+    * folded driver-side into the literal (r14 optimization, measured by
+    * tools/LloydProbe at sf0.1: the previous `aggregate(zip_with(…))`
+    * HOF fold is CodegenFallback — interpreted per (row, centroid), one
+    * 64-element array allocation each — at ~300 ms per Lloyd round vs
+    * ~145 ms for this spelling; the 15-round converged loop dropped
+    * 5.1 → 2.4 s warm, all three spellings asserted value-identical).
+    * Exact in longs: |c|,|m| ≤ 127 over 64 dims keeps every term far
+    * below 2⁶³. KmeansSpec pins this form against the HOF reference. */
+  private def lloydD2(m: Seq[Long]): Column = {
+    val m2 = m.map(x => x * x).sum
+    (idotL(col("c"), col("c")) + lit(m2)
+      - lit(2L) * idotL(col("c"), typedlit(m)))
+  }
+
+  /** Reference HOF spelling of [[lloydD2]] (interpreted zip_with fold) —
+    * kept as the semantics oracle for KmeansSpec's equivalence pin. */
+  private[graft] def lloydD2Hof(m: Seq[Long]): Column =
     aggregate(
       zip_with(col("c"), typedlit(m), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
+
+  private def idotL(a: Column, b: Column): Column =
+    call_function(graft.functions.GraftDotLong.FunctionName, a, b)
 
   /** Assignment = projection: score every row against the k literal
     * centroids, argmin = lexicographic array_min on (d2, cl). Keeps
     * every input column (label rides through for [[qClusterPurity]]). */
   private[graft] def lloydAssign(
       codes: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    // synthetic spec frames reach here without a Tables.load having
+    // installed the session functions — the synchronized entry point
+    Tables.ensureSessionRegistered(codes.sparkSession)
     val scored = array(cents.map { case (cl, m) =>
       struct(lloydD2(m).as("d2"), lit(cl).as("cl"))
+    }: _*)
+    codes.withColumn("best", array_min(scored))
+      .withColumn("cl", col("best.cl"))
+      .withColumn("d2", col("best.d2"))
+      .drop("best")
+  }
+
+  /** [[lloydAssign]] with the reference HOF distance — KmeansSpec pins
+    * the shipped kernel spelling value-identical to this. */
+  private[graft] def lloydAssignHof(
+      codes: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val scored = array(cents.map { case (cl, m) =>
+      struct(lloydD2Hof(m).as("d2"), lit(cl).as("cl"))
     }: _*)
     codes.withColumn("best", array_min(scored))
       .withColumn("cl", col("best.cl"))

@@ -89,4 +89,19 @@ class KmeansSpec extends SparkSpec {
       assert(r.getDouble(6) >= 1.0)
     }
   }
+
+  test("dot-identity assignment kernel is value-identical to the HOF " +
+    "reference (r14 optimization: Σc²+Σm²−2⟨c,m⟩ via GraftDotLong)") {
+    // corpus centroids after one update — ties and negative coords
+    // included via the raw codes
+    val cents = Similarity.lloydCentroids(codes, 8, rounds = 2)
+    val fast = Similarity.lloydAssign(codes, cents)
+      .select("vec_id", "cl", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val ref = Similarity.lloydAssignHof(codes, cents)
+      .select("vec_id", "cl", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(fast.sameElements(ref),
+      "kernel assignment diverged from the HOF reference")
+  }
 }
