@@ -33,6 +33,20 @@ object Dedup {
   private def docs(s: SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
+  /** The documents corpus hash-spread across the session's cores,
+    * session-memoized (r14 optimization): documents ships as ONE parquet
+    * file, so every heavy per-row pass (window/shingle hashing,
+    * winnowing) that starts from the raw scan ran in a single task. The
+    * memoized wide frame costs one 2 MB exchange per session (billed in
+    * memo_builds) and gives each consumer 32-way map parallelism — the
+    * guide §2.5 "repartition immediately after the read" fix for an
+    * unsplittable input; at production scale the scan has real splits
+    * and the same consumers inherit them. */
+  private def docsWide(s: SparkSession, d: String): DataFrame =
+    graft.plans.FrameMemo.memo(s, "docsWide", d)(
+      docs(s, d).repartition(
+        s.sparkContext.defaultParallelism, col("doc_id")))
+
   /** Distinct-shingle-hash sets per doc: (doc_id, hs). Session-memoized
     * ([[graft.plans.FrameMemo]], r8): this is the shingle INDEX the
     * whole near-dup family (Jaccard pairs, MinHash, components, keep-
@@ -1945,7 +1959,7 @@ object Dedup {
        |FROM ws w LEFT JOIN per_doc p ON p.doc_id = w.doc_id
        |WHERE len(w.ws) > 0
        |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
-    val ws = addWindowHashes(docs(s, d), col("text"), SubstrK)
+    val ws = addWindowHashes(docsWide(s, d), col("text"), SubstrK)
       .select("doc_id", "ws")
     val ex = ws.select(col("doc_id"), explode_outer(col("ws")).as("h"))
       .filter(col("h").isNotNull)
@@ -2019,7 +2033,7 @@ object Dedup {
        |SELECT doc_id, MAX(nh) AS n_windows, COUNT(*)::BIGINT AS n_fp,
        |       CAST(SUM(fp // $WinnowShift) AS BIGINT) AS fp_sum
        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    winnowSelect(docs(s, d))
+    winnowSelect(docsWide(s, d))
       .groupBy("doc_id")
       .agg(max("nh").as("n_windows"),
         count(lit(1)).cast("long").as("n_fp"),
@@ -2113,7 +2127,7 @@ object Dedup {
        |JOIN cnt cb ON cb.source = p.src_b
        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
     val sh = addShingleHashes(
-      docs(s, d).select(col("doc_id"), col("source"), col("text")),
+      docsWide(s, d).select(col("doc_id"), col("source"), col("text")),
       col("text"))
     val ss = sh.select(col("source"), explode(col("hs")).as("h"))
       .distinct()
