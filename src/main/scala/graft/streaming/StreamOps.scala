@@ -386,10 +386,32 @@ object StreamOps {
       .localCheckpoint(true) // one delta computation, reused per bucket
     val touched = delta.select("__b").distinct().collect()
       .map(_.getLong(0)).sorted // bounded by `buckets`
-    touched.foreach { b =>
-      mergeDeltaInto(delta.filter(col("__b") === b).drop("__b"),
-        batchId, s"$statePath/bucket=$b")
-    }
+    // Per-bucket merges are INDEPENDENT jobs over disjoint state dirs
+    // (each bucket's version chain + _SUCCESS commit is its own), so
+    // they run through a small thread pool instead of driver-sequenced
+    // (r14, guide §2.6 overlap-independent-jobs): Spark's scheduler
+    // back-fills each tiny merge job's tail with the next bucket's
+    // tasks. A torn batch leaves an arbitrary SUBSET of buckets
+    // committed instead of a sorted prefix — the replay contract is
+    // per-bucket (newest committed v ≤ batch), so recovery is
+    // unchanged (chaos spec pins it bucket-locally).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(touched.length, 8)))
+    try {
+      touched.map { b =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            mergeDeltaInto(delta.filter(col("__b") === b).drop("__b"),
+              batchId, s"$statePath/bucket=$b")
+        })
+      }.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    } finally pool.shutdown()
   }
 
   /** The bucketed sibling of [[mergeUpsertSink]] (same fail-fast
@@ -1207,7 +1229,10 @@ object StreamOps {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val bsh = graft.functions.TextHash
       .addShingleHashes(batch, col("text")).select("doc_id", "hs")
-      .localCheckpoint(true) // two consumers (bands + verify), one compute
+      // two consumers (bands + verify), one compute; LAZY (r14): the
+      // blocks materialize inside the ledger write's job instead of a
+      // dedicated per-batch barrier job
+      .localCheckpoint(false)
     val bands = graft.dedup.Dedup.lshBands(bsh)
       .select("doc_id", "band", "key")
     val prevV = committedVersions(fs, root).filter(_ <= batchId)
@@ -1217,7 +1242,9 @@ object StreamOps {
     val index = s.read.parquet(s"$statePath/v=$prevV")
     val verdicts = graft.dedup.Dedup.screenBatch(
       batch.select("doc_id"), bands, index, bsh, corpusSh)
-      .localCheckpoint(true) // consumed twice: ledger write + survivor fold
+      // consumed twice (ledger write + survivor fold); LAZY (r14): the
+      // ledger write materializes the blocks, the fold reuses them
+      .localCheckpoint(false)
     verdicts.withColumn("batch", lit(batchId))
       .write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
     val survivors = verdicts.filter(!col("is_dup")).select("doc_id")
@@ -1561,7 +1588,10 @@ object StreamOps {
     val K = graft.functions.TextHash.K
     val bsh = graft.functions.TextHash
       .addShingleHashes(batch, col("text")).select("doc_id", "hs")
-      .localCheckpoint(true) // two consumers (bands + verify), one compute
+      // two consumers (bands + verify), one compute; LAZY (r14): the
+      // blocks materialize inside the ledger write's job instead of a
+      // dedicated per-batch barrier job
+      .localCheckpoint(false)
     val prevV = committedVersions(fs, root).filter(_ <= batchId)
       .sorted.lastOption
       .getOrElse(sys.error(s"no committed index version <= $batchId " +
@@ -1573,7 +1603,9 @@ object StreamOps {
     val verdicts = graft.dedup.Dedup.screenBatch(
       batch.select("doc_id"), bands,
       index.select("doc_id", "band", "key"), bsh, corpusSh)
-      .localCheckpoint(true) // consumed twice: ledger write + survivor fold
+      // consumed twice (ledger write + survivor fold); LAZY (r14): the
+      // ledger write materializes the blocks, the fold reuses them
+      .localCheckpoint(false)
     verdicts.withColumn("batch", lit(batchId))
       .write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
     val survivors = verdicts.filter(!col("is_dup")).select("doc_id")
