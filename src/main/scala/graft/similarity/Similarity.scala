@@ -2796,7 +2796,7 @@ object Similarity {
        |        JOIN k2 ON k2.m = s1.m
        |GROUP BY s1.m ORDER BY subspace""".stripMargin) { (s, d) =>
     val codes = int8Codes(s, d).select("vec_id", "c")
-    val (cb0, cb2) = pqTrainCodebooks(codes)
+    val (cb0, cb2) = pqBooks(s, d)
     // final report: per subspace, distortion vs the seed and vs the
     // trained book, in one pass
     val perM = codes.select(explode(array(
@@ -2878,6 +2878,38 @@ object Similarity {
         }
     }
     (cb0, cb)
+  }
+
+  /** Session-memoized trained PQ codebooks (r14 optimization): the
+    * trained book is the persisted quantizer artifact (the bpeMerges /
+    * lpaLabels precedent) — [[pqTrainCodebooks]] re-ran its two Lloyd
+    * rounds (3 corpus passes + 3 driver collects through the
+    * interpreted per-codeword HOF distance) on EVERY execution of
+    * q_pq_train, q_ann_ivfpq_trained AND the recall report's trained
+    * tier. The training runs once per session inside a FrameMemo build
+    * (billed in memo_builds; both books encoded as a ≤ 2·8·16-row
+    * frame), and each serve decodes the bounded frame. The oracles
+    * still recompute the training from scratch, so a stale or wrong
+    * book hash-mismatches. */
+  private def pqBooks(s: SparkSession, d: String): (PqBook, PqBook) = {
+    import s.implicits._
+    val f = graft.plans.FrameMemo.memo(s, "pqBooks", d) {
+      val codes = int8Codes(s, d).select("vec_id", "c")
+      val (cb0, cb2) = pqTrainCodebooks(codes)
+      Seq(0 -> cb0, 2 -> cb2).flatMap { case (tag, book) =>
+        book.toSeq.flatMap { case (m, cws) =>
+          cws.map { case (j, cw) => (tag, m, j, cw) }
+        }
+      }.toDF("book", "m", "j", "cw")
+    }
+    val rows = f.collect() // bounded: 2 books × subspaces × codewords
+    def decode(tag: Int): PqBook = rows.filter(_.getInt(0) == tag)
+      .groupBy(_.getInt(1))
+      .map { case (m, rs) =>
+        m -> rs.sortBy(_.getInt(2))
+          .map(r => (r.getInt(2), r.getSeq[Long](3).toSeq)).toSeq
+      }.toMap
+    (decode(0), decode(2))
   }
 
   /** IVFPQ with the TRAINED codebook — [[qAnnIvfPq]]'s ANN path run on
@@ -2968,8 +3000,7 @@ object Similarity {
        |FROM rankedq WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) {
     (s, d) =>
       val codes = int8Codes(s, d).select("vec_id", "c")
-        .localCheckpoint(true)
-      val (_, cb2) = pqTrainCodebooks(codes)
+      val (_, cb2) = pqBooks(s, d)
       val ranked = ivfRanked(s, d)
       val cells = ranked.filter(col("arnk") === 1)
         .select(col("vec_id"), col("anchor_id").as("cell"))
