@@ -69,6 +69,45 @@ object GraphOps {
       e.join(deg, "src")
     }
 
+  /** Distinct node count of the symmetrized graph — the statistic the
+    * loop-join dispatch below reads, session-memoized as a 1-row frame
+    * (every PageRank/BFS/k-core execution needs it; production keeps
+    * graph cardinalities in catalog stats). Value-identical to the
+    * `n` scalar the rank recurrences already divide by. */
+  private def nodeCount(s: SparkSession, d: String): Long =
+    graft.plans.FrameMemo.memo(s, "graphNodeCount", d)(
+      symEdges(s, d).select("src").distinct()
+        .agg(count(lit(1)).as("n"))).head().getLong(0)
+
+  /** Node-row ceiling under which the iterative loops BROADCAST their
+    * node-keyed side (ranks, labels, frontiers, survivor sets) instead
+    * of letting the planner shuffle-join it against the edge table
+    * (r15, guide §3.1 "broadcast the side that fits" + §2.4 "a
+    * broadcast join replaces a shuffle of the large side"): each loop
+    * round joins the LOOP-INVARIANT edge memo (~1.1 M rows at sf0.1)
+    * to a node-sized frame (~16 K rows), and because a checkpointed
+    * leaf carries no partitioning info, the planner re-shuffled BOTH
+    * sides every round — JobProfile measured 0.2-0.6 s 18-task jobs
+    * per round, all edge re-shuffle (the r14 "per-round edge
+    * re-shuffle" note). Broadcasting the node side keeps the edge memo
+    * unshuffled in every round; the post-join aggregate still reduces
+    * map-side. The dispatch is SCALE-ADAPTIVE, not a blanket hint
+    * (the r14 Lloyd literal-k-ceiling precedent): a node table at
+    * 100 TB graph scale does not fit an executor, so loops fall back
+    * to the planner's shuffle join above the ceiling. 2 M rows of
+    * (long, long) ≈ 64 MB framed — inside the guide's "a few hundred
+    * MB is usually fine", parameterized for bigger drivers. */
+  private def graphBroadcastNodes(s: SparkSession): Long =
+    s.conf.get("spark.graft.graphBroadcastNodes", "2000000").toLong
+
+  /** The node-keyed loop side under the [[graphBroadcastNodes]]
+    * dispatch: `rows` is a driver-known upper bound on `df`'s rows
+    * (node count, frontier count, or edge count — whichever scalar the
+    * loop already holds). */
+  private def nodeSide(s: SparkSession, df: DataFrame,
+      rows: Long): DataFrame =
+    if (rows <= graphBroadcastNodes(s)) broadcast(df) else df
+
   /** Fixed-point PageRank, [[Iterations]] rounds, top-20 nodes.
     * r⁰(v) = ⌊Mass/N⌋; rᵏ⁺¹(v) = ⌊15·Mass/(100·N)⌋ +
     * ⌊85·Σ_{u→v}⌊rᵏ(u)/deg(u)⌋/100⌋ — every division is a floor over
@@ -111,19 +150,20 @@ object GraphOps {
        |ORDER BY rank_pico DESC, kind, key LIMIT 20""".stripMargin
   }) { (s, d) =>
     val ec = edgesWithDeg(s, d)
-    val nRow = broadcast(ec.select("src").distinct()
-      .agg(count(lit(1)).as("n")))
+    // n as a driver scalar (the memoized node count) instead of a
+    // 1-row crossJoin: same integer, one broadcast join fewer per
+    // round, and it feeds the nodeSide dispatch. All quantities are
+    // non-negative, so Scala's / is the same floor as SQL's div.
+    val n = nodeCount(s, d)
     var r: DataFrame = ec.select(col("src").as("node")).distinct()
-      .crossJoin(nRow)
-      .select(col("node"), expr(s"CAST(${Mass}L div n AS BIGINT)").as("r"))
+      .select(col("node"), lit(Mass / n).as("r"))
       .localCheckpoint(true)
     for (_ <- 0 until Iterations) {
-      r = ec.join(r, ec("src") === r("node"))
+      r = ec.join(nodeSide(s, r, n), ec("src") === r("node"))
         .groupBy(ec("dst").as("node2"))
         .agg(sum(expr("r div d")).as("s"))
-        .crossJoin(nRow)
         .select(col("node2").as("node"),
-          expr(s"CAST((15 * ${Mass}L) div (100 * n) " +
+          expr(s"CAST(${(15L * Mass) / (100L * n)}L " +
             s"+ ($DampNum * s) div 100 AS BIGINT)").as("r"))
         .localCheckpoint(true)
     }
@@ -190,8 +230,9 @@ object GraphOps {
       var lbl = e.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lbl"))
         .localCheckpoint(true)
+      val n = nodeCount(s, d)
       for (_ <- 0 until Iterations) {
-        val votes = e.join(lbl, e("src") === lbl("node"))
+        val votes = e.join(nodeSide(s, lbl, n), e("src") === lbl("node"))
           .groupBy(e("dst").as("node2"), col("lbl"))
           .agg(count(lit(1)).as("c"))
         lbl = graft.plans.TopKPerKey.topKPerKey(votes, Seq("node2"),
@@ -249,22 +290,27 @@ object GraphOps {
        |ORDER BY ppr_pico DESC, kind, key LIMIT 20""".stripMargin
   }) { (s, d) =>
     val ec = edgesWithDeg(s, d)
+    val n = nodeCount(s, d)
     val seeds = ec.select(col("src").as("node")).distinct()
       .filter(pmod(col("node"), lit(2)) === 0 &&
         expr("node div 2") <= 5)
       .localCheckpoint(true)
-    val nsRow = broadcast(seeds.agg(count(lit(1)).as("n")))
-    var r: DataFrame = seeds.crossJoin(nsRow)
-      .select(col("node"), expr(s"CAST(${Mass}L div n AS BIGINT)").as("r"))
+    // seed count as a driver scalar (one tiny count over a checkpointed
+    // frame) — drops the per-round nsRow crossJoin; the teleport frame
+    // is loop-INVARIANT, so it is built and checkpointed once instead
+    // of re-derived inside every round's plan (r15).
+    val ns = seeds.count()
+    var r: DataFrame = seeds
+      .select(col("node"), lit(Mass / ns).as("r"))
+      .localCheckpoint(true)
+    val tele = seeds
+      .select(col("node"), lit((15L * Mass) / (100L * ns)).as("r"))
       .localCheckpoint(true)
     for (_ <- 0 until Iterations) {
-      val prop = ec.join(r, ec("src") === r("node"))
+      val prop = ec.join(nodeSide(s, r, n), ec("src") === r("node"))
         .groupBy(ec("dst").as("node"))
         .agg(expr(s"CAST(($DampNum * SUM(r div d)) div 100 AS BIGINT)")
           .as("r"))
-      val tele = broadcast(seeds).crossJoin(nsRow)
-        .select(col("node"),
-          expr(s"CAST((15 * ${Mass}L) div (100 * n) AS BIGINT)").as("r"))
       r = tele.unionAll(prop)
         .groupBy("node")
         .agg(sum("r").cast("long").as("r"))
@@ -327,6 +373,11 @@ object GraphOps {
        |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
   }) { (s, d) =>
     val (e, lbl) = lpaLabels(s, d)
+    // NO nodeSide dispatch here (r15, measured): forcing two broadcast
+    // builds of the label frame regressed this query 0.35 → 1.15 s in
+    // the same-suite A/B — its single-shot join pair is one AQE already
+    // plans well; the dispatch stays on the ITERATIVE loops where the
+    // per-round edge re-shuffle is the measured cost.
     val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("d"))
     val la = lbl.select(col("node").as("src"), col("lbl").as("la"))
     val lb = lbl.select(col("node").as("dst"), col("lbl").as("lb"))
@@ -572,9 +623,13 @@ object GraphOps {
       .filter(col("c_nationkey") === 0)
       .select((col("c_custkey") * 2).as("node"), lit(0).as("hop"))
       .localCheckpoint(false)
+    // labels ≤ graph nodes + seeds (seeds may include orderless
+    // customers outside the graph) — the nodeSide dispatch bound
+    val bound = nodeCount(s, d) + labels.count()
     for (_ <- 0 until BfsRounds) {
       labels = labels
-        .unionByName(e.join(labels, e("src") === labels("node"))
+        .unionByName(e.join(nodeSide(s, labels, bound),
+            e("src") === labels("node"))
           .select(e("dst").as("node"), (labels("hop") + 1).as("hop")))
         .groupBy("node").agg(min("hop").as("hop"))
         .localCheckpoint(false)
@@ -632,14 +687,17 @@ object GraphOps {
     // re-runs (min 1.78 -> 1.44/1.63 s at sf0.1); the single-reference
     // pagerank/ppr chains measured the OPPOSITE and stay eager (see
     // qPagerank's checkpoint note).
+    val n = nodeCount(s, d) // survivor sets are node-bounded
     for (_ <- 0 until PeelRounds) {
       keep = e.groupBy("src").agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= CoreK)
         .select(col("src").as("node"), col("dg"))
         .localCheckpoint(false)
       e = e
-        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .join(nodeSide(s, keep.select(col("node").as("src")), n),
+          Seq("src"), "left_semi")
+        .join(nodeSide(s, keep.select(col("node").as("dst")), n),
+          Seq("dst"), "left_semi")
         .select("src", "dst")
         .localCheckpoint(false)
     }
@@ -683,14 +741,19 @@ object GraphOps {
     var keep: DataFrame = e.sparkSession.emptyDataFrame
     var converged = n == 0L
     var rounds = 0
+    val s = edges.sparkSession
     while (!converged && rounds < maxRounds) {
       keep = e.groupBy("src").agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k)
         .select(col("src").as("node"), col("dg"))
         .localCheckpoint(false)
+      // survivors ≤ distinct src ≤ n (this round's edge count, already
+      // collected as the convergence scalar) — the nodeSide bound
       val e2 = e
-        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .join(nodeSide(s, keep.select(col("node").as("src")), n),
+          Seq("src"), "left_semi")
+        .join(nodeSide(s, keep.select(col("node").as("dst")), n),
+          Seq("dst"), "left_semi")
         .select("src", "dst")
         .localCheckpoint(false)
       val n2 = e2.count()
@@ -714,11 +777,9 @@ object GraphOps {
   private[graft] def pagerankConverged(s: SparkSession, d: String,
       tolPico: Long = 1000L, maxRounds: Int = 100): DataFrame = {
     val ec = edgesWithDeg(s, d)
-    val nRow = broadcast(ec.select("src").distinct()
-      .agg(count(lit(1)).as("n")))
+    val n = nodeCount(s, d)
     var r: DataFrame = ec.select(col("src").as("node")).distinct()
-      .crossJoin(nRow)
-      .select(col("node"), expr(s"CAST(${Mass}L div n AS BIGINT)").as("r"))
+      .select(col("node"), lit(Mass / n).as("r"))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
@@ -727,16 +788,15 @@ object GraphOps {
       // one-job-per-round variant landed 1.29-1.30 s vs 1.23 s eager at
       // sf0.1 — the rank chain prefers a known-size compact leaf per
       // round, the same result qPagerank's eager-vs-lazy note records).
-      val r2 = ec.join(r, ec("src") === r("node"))
+      val r2 = ec.join(nodeSide(s, r, n), ec("src") === r("node"))
         .groupBy(ec("dst").as("node2"))
         .agg(sum(expr("r div d")).as("s"))
-        .crossJoin(nRow)
         .select(col("node2").as("node"),
-          expr(s"CAST((15 * ${Mass}L) div (100 * n) " +
+          expr(s"CAST(${(15L * Mass) / (100L * n)}L " +
             s"+ ($DampNum * s) div 100 AS BIGINT)").as("r"))
         .localCheckpoint(true)
       val delta = r2.select(col("node"), col("r").as("r2"))
-        .join(r, "node")
+        .join(nodeSide(s, r, n), "node")
         .agg(coalesce(max(abs(col("r2") - col("r"))), lit(0L)))
         .first().getLong(0)
       converged = delta <= tolPico
@@ -760,10 +820,12 @@ object GraphOps {
     * against the full-table loop's label sizes). */
   private[graft] def bfsDeltaFrontier(edges: DataFrame, seeds: DataFrame,
       maxRounds: Int = 10000): (DataFrame, Seq[Long]) = {
+    val s = edges.sparkSession
     val e = edges.localCheckpoint(true)
     var labels = seeds.select(col("node"), col("hop")).localCheckpoint(true)
     var frontier = labels
     var fn = frontier.count()
+    var labelRows = fn // running Σ frontier sizes = labels row count
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
     var rounds = 0
     while (fn > 0 && rounds < maxRounds) {
@@ -777,15 +839,19 @@ object GraphOps {
       // already-checkpointed blocks, so nothing recomputes). Per-job
       // fixed overhead stops multiplying under a contended scheduler;
       // the shuffle volume is unchanged.
-      val next = e.join(frontier, e("src") === frontier("node"))
+      // frontier rows = fn, labels rows = labelRows — both collected
+      // already, so the nodeSide dispatch costs no extra action
+      val next = e.join(nodeSide(s, frontier, fn),
+          e("src") === frontier("node"))
         .select(e("dst").as("node"), (frontier("hop") + 1).as("hop"))
         .groupBy("node").agg(min("hop").as("hop"))
-        .join(labels.select(col("node").as("seen")),
+        .join(nodeSide(s, labels.select(col("node").as("seen")), labelRows),
           col("node") === col("seen"), "left_anti")
         .localCheckpoint(false)
       labels = labels.unionByName(next).localCheckpoint(false)
       frontier = next
       fn = next.count()
+      labelRows += fn
       rounds += 1
     }
     (labels, sizes.toSeq)

@@ -753,9 +753,24 @@ object StreamOps {
     * width. */
   private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
     val prev = s.conf.get(key)
+    val prevAqe = s.conf.get(aqeKey)
     s.conf.set(key, s.conf.get("spark.graft.streamStatePartitions", "8"))
-    try body finally s.conf.set(key, prev)
+    // AQE off for the per-batch sink bodies (r15, measured): a
+    // maintenance batch here is a LATENCY-bound sequence of small plans
+    // (screen → ledger write → fold write), and AQE turns every
+    // Exchange into its own materialized query stage — a separate job
+    // plus a driver re-optimization pause. JobProfile measured the
+    // dedup chain at 75 jobs/run with AQE vs 33 without (−1.8 s of a
+    // 7.9 s run; retune −1.2 s) with the 8-partition state width making
+    // coalescing moot. Parameterized: a production chain whose batches
+    // shuffle GBs wants it back on — set spark.graft.streamBatchAQE.
+    s.conf.set(aqeKey, s.conf.get("spark.graft.streamBatchAQE", "false"))
+    try body finally {
+      s.conf.set(key, prev)
+      s.conf.set(aqeKey, prevAqe)
+    }
   }
 
   private val memSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
