@@ -564,7 +564,13 @@ object Dedup {
     * corpus — it re-projects the signature columns. */
   def lshBandsWith(sh: DataFrame, bands: Int, r: Int): DataFrame = {
     require(bands * r <= K, s"banding $bands x $r exceeds K=$K minhashes")
-    val sig = array((0 until K).map(k => minhash(col("hs"), k)): _*)
+    // r15: fused one-pass signature kernel instead of K interpreted
+    // array_min(transform(...)) HOF trees — same affine mod-P values
+    // (MinHashAggSpec pins fused ≡ composed incl. the empty-hs nulls);
+    // shrinks both the per-row hashing cost and the expression tree the
+    // streaming chains re-optimize per micro-batch.
+    val sig = call_function(
+      graft.functions.GraftMinhashSig.FunctionName, col("hs"))
     val bandStructs = array((0 until bands).map { b =>
       val key = concat_ws("_",
         (0 until r).map(i =>
@@ -619,8 +625,8 @@ object Dedup {
          |WHERE CAST(inter AS DOUBLE) / un >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val sh = shingleSets(s, d)
-      val sig = sh.withColumn("sig",
-        array((0 until K).map(k => minhash(col("hs"), k)): _*))
+      val sig = sh.withColumn("sig", call_function(
+        graft.functions.GraftMinhashSig.FunctionName, col("hs")))
       val bandStructs = array((0 until Bands).map { b =>
         val key = concat_ws("_",
           (0 until R).map(r =>
@@ -2126,11 +2132,18 @@ object Dedup {
        |JOIN cnt ca ON ca.source = p.src_a
        |JOIN cnt cb ON cb.source = p.src_b
        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
-    val sh = addShingleHashes(
-      docsWide(s, d).select(col("doc_id"), col("source"), col("text")),
-      col("text"))
+    // r15 (measured): this query re-ran the whole-corpus shingle hash
+    // per execution — TWICE, because the un-checkpointed subtree below
+    // feeds both sides of the self-join (JobProfile: two ~1 s 32-task
+    // jobs per run). The shingle INDEX already exists as the memoized
+    // shingleSets frame; attach `source` with one narrow join, and
+    // checkpoint the per-source distinct frame so both self-join
+    // consumers share one compute (the qBfsHops shared-blocks shape).
+    val sh = shingleSets(s, d)
+      .join(docs(s, d).select("doc_id", "source"), "doc_id")
     val ss = sh.select(col("source"), explode(col("hs")).as("h"))
       .distinct()
+      .localCheckpoint(false)
     val cnt = ss.groupBy("source").agg(count(lit(1)).cast("long").as("n"))
     val pair = ss.as("a").join(ss.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))

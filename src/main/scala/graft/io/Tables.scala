@@ -57,6 +57,8 @@ object Tables {
     graft.functions.Md5Mod31.ensureRegistered(spark)
     graft.functions.GraftDot.ensureRegistered(spark)
     graft.functions.GraftDotLong.ensureRegistered(spark)
+    graft.functions.GraftSqDistLong.ensureRegistered(spark)
+    graft.functions.GraftMinhashSig.ensureRegistered(spark)
     graft.functions.GraftSimhash.ensureRegistered(spark)
     graft.plans.GlobalRowNumberTopKRegistration.ensureRegistered(spark)
     // SQL-callable form of the incremental MinHash aggregator, so the

@@ -1861,11 +1861,16 @@ object Similarity {
     * 5.1 → 2.4 s warm, all three spellings asserted value-identical).
     * Exact in longs: |c|,|m| ≤ 127 over 64 dims keeps every term far
     * below 2⁶³. KmeansSpec pins this form against the HOF reference. */
-  private def lloydD2(m: Seq[Long]): Column = {
-    val m2 = m.map(x => x * x).sum
-    (idotL(col("c"), col("c")) + lit(m2)
-      - lit(2L) * idotL(col("c"), typedlit(m)))
-  }
+  private def lloydD2(m: Seq[Long]): Column =
+    // r15: fused Σ(c−m)² kernel instead of the dot identity. Same
+    // integers (KmeansSpec pins kernel ≡ identity ≡ HOF); the win is
+    // that the centroid rides the codegen REFERENCES array as an array
+    // literal, so the generated source is identical across Lloyd
+    // rounds and the per-round janino recompile the identity's
+    // embedded Σm² literal forced (JobProfile: ~0.1 s/round of driver
+    // gap on q_kmeans_converged) collapses to one compile per session.
+    call_function(graft.functions.GraftSqDistLong.FunctionName,
+      col("c"), typedlit(m))
 
   /** Reference HOF spelling of [[lloydD2]] (interpreted zip_with fold) —
     * kept as the semantics oracle for KmeansSpec's equivalence pin. */
@@ -3619,18 +3624,24 @@ object Similarity {
     * first cut computed qCosineTopk + filteredExact + hardExact
     * independently). Bounded at |queries|×N rows; checkpointed so the
     * three windows don't re-execute the join. */
-  private def exactScored(s: SparkSession, d: String): DataFrame = {
-    val n = withNorm(emb(s, d))
-    val q = n.filter(expr(QuerySet))
-      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-        col("v").as("qv"), col("nrm").as("qnrm"))
-    broadcast(q)
-      .join(n, col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qlabel"), col("label"),
-        col("vec_id").as("neighbor_id"),
-        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
-      .localCheckpoint(true)
-  }
+  private def exactScored(s: SparkSession, d: String): DataFrame =
+    // session-memoized (r15): the exact float-cosine ground-truth score
+    // matrix is a derived evaluation artifact exactly like the memoized
+    // annProbeTruth frame — q_ann_recall re-materialized this 10×|corpus|
+    // cross product EAGERLY on every execution (the eager checkpoint
+    // below predates the memo pattern). The oracle still recomputes the
+    // truth from scratch in SQL; the build is billed in memo_builds.
+    memo(s, "exactScored", d) {
+      val n = withNorm(emb(s, d))
+      val q = n.filter(expr(QuerySet))
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qnrm"))
+      broadcast(q)
+        .join(n, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qlabel"), col("label"),
+          col("vec_id").as("neighbor_id"),
+          (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    }
 
   private def exactTop3(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
@@ -3746,11 +3757,17 @@ object Similarity {
          |JOIN ek ON ek.tier = t.tier
          |GROUP BY t.tier, ek.exact_k ORDER BY t.tier""".stripMargin) {
       (s, d) =>
-        // one scored pass feeds all three exact baselines (r8 plan fix)
+        // one scored pass feeds all three exact baselines (r8 plan fix);
+        // each baseline is checkpointed once (r15): exU is referenced by
+        // SEVEN union branches below, and without the checkpoint every
+        // branch re-ran its window subtree (JobProfile: repeated ~0.5 s
+        // single-task window jobs inside this query's AQE stages)
         val scored = exactScored(s, d)
-        val exU = exactTop3(scored)
+        val exU = exactTop3(scored).localCheckpoint(false)
         val exF = exactTop3(scored.filter(col("label") === col("qlabel")))
+          .localCheckpoint(false)
         val exH = exactTop3(scored.filter(col("label") =!= col("qlabel")))
+          .localCheckpoint(false)
         val ex = (recallTiers.map { case (t, _) =>
           exU.select(lit(t).as("tier"), col("query_id"),
             col("neighbor_id"))

@@ -327,6 +327,38 @@ object StreamOps {
         new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName.drop(2).toLong)
 
+  /** Output-file sizing for a state-version write (r15, guide §6
+    * "sensible output file sizing" / small-files): the write coalesces
+    * to ⌈source bytes / spark.graft.stateFileBytes (64 MB)⌉ partitions,
+    * where the source bytes are the on-disk length of the version(s)
+    * the write derives from — one driver-side ContentSummary call, no
+    * extra Spark job. Why: every state version was written at the
+    * session's shuffle width, so a ~KB state became 8-16 near-empty
+    * files that every later read re-split into 8-16 tasks (JobProfile:
+    * the bucketed merge gate ran 32 bucket-merge jobs of 16 tasks and
+    * 0.25 s each over KB-sized buckets). Bytes-derived, not a constant:
+    * a TB-scale state still writes one file per 64 MB. `coalesce` never
+    * RAISES a plan's partition count, so a wide state keeps its width. */
+  private def sizedForState(df: DataFrame,
+      fs: org.apache.hadoop.fs.FileSystem,
+      sources: Seq[org.apache.hadoop.fs.Path]): DataFrame = {
+    val target = df.sparkSession.conf
+      .get("spark.graft.stateFileBytes", (64L * 1024 * 1024).toString)
+      .toLong
+    val bytes = sources.filter(fs.exists)
+      .map(p => fs.getContentSummary(p).getLength).sum
+    df.coalesce(math.max(1L, (bytes + target - 1) / target)
+      .min(1 << 20).toInt)
+  }
+
+  /** Row-count flavor of [[sizedForState]] for writes whose row count
+    * is already a driver scalar (seed assignments, quantizer matrices —
+    * a k-row `Seq(...).toDF` otherwise writes defaultParallelism near-
+    * empty files): one output partition per 64 Ki rows, the FrameMemo
+    * RowsPerPartition sizing. */
+  private def sizedByRows(df: DataFrame, rows: Long): DataFrame =
+    df.coalesce(math.max(1L, (rows + 65535) / 65536).min(1 << 20).toInt)
+
   /** One version-chain merge step under `statePath`: read the newest
     * state version < batchId, full-outer-merge the delta, overwrite
     * v=batchId, prune to the newest 3 versions. */
@@ -347,7 +379,8 @@ object StreamOps {
           org.apache.spark.sql.types.StructType.fromDDL(
             "user_id BIGINT, n BIGINT, cents BIGINT"))
     }
-    prev.select(col("user_id").as("pk"), col("n"), col("cents"))
+    val merged = prev
+      .select(col("user_id").as("pk"), col("n"), col("cents"))
       .join(delta, col("pk") === col("user_id"), "full_outer")
       .select(
         coalesce(col("pk"), col("user_id")).as("user_id"),
@@ -355,6 +388,8 @@ object StreamOps {
           .cast("long").as("n"),
         (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
           .cast("long").as("cents"))
+    sizedForState(merged, fs, prevVersion.toSeq.map(v =>
+        new org.apache.hadoop.fs.Path(s"$statePath/v=$v")))
       .write.mode("overwrite").parquet(s"$statePath/v=$batchId")
     // prune: keep the newest 3 versions ≤ batchId (replay of batch N needs
     // newest v < N alive); growth was one full state copy per micro-batch
@@ -841,7 +876,13 @@ object StreamOps {
       else s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
     val ev = graft.io.Tables.normalizeTs(src)
-    val out = runToMemorySink(hourlyCounts(ev), OutputMode.Complete())
+    // withStatePartitions (r15): this was the one stateful gate still
+    // latching the session's full shuffle width as its state-store
+    // count — 32 stores × 6 batches of open/commit for a #hours×#types
+    // state (JobProfile: one 0.76 s 33-task batch job dominated the
+    // run); the 8-partition sizing rationale is withStatePartitions'.
+    val out = withStatePartitions(s)(
+      runToMemorySink(hourlyCounts(ev), OutputMode.Complete()))
       .orderBy("hour_start", "event_type").localCheckpoint(true)
     // an empty settled table means the source listed no files (the
     // dir/glob mismatch above) — fail loudly, never time a no-op
@@ -1260,10 +1301,19 @@ object StreamOps {
       // consumed twice (ledger write + survivor fold); LAZY (r14): the
       // ledger write materializes the blocks, the fold reuses them
       .localCheckpoint(false)
-    verdicts.withColumn("batch", lit(batchId))
+    // sizedForState (r15): the batch-proportional ledger and the folded
+    // index both derive from (and are bounded by a small multiple of)
+    // the previous version's bytes — size the writes so a KB-scale
+    // state is ONE file per version, not shuffle-width splinters
+    val prevP = new org.apache.hadoop.fs.Path(s"$statePath/v=$prevV")
+    sizedForState(verdicts.withColumn("batch", lit(batchId)),
+        fs, Seq(prevP))
       .write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
     val survivors = verdicts.filter(!col("is_dup")).select("doc_id")
-    index.unionByName(bands.join(survivors, Seq("doc_id"), "left_semi"))
+    sizedForState(
+        index.unionByName(
+          bands.join(survivors, Seq("doc_id"), "left_semi")),
+        fs, Seq(prevP))
       .write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
     // no version pruning during the run: every version must stay
     // replayable while the stream is live, and the whole per-run dir is
@@ -1621,7 +1671,9 @@ object StreamOps {
       // consumed twice (ledger write + survivor fold); LAZY (r14): the
       // ledger write materializes the blocks, the fold reuses them
       .localCheckpoint(false)
-    verdicts.withColumn("batch", lit(batchId))
+    val prevP = new org.apache.hadoop.fs.Path(s"$statePath/v=$prevV")
+    sizedForState(verdicts.withColumn("batch", lit(batchId)),
+        fs, Seq(prevP))
       .write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
     val survivors = verdicts.filter(!col("is_dup")).select("doc_id")
     val foldedRaw = index.select("doc_id", "band", "key")
@@ -1640,7 +1692,8 @@ object StreamOps {
         if (fired) retuned.withColumn("nb", lit(2))
         else folded.withColumn("nb", lit(nb))
       } else folded.withColumn("nb", lit(nb))
-    next.write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
+    sizedForState(next, fs, Seq(prevP))
+      .write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
   }
 
   /** The retune-aware ingest chain through [[runVersionedStream]]. */
@@ -1748,7 +1801,9 @@ object StreamOps {
       .sorted.lastOption
       .getOrElse(sys.error(s"no committed index version <= $batchId " +
         s"under $statePath — the base seed (v=0) is missing"))
-    s.read.parquet(s"$statePath/v=$prevV").unionByName(cells)
+    sizedForState(
+        s.read.parquet(s"$statePath/v=$prevV").unionByName(cells),
+        fs, Seq(new org.apache.hadoop.fs.Path(s"$statePath/v=$prevV")))
       .write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
   }
 
@@ -1878,9 +1933,11 @@ object StreamOps {
         } else (folded, quant)
       } else (folded, quant)
     import s.implicits._
-    quantOut.toDF("cl", "m")
+    sizedByRows(quantOut.toDF("cl", "m"), quantOut.size.toLong)
       .write.mode("overwrite").parquet(s"$statePath/q=${batchId + 1}")
-    cellsOut.write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
+    sizedForState(cellsOut, fs,
+        Seq(new org.apache.hadoop.fs.Path(s"$statePath/v=$prevV")))
+      .write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
   }
 
   /** The retrain-aware ANN chain through [[runVersionedStream]]. */
@@ -2143,9 +2200,11 @@ object StreamOps {
         } else (folded, quant)
       } else (folded, quant)
     import s.implicits._
-    quantOut.toDF("cl", "m")
+    sizedByRows(quantOut.toDF("cl", "m"), quantOut.size.toLong)
       .write.mode("overwrite").parquet(s"$statePath/q=${batchId + 1}")
-    cellsOut.write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
+    sizedForState(cellsOut, fs,
+        Seq(new org.apache.hadoop.fs.Path(s"$statePath/v=$prevV")))
+      .write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
   }
 
   /** The size-aware ANN chain through [[runVersionedStream]]. */
@@ -2316,11 +2375,13 @@ object StreamOps {
         } else (folded, quant, prevW)
       } else (folded, quant, prevW)
     import s.implicits._
-    quantOut.toDF("cl", "m")
+    sizedByRows(quantOut.toDF("cl", "m"), quantOut.size.toLong)
       .write.mode("overwrite").parquet(s"$statePath/q=${batchId + 1}")
-    Seq(widthOut.toLong).toDF("w")
+    sizedByRows(Seq(widthOut.toLong).toDF("w"), 1L)
       .write.mode("overwrite").parquet(s"$statePath/p=${batchId + 1}")
-    cellsOut.write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
+    sizedForState(cellsOut, fs,
+        Seq(new org.apache.hadoop.fs.Path(s"$statePath/v=$prevV")))
+      .write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
   }
 
   /** The calibrated chain through [[runVersionedStream]]. */
@@ -2550,12 +2611,15 @@ object StreamOps {
       bhashes.select(col("img_id").as("bi")),
       mm.imgBandRows(bhashes), mm.imgBandRows(index), bhashes, index)
       .localCheckpoint(true) // ledger write + survivor fold
-    verdicts.withColumn("batch", lit(batchId))
+    val prevP = new org.apache.hadoop.fs.Path(s"$statePath/v=$prevV")
+    sizedForState(verdicts.withColumn("batch", lit(batchId)),
+        fs, Seq(prevP))
       .write.mode("overwrite").parquet(s"$verdictsPath/b=$batchId")
     val survivors = verdicts.filter(!col("is_dup"))
       .select(col("bi").as("img_id"))
-    index.unionByName(
-      bhashes.join(survivors, Seq("img_id"), "left_semi"))
+    sizedForState(index.unionByName(
+        bhashes.join(survivors, Seq("img_id"), "left_semi")),
+        fs, Seq(prevP))
       .write.mode("overwrite").parquet(s"$statePath/v=${batchId + 1}")
   }
 

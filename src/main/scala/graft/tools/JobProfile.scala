@@ -38,7 +38,7 @@ object JobProfile {
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .orElse(Option(e.properties)
               .flatMap(p => Option(p.getProperty("callSite.short"))))
-            .getOrElse("")
+            .getOrElse(e.stageInfos.map(_.name).mkString(" | ").take(200))
           live.put(e.jobId, J(e.jobId, System.nanoTime(), nt, d))
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {

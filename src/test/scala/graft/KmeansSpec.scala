@@ -90,8 +90,28 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
-  test("dot-identity assignment kernel is value-identical to the HOF " +
-    "reference (r14 optimization: Σc²+Σm²−2⟨c,m⟩ via GraftDotLong)") {
+  test("fused sqdist kernel (r15) is value-identical to the dot " +
+    "identity on adversarial arrays") {
+    import spark.implicits._
+    graft.io.Tables.ensureSessionRegistered(spark)
+    val m = Seq(-128L, 127L, 0L, -1L, 64L)
+    val rows = Seq(
+      Seq(127L, -128L, 0L, 1L, -64L), // max-spread diffs
+      Seq(-128L, 127L, 0L, -1L, 64L), // exact match → 0
+      Seq(0L, 0L, 0L, 0L, 0L)
+    ).toDF("c")
+    val m2 = m.map(x => x * x).sum
+    val got = rows.select(
+      expr(s"graft_sqdist_long(c, ${m.mkString("array(", ",", ")")})"),
+      (expr("graft_dot_long(c, c)") + typedlit(m2)
+        - typedlit(2L) * org.apache.spark.sql.functions.call_function(
+          "graft_dot_long", col("c"), typedlit(m)))).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"fused sqdist diverged from the dot identity: $r"))
+  }
+
+  test("assignment kernel is value-identical to the HOF " +
+    "reference (r14/r15 optimization: fused Σ(c−m)² via GraftSqDistLong)") {
     // corpus centroids after one update — ties and negative coords
     // included via the raw codes
     val cents = Similarity.lloydCentroids(codes, 8, rounds = 2)
