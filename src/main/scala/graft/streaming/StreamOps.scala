@@ -337,8 +337,17 @@ object StreamOps {
     * files that every later read re-split into 8-16 tasks (JobProfile:
     * the bucketed merge gate ran 32 bucket-merge jobs of 16 tasks and
     * 0.25 s each over KB-sized buckets). Bytes-derived, not a constant:
-    * a TB-scale state still writes one file per 64 MB. `coalesce` never
-    * RAISES a plan's partition count, so a wide state keeps its width. */
+    * a TB-scale state still writes one file per 64 MB.
+    *
+    * `repartition`, NOT `coalesce` (r15, measured the hard way):
+    * coalesce is NARROW, so coalesce(1) folds every narrow ancestor —
+    * including LAZY localCheckpoint blocks, which materialize inside
+    * the consuming job — into the single write task, serializing the
+    * chain's whole screen/banding/assignment compute (the first cut
+    * shipped coalesce and the ANN chains nondeterministically ran 2-3×
+    * their medians). The repartition exchange keeps upstream compute at
+    * its natural width and moves only the KB-scale result to the one
+    * writer. */
   private def sizedForState(df: DataFrame,
       fs: org.apache.hadoop.fs.FileSystem,
       sources: Seq[org.apache.hadoop.fs.Path]): DataFrame = {
@@ -347,7 +356,7 @@ object StreamOps {
       .toLong
     val bytes = sources.filter(fs.exists)
       .map(p => fs.getContentSummary(p).getLength).sum
-    df.coalesce(math.max(1L, (bytes + target - 1) / target)
+    df.repartition(math.max(1L, (bytes + target - 1) / target)
       .min(1 << 20).toInt)
   }
 
@@ -355,9 +364,10 @@ object StreamOps {
     * is already a driver scalar (seed assignments, quantizer matrices —
     * a k-row `Seq(...).toDF` otherwise writes defaultParallelism near-
     * empty files): one output partition per 64 Ki rows, the FrameMemo
-    * RowsPerPartition sizing. */
+    * RowsPerPartition sizing. Repartition, not coalesce — see
+    * [[sizedForState]]. */
   private def sizedByRows(df: DataFrame, rows: Long): DataFrame =
-    df.coalesce(math.max(1L, (rows + 65535) / 65536).min(1 << 20).toInt)
+    df.repartition(math.max(1L, (rows + 65535) / 65536).min(1 << 20).toInt)
 
   /** One version-chain merge step under `statePath`: read the newest
     * state version < batchId, full-outer-merge the delta, overwrite
